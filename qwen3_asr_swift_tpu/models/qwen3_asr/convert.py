@@ -1,0 +1,130 @@
+"""Checkpoint → param-tree conversion for Qwen3-ASR.
+
+Maps the published checkpoint names (HF `audio_tower.*` / `model.*`, or the
+aligner's `thinker.*` prefix — reference:
+Sources/Qwen3ASR/WeightLoading.swift:42-209) into this package's canonical
+param trees, handling:
+- Linear [out, in] → [in, out] (kernels are stored input-major here),
+- Conv2d layout: torch OIHW or MLX OHWI → JAX HWIO (detected by shape),
+- MLX group-quantized tensors (weight/scales/biases triplets) → dequantized
+  fp (or kept packed for the quantized-matmul path).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from ...core.weights import dequantize_mlx
+from .config import Qwen3ASRConfig
+
+
+def _conv_to_hwio(w: np.ndarray) -> np.ndarray:
+    if w.ndim != 4:
+        raise ValueError(f"conv weight must be 4D, got {w.shape}")
+    if w.shape[1] == 3 and w.shape[2] == 3:  # MLX OHWI
+        return np.transpose(w, (1, 2, 3, 0))
+    return np.transpose(w, (2, 3, 1, 0))  # torch OIHW
+
+
+def _linear(flat: Dict[str, np.ndarray], prefix: str, bits: int, group: int, dtype) -> dict:
+    """Build {"kernel" [in,out], "bias"?} from fp or MLX-quantized weights."""
+    w = flat.get(f"{prefix}.weight")
+    if w is None:
+        raise KeyError(f"missing {prefix}.weight")
+    if f"{prefix}.scales" in flat:
+        w = dequantize_mlx(w, flat[f"{prefix}.scales"], flat[f"{prefix}.biases"],
+                           bits=bits, group_size=group)
+    p = {"kernel": np.ascontiguousarray(w.T).astype(dtype)}
+    if f"{prefix}.bias" in flat:
+        p["bias"] = flat[f"{prefix}.bias"].astype(dtype)
+    return p
+
+
+def _ln(flat, prefix, dtype) -> dict:
+    return {
+        "weight": flat[f"{prefix}.weight"].astype(dtype),
+        "bias": flat[f"{prefix}.bias"].astype(dtype),
+    }
+
+
+def _rms(flat, prefix, dtype) -> dict:
+    return {"weight": flat[f"{prefix}.weight"].astype(dtype)}
+
+
+def strip_prefixes(flat: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Strip the aligner's `thinker.` prefix when present."""
+    out = {}
+    for k, v in flat.items():
+        out[k[len("thinker."):] if k.startswith("thinker.") else k] = v
+    return out
+
+
+def convert_encoder(flat: Dict[str, np.ndarray], cfg: Qwen3ASRConfig, dtype=np.float32) -> dict:
+    f = {k[len("audio_tower."):]: v for k, v in strip_prefixes(flat).items()
+         if k.startswith("audio_tower.") or k.startswith("thinker.audio_tower.")}
+    bits, group = cfg.decoder.bits, cfg.decoder.group_size
+    params = {
+        "conv1": {"kernel": _conv_to_hwio(f["conv2d1.weight"]).astype(dtype)},
+        "conv2": {"kernel": _conv_to_hwio(f["conv2d2.weight"]).astype(dtype)},
+        "conv3": {"kernel": _conv_to_hwio(f["conv2d3.weight"]).astype(dtype)},
+        "conv_out": _linear(f, "conv_out", bits, group, dtype),
+        "ln_post": _ln(f, "ln_post", dtype),
+        "proj1": _linear(f, "proj1", bits, group, dtype),
+        "proj2": _linear(f, "proj2", bits, group, dtype),
+        "layers": [],
+    }
+    for name, tgt in (("conv2d1", "conv1"), ("conv2d2", "conv2"), ("conv2d3", "conv3")):
+        if f"{name}.bias" in f:
+            params[tgt]["bias"] = f[f"{name}.bias"].astype(dtype)
+    for i in range(cfg.encoder.num_layers):
+        pre = f"layers.{i}"
+        params["layers"].append(
+            {
+                "q_proj": _linear(f, f"{pre}.self_attn.q_proj", bits, group, dtype),
+                "k_proj": _linear(f, f"{pre}.self_attn.k_proj", bits, group, dtype),
+                "v_proj": _linear(f, f"{pre}.self_attn.v_proj", bits, group, dtype),
+                "out_proj": _linear(f, f"{pre}.self_attn.out_proj", bits, group, dtype),
+                "attn_ln": _ln(f, f"{pre}.self_attn_layer_norm", dtype),
+                "fc1": _linear(f, f"{pre}.fc1", bits, group, dtype),
+                "fc2": _linear(f, f"{pre}.fc2", bits, group, dtype),
+                "final_ln": _ln(f, f"{pre}.final_layer_norm", dtype),
+            }
+        )
+    return params
+
+
+def convert_decoder(flat: Dict[str, np.ndarray], cfg: Qwen3ASRConfig, dtype=np.float32) -> dict:
+    f = {k[len("model."):]: v for k, v in strip_prefixes(flat).items() if k.startswith("model.")}
+    bits, group = cfg.decoder.bits, cfg.decoder.group_size
+
+    emb = f["embed_tokens.weight"]
+    if "embed_tokens.scales" in f:
+        emb = dequantize_mlx(emb, f["embed_tokens.scales"], f["embed_tokens.biases"],
+                             bits=bits, group_size=group)
+    params = {
+        "embed_tokens": emb.astype(dtype),
+        "norm": _rms(f, "norm", dtype),
+        "layers": [],
+    }
+    for i in range(cfg.decoder.num_layers):
+        pre = f"layers.{i}"
+        params["layers"].append(
+            {
+                "q_proj": _linear(f, f"{pre}.self_attn.q_proj", bits, group, dtype),
+                "k_proj": _linear(f, f"{pre}.self_attn.k_proj", bits, group, dtype),
+                "v_proj": _linear(f, f"{pre}.self_attn.v_proj", bits, group, dtype),
+                "o_proj": _linear(f, f"{pre}.self_attn.o_proj", bits, group, dtype),
+                "q_norm": _rms(f, f"{pre}.self_attn.q_norm", dtype),
+                "k_norm": _rms(f, f"{pre}.self_attn.k_norm", dtype),
+                "input_layernorm": _rms(f, f"{pre}.input_layernorm", dtype),
+                "post_attention_layernorm": _rms(f, f"{pre}.post_attention_layernorm", dtype),
+                "mlp": {
+                    "gate_proj": _linear(f, f"{pre}.mlp.gate_proj", bits, group, dtype),
+                    "up_proj": _linear(f, f"{pre}.mlp.up_proj", bits, group, dtype),
+                    "down_proj": _linear(f, f"{pre}.mlp.down_proj", bits, group, dtype),
+                },
+            }
+        )
+    return params

@@ -1,0 +1,128 @@
+"""Functional NN primitives over param pytrees.
+
+TPU-native analog of the reference's MLXNN layer zoo (Linear, LayerNorm,
+RMSNorm, Conv, quantized layers — reference: Sources/MLXCommon/*.swift).
+Params are plain dicts of jnp arrays; kernels are stored [in, out] (JAX
+convention) so the hot path is a single dot with no transposes. Checkpoint
+converters handle the [out, in] → [in, out] flip once at load time.
+
+Compute dtype discipline: matmuls run in the params' dtype (bf16 on TPU)
+with fp32 accumulation via ``preferred_element_type``; normalization
+statistics are always fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def linear(x, p):
+    """x @ kernel + bias. p: {"kernel": [in, out], optional "bias": [out]}."""
+    y = jax.lax.dot_general(
+        x, p["kernel"],
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def rms_norm(x, weight, eps: float = 1e-6):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def layer_norm(x, weight, bias, eps: float = 1e-5):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    normed = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (normed * weight.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def gelu(x):
+    """Exact (erf) GELU — what MLXNN's ``gelu`` computes."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+def swiglu_mlp(x, p):
+    """down(silu(gate(x)) * up(x)) — the Qwen MLP
+    (reference: QuantizedTextMLP, QuantizedTextDecoder.swift:132-137)."""
+    return linear(silu(linear(x, p["gate_proj"])) * linear(x, p["up_proj"]), p["down_proj"])
+
+
+def embedding_lookup(table, ids):
+    """table: [vocab, dim]; ids int32 [...]."""
+    return jnp.take(table, ids, axis=0)
+
+
+def tied_lm_head(hidden, table):
+    """Embedding table reused as LM head (reference: PreQuantizedEmbedding
+    .asLinear, Sources/MLXCommon/PreQuantizedEmbedding.swift)."""
+    return jax.lax.dot_general(
+        hidden, table,
+        (((hidden.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def conv2d(x, p, stride=(1, 1), padding=((1, 1), (1, 1))):
+    """NHWC conv. p: {"kernel": HWIO, optional "bias": [O]}."""
+    y = jax.lax.conv_general_dilated(
+        x, p["kernel"],
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def conv1d(x, p, stride=1, padding=0, groups=1, dilation=1):
+    """NLC conv1d. p: {"kernel": [width, in//groups, out], optional bias}."""
+    if isinstance(padding, int):
+        padding = ((padding, padding),)
+    y = jax.lax.conv_general_dilated(
+        x, p["kernel"],
+        window_strides=(stride,),
+        padding=padding,
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+# -- init helpers (random-weight tests / from-scratch models) ----------------
+
+def init_linear(key, d_in: int, d_out: int, bias: bool = True, dtype=jnp.float32, scale=None):
+    k1, _ = jax.random.split(key)
+    scale = scale if scale is not None else 1.0 / np.sqrt(d_in)
+    p = {"kernel": (jax.random.normal(k1, (d_in, d_out)) * scale).astype(dtype)}
+    if bias:
+        p["bias"] = jnp.zeros((d_out,), dtype)
+    return p
+
+
+def init_conv2d(key, kh, kw, c_in, c_out, bias=True, dtype=jnp.float32):
+    scale = 1.0 / np.sqrt(kh * kw * c_in)
+    p = {"kernel": (jax.random.normal(key, (kh, kw, c_in, c_out)) * scale).astype(dtype)}
+    if bias:
+        p["bias"] = jnp.zeros((c_out,), dtype)
+    return p

@@ -1,0 +1,170 @@
+"""Qwen3-ASR structural tests on a tiny random-weight config.
+
+Mirrors the reference's unit tier (no weights, no network):
+- encoder output-length formula vs the chunking spec
+  (reference: AudioEncoder.getOutputLength)
+- window-isolation: the block-diagonal attention property
+  (reference: AudioEncoder.swift:337-357) expressed structurally
+- prefill/decode teacher-forcing parity: the KV-cache invariant behind
+  greedy determinism (reference: E2EQwen3ASRGreedyDeterminismTests)
+- end-to-end transcribe on random weights (shape/flow, EOS cap, batching)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3_asr_swift_tpu.models.qwen3_asr.config import config_tiny
+from qwen3_asr_swift_tpu.models.qwen3_asr.decoder import (
+    decode_step,
+    init_decoder_params,
+    make_cache,
+    prefill,
+)
+from qwen3_asr_swift_tpu.models.qwen3_asr.encoder import (
+    conv_output_length,
+    encode,
+    init_encoder_params,
+    sinusoidal_positions,
+)
+from qwen3_asr_swift_tpu.models.qwen3_asr.model import Qwen3ASR
+from qwen3_asr_swift_tpu.ops.nn import tied_lm_head
+
+CFG = config_tiny()
+
+
+@pytest.fixture(scope="module")
+def enc_params():
+    return init_encoder_params(jax.random.PRNGKey(0), CFG.encoder, jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def dec_params():
+    return init_decoder_params(jax.random.PRNGKey(1), CFG.decoder, jnp.float32)
+
+
+class TestEncoder:
+    def test_output_length_formula(self):
+        # spec: full chunks contribute 13 tokens; remainder r → three
+        # (x-1)//2+1 halvings (reference chunking formula)
+        def spec(n):
+            full = (n // 100) * 13
+            r = n % 100
+            if r == 0:
+                return full
+            f = r
+            for _ in range(3):
+                f = (f - 1) // 2 + 1
+            return full + max(f, 1)
+
+        for n in [1, 50, 99, 100, 101, 250, 799, 800, 1234]:
+            assert conv_output_length(CFG.encoder, n) == spec(n)
+
+    def test_sinusoidal_positions_structure(self):
+        pos = sinusoidal_positions(13, 64)
+        assert pos.shape == (13, 64)
+        assert np.allclose(pos[0, :32], 0.0)  # sin(0)
+        assert np.allclose(pos[0, 32:], 1.0)  # cos(0)
+
+    def test_encode_shapes(self, enc_params):
+        mel = jnp.asarray(np.random.default_rng(0).standard_normal((128, 800)), jnp.float32)
+        tokens, n_valid = encode(enc_params, mel, jnp.asarray(800), CFG.encoder)
+        assert tokens.shape == (104, CFG.encoder.output_dim)
+        assert int(n_valid) == 104
+
+    def test_window_isolation(self, enc_params):
+        """Tokens of window 0 must not change when window 1's mel changes —
+        the defining property of the reference's block-diagonal mask."""
+        rng = np.random.default_rng(1)
+        mel = rng.standard_normal((128, 1600)).astype(np.float32)
+        t1, _ = encode(enc_params, jnp.asarray(mel), jnp.asarray(1600), CFG.encoder)
+        mel2 = mel.copy()
+        mel2[:, 800:] += 10.0  # perturb only window 1
+        t2, _ = encode(enc_params, jnp.asarray(mel2), jnp.asarray(1600), CFG.encoder)
+        assert np.allclose(np.asarray(t1)[:104], np.asarray(t2)[:104], atol=1e-4)
+        assert not np.allclose(np.asarray(t1)[104:], np.asarray(t2)[104:], atol=1e-2)
+
+    def test_partial_final_chunk_valid_count(self, enc_params):
+        mel = jnp.asarray(np.random.default_rng(2).standard_normal((128, 800)), jnp.float32)
+        _, n_valid = encode(enc_params, mel, jnp.asarray(350), CFG.encoder)
+        assert int(n_valid) == conv_output_length(CFG.encoder, 350)
+
+
+class TestDecoder:
+    def test_teacher_forcing_parity(self, dec_params):
+        """decode_step(t) logits == prefill-of-(t+1)-tokens logits at t —
+        the KV cache must be transparent."""
+        dcfg = CFG.decoder
+        rng = np.random.default_rng(3)
+        seq = rng.integers(5, 100, size=6).astype(np.int32)
+
+        # full prefill over 6 tokens
+        table = dec_params["embed_tokens"]
+        embeds = jnp.take(table, jnp.asarray(seq)[None], axis=0)
+        valid = jnp.ones((1, 6), bool)
+        cache_full = make_cache(dcfg, 1, 16, jnp.float32)
+        hidden_full, _ = prefill(dec_params, dcfg, embeds, valid, cache_full)
+        logits_full = np.asarray(tied_lm_head(hidden_full[0], table))  # [6, vocab]
+
+        # prefill 3, then decode 3 steps
+        cache = make_cache(dcfg, 1, 16, jnp.float32)
+        hidden3, cache = prefill(dec_params, dcfg, embeds[:, :3], valid[:, :3], cache)
+        l3 = np.asarray(tied_lm_head(hidden3[0, 2], table))
+        assert np.allclose(l3, logits_full[2], atol=2e-3)
+        for t in range(3, 6):
+            logits, cache = decode_step(dec_params, dcfg, jnp.asarray(seq[t : t + 1]), cache)
+            assert np.allclose(np.asarray(logits)[0], logits_full[t], atol=2e-3), f"step {t}"
+
+    def test_prompt_gap_equivalence(self, dec_params):
+        """A prompt with invalid gap rows (audio-bucket padding) must produce
+        the same logits as the compacted prompt — gaps are masked and
+        positions stay contiguous."""
+        dcfg = CFG.decoder
+        rng = np.random.default_rng(4)
+        seq = rng.integers(5, 100, size=5).astype(np.int32)
+
+        table = dec_params["embed_tokens"]
+        compact = jnp.take(table, jnp.asarray(seq)[None], axis=0)
+        cache = make_cache(dcfg, 1, 8, jnp.float32)
+        h_compact, _ = prefill(dec_params, dcfg, compact, jnp.ones((1, 5), bool), cache)
+        l_compact = np.asarray(tied_lm_head(h_compact[0, 4], table))
+
+        # same tokens with 3 garbage rows inserted after position 2
+        gapped_ids = np.concatenate([seq[:3], [7, 7, 7], seq[3:]]).astype(np.int32)
+        gapped = jnp.take(table, jnp.asarray(gapped_ids)[None], axis=0)
+        valid = jnp.asarray([[1, 1, 1, 0, 0, 0, 1, 1]], bool)
+        cache = make_cache(dcfg, 1, 12, jnp.float32)
+        h_gap, cache_gap = prefill(dec_params, dcfg, gapped, valid, cache)
+        l_gap = np.asarray(tied_lm_head(h_gap[0, 7], table))
+        assert np.allclose(l_compact, l_gap, atol=2e-3)
+        assert np.asarray(cache_gap.positions).tolist() == [5]
+
+
+class TestModel:
+    @pytest.fixture(scope="class")
+    def model(self):
+        return Qwen3ASR.init_random(
+            CFG, dtype=jnp.float32, audio_buckets_s=(8,),
+        )
+
+    def test_transcribe_runs(self, model):
+        audio = (0.1 * np.random.default_rng(0).standard_normal(16000)).astype(np.float32)
+        res = model.transcribe(audio, max_tokens=4)
+        assert res.duration == pytest.approx(1.0)
+        assert isinstance(res.text, str)
+        assert res.confidence is not None
+
+    def test_batch_matches_single(self, model):
+        rng = np.random.default_rng(5)
+        a = (0.1 * rng.standard_normal(16000)).astype(np.float32)
+        b = (0.1 * rng.standard_normal(24000)).astype(np.float32)
+        singles = [model.transcribe(a, max_tokens=4).text, model.transcribe(b, max_tokens=4).text]
+        batch = [r.text for r in model.transcribe_batch([a, b], max_tokens=4)]
+        assert batch == singles
+
+    def test_greedy_determinism(self, model):
+        audio = (0.1 * np.random.default_rng(6).standard_normal(16000)).astype(np.float32)
+        t1 = model.transcribe(audio, max_tokens=6).text
+        t2 = model.transcribe(audio, max_tokens=6).text
+        assert t1 == t2
