@@ -1,0 +1,71 @@
+"""Benchmark: Qwen3-ASR 0.6B batched transcription throughput per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric is audio-seconds processed per wall-second per chip (xRT) for the
+flagship Qwen3-ASR 0.6B config under batched decoding — the north-star
+metric of BASELINE.json. vs_baseline compares against the reference's
+published 0.6B 4-bit RTF of 0.023 (≈43.5× real-time) on M2 Max
+(docs/benchmarks/asr-wer.md:16,92 of the reference repo).
+
+Uses random weights (checkpoint download is unavailable in the bench
+environment) with a FIXED decode budget of 100 tokens per 30 s clip —
+approximately the token count of a real 30 s transcript, so the decode
+work per audio-second matches the real workload. EOS early-exit is
+disabled by the random weights, making this a conservative lower bound.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_asr_swift_tpu.models.qwen3_asr import CONFIG_SMALL, Qwen3ASR
+    from qwen3_asr_swift_tpu.ops.sampling import SamplingOptions
+
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    clip_s = int(os.environ.get("BENCH_CLIP_S", "30"))
+    max_tokens = int(os.environ.get("BENCH_TOKENS", "100"))
+    sr = 16000
+
+    print(f"building 0.6B model (random weights), batch={batch} clip={clip_s}s "
+          f"tokens={max_tokens}", file=sys.stderr)
+    model = Qwen3ASR.init_random(CONFIG_SMALL, dtype=jnp.bfloat16, audio_buckets_s=(8, 16, 32, 64))
+
+    rng = np.random.default_rng(0)
+    clips = [(0.1 * rng.standard_normal(clip_s * sr)).astype(np.float32) for _ in range(batch)]
+    opts = SamplingOptions(max_tokens=max_tokens)
+
+    t0 = time.perf_counter()
+    model.transcribe_batch(clips, options=opts)  # compile + run
+    print(f"warmup (incl. compile): {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        results = model.transcribe_batch(clips, options=opts)
+        times.append(time.perf_counter() - t0)
+        print(f"run {i}: {times[-1]:.3f}s", file=sys.stderr)
+
+    wall = min(times)
+    audio_seconds = batch * clip_s
+    xrt = audio_seconds / wall
+    baseline_xrt = 1.0 / 0.023  # reference Qwen3-ASR 0.6B 4-bit RTF on M2 Max
+
+    print(json.dumps({
+        "metric": "qwen3_asr_0.6b_batched_xrt_per_chip",
+        "value": round(xrt, 2),
+        "unit": "audio_sec/sec/chip",
+        "vs_baseline": round(xrt / baseline_xrt, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -10,3 +10,5 @@ from .config import (  # noqa: F401
     detect_config,
 )
 from .model import Qwen3ASR  # noqa: F401
+from .aligner import Qwen3ForcedAligner, enforce_monotonicity, slot_text  # noqa: F401
+from .streaming import StreamingASR, StreamingASRConfig, longest_common_prefix  # noqa: F401

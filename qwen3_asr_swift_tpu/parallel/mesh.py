@@ -1,0 +1,112 @@
+"""Device mesh construction and parameter sharding rules.
+
+NEW subsystem with no reference counterpart — the reference is single-
+process single-device (SURVEY.md §2h). Scaling here is jax.sharding-native:
+
+- ``dp`` axis: data parallelism over batch slots (continuous batching packs
+  independent utterances; weights replicated across dp).
+- ``tp`` axis: tensor parallelism over ICI for the larger decoders —
+  attention heads and MLP intermediate dims are sharded column/row-wise so
+  each layer needs exactly one psum (inserted automatically by XLA from the
+  shardings).
+- ``sp`` (design note): the Qwen3 audio encoder's 104-token attention
+  windows never attend across window boundaries, so its window dimension is
+  embarrassingly sequence-parallel — it rides the dp axis here (windows are
+  the batch dim of the encoder), no ring attention needed until a single
+  window exceeds chip HBM, which cannot happen at 104 tokens.
+
+Sharding is applied by path-pattern rules with divisibility fallback:
+a rule only applies if the named axis divides the dimension; otherwise the
+leaf is replicated (e.g. the 0.6B encoder's 14 attention heads don't
+divide tp=4 — its FFN still shards).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
+              tp: Optional[int] = None, devices=None) -> Mesh:
+    """Build a (dp, tp) mesh. Defaults: all devices on dp."""
+    if devices is None:
+        devices = jax.devices()
+    n = n_devices or len(devices)
+    devices = devices[:n]
+    if tp is None and dp is None:
+        dp, tp = n, 1
+    elif tp is None:
+        tp = n // dp
+    elif dp is None:
+        dp = n // tp
+    if dp * tp != n:
+        raise ValueError(f"dp({dp}) * tp({tp}) != devices({n})")
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+# (path regex, PartitionSpec) — first match wins. Paths are "/"-joined key
+# sequences like "layers/3/mlp/gate_proj/kernel".
+QWEN3_DECODER_RULES: Sequence[Tuple[str, P]] = (
+    (r".*(q_proj|k_proj|v_proj)/kernel$", P(None, "tp")),   # col-parallel
+    (r".*o_proj/kernel$", P("tp", None)),                    # row-parallel
+    (r".*(gate_proj|up_proj)/kernel$", P(None, "tp")),
+    (r".*down_proj/kernel$", P("tp", None)),
+    (r".*embed_tokens$", P("tp", None)),                     # vocab-sharded
+    (r".*", P()),                                            # replicate rest
+)
+
+QWEN3_ENCODER_RULES: Sequence[Tuple[str, P]] = (
+    (r".*fc1/kernel$", P(None, "tp")),
+    (r".*fc2/kernel$", P("tp", None)),
+    (r".*(q_proj|k_proj|v_proj)/kernel$", P(None, "tp")),
+    (r".*out_proj/kernel$", P("tp", None)),
+    (r".*conv_out/kernel$", P(None, "tp")),
+    (r".*proj1/kernel$", P(None, "tp")),
+    (r".*proj2/kernel$", P("tp", None)),
+    (r".*", P()),
+)
+
+
+def _spec_fits(spec: P, shape, mesh: Mesh) -> bool:
+    for dim, axis in enumerate(spec):
+        if axis is None:
+            continue
+        axes = (axis,) if isinstance(axis, str) else tuple(axis)
+        size = int(np.prod([mesh.shape[a] for a in axes]))
+        if dim >= len(shape) or shape[dim] % size != 0:
+            return False
+    return True
+
+
+def shard_pytree(tree, mesh: Mesh, rules: Sequence[Tuple[str, P]]):
+    """device_put every leaf according to the first matching rule whose
+    sharding divides the leaf's shape (replicate otherwise)."""
+    compiled = [(re.compile(pat), spec) for pat, spec in rules]
+
+    def place(path, leaf):
+        name = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        for pat, spec in compiled:
+            if pat.match(name):
+                if _spec_fits(spec, getattr(leaf, "shape", ()), mesh):
+                    return jax.device_put(leaf, NamedSharding(mesh, spec))
+                break
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map_with_path(place, tree)
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P())), tree
+    )
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading batch dim over dp."""
+    return NamedSharding(mesh, P("dp"))
