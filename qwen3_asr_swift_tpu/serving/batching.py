@@ -1,0 +1,144 @@
+"""Continuous batching scheduler for ASR/TTS serving.
+
+NEW subsystem (no reference counterpart): the reference server holds one
+model instance and serves one request at a time
+(reference: Sources/AudioServer/AudioServer.swift:182-237). On TPU,
+per-token cost is dominated by weight reads, so batching N requests into
+one decode multiplies throughput ~N× — this scheduler packs concurrent
+requests into shared compiled programs:
+
+- requests enqueue with a future; a dispatcher thread drains the queue;
+- a batch window (max_batch, max_wait_ms) groups compatible requests
+  (same audio bucket ⇒ same compiled program — the bucketing from
+  models/*); each group runs as ONE ``transcribe_batch`` call;
+- results resolve per-request futures.
+
+This is deliberately a simple slot-batcher (prefill+decode run per group)
+rather than token-level interleaving: ASR decode lengths are short
+(~100 tokens) and homogeneous, where group batching captures nearly all
+of the win without cross-request KV paging.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Callable, List, Optional, Sequence
+
+import numpy as np
+
+from ..core.logging import serving as log
+
+
+@dataclasses.dataclass
+class _Request:
+    audio: np.ndarray
+    sample_rate: int
+    kwargs: dict
+    future: Future
+    enqueued_at: float
+
+
+class ContinuousBatcher:
+    """Groups concurrent transcription requests into batched model calls."""
+
+    def __init__(self, model, max_batch: int = 16, max_wait_ms: float = 30.0,
+                 group_key: Optional[Callable[[_Request], Any]] = None):
+        self.model = model
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1000.0
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._group_key = group_key or self._default_group_key
+        self._stats_lock = threading.Lock()
+        self.requests_served = 0
+        self.batches_run = 0
+        self._stop = False
+        self._thread = threading.Thread(target=self._run, daemon=True, name="batcher")
+        self._thread.start()
+
+    def _default_group_key(self, req: _Request):
+        # same kwargs → same prompt shape / sampling program
+        return tuple(sorted(req.kwargs.items()))
+
+    def submit(self, audio: np.ndarray, sample_rate: int = 16000, **kwargs) -> Future:
+        fut: Future = Future()
+        self._queue.put(_Request(audio, sample_rate, kwargs, fut, time.perf_counter()))
+        return fut
+
+    def transcribe(self, audio: np.ndarray, sample_rate: int = 16000, timeout: float = 300.0, **kwargs):
+        return self.submit(audio, sample_rate, **kwargs).result(timeout=timeout)
+
+    def shutdown(self):
+        self._stop = True
+        self._queue.put(None)
+        self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------------ #
+
+    def _collect_batch(self) -> List[_Request]:
+        first = self._queue.get()
+        if first is None:
+            return []
+        batch = [first]
+        deadline = time.perf_counter() + self.max_wait_s
+        key = self._group_key(first)
+        leftovers: List[_Request] = []
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                req = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if req is None:
+                break
+            if self._group_key(req) == key:
+                batch.append(req)
+            else:
+                leftovers.append(req)
+        for req in leftovers:  # different shape → next batch
+            self._queue.put(req)
+        return batch
+
+    def _run(self):
+        while not self._stop:
+            batch = self._collect_batch()
+            if not batch:
+                continue
+            try:
+                # resample per-request rates to a common one on the host
+                audios = []
+                for r in batch:
+                    a = r.audio
+                    if r.sample_rate != 16000:
+                        from ..audio.resample import resample
+
+                        a = resample(a.astype(np.float32), r.sample_rate, 16000)
+                    audios.append(a)
+                t0 = time.perf_counter()
+                results = self.model.transcribe_batch(audios, sample_rate=16000, **batch[0].kwargs)
+                dt = time.perf_counter() - t0
+                with self._stats_lock:
+                    self.requests_served += len(batch)
+                    self.batches_run += 1
+                log.debug("batch of %d in %.0f ms", len(batch), dt * 1e3)
+                for r, res in zip(batch, results):
+                    r.future.set_result(res)
+            except Exception as e:  # noqa: BLE001 — propagate to callers
+                log.exception("batch failed")
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    @property
+    def stats(self) -> dict:
+        with self._stats_lock:
+            return {
+                "requests_served": self.requests_served,
+                "batches_run": self.batches_run,
+                "mean_batch_size": self.requests_served / max(1, self.batches_run),
+            }

@@ -1,0 +1,409 @@
+"""Speech serving: REST + OpenAI-Realtime WebSocket, stdlib asyncio.
+
+TPU-native analog of the reference server
+(reference: Sources/AudioServer/AudioServer.swift:26-497 — Hummingbird
+HTTP routes /health /transcribe /speak /respond /enhance plus a
+``/v1/realtime`` WebSocket speaking the OpenAI Realtime protocol), with
+two structural upgrades:
+
+- ASR requests flow through the :class:`ContinuousBatcher`, so concurrent
+  clients share batched decodes (the reference serializes on one model
+  instance, AudioServer.swift:182-237);
+- models are injected lazily via a registry (same lazy single-instance
+  idea as the reference's ModelState).
+
+Pure stdlib (asyncio + hand-rolled HTTP/1.1 and RFC6455 — the image ships
+no web framework).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import base64
+import json
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from ..audio.io import read_wav, wav_bytes
+from ..core.logging import serving as log
+from ..core.types import to_float32, to_pcm16
+from .batching import ContinuousBatcher
+from .ws import WebSocket, accept_key, OP_TEXT
+
+
+class ModelRegistry:
+    """Lazy, single-instance model store (reference: ModelState)."""
+
+    def __init__(self):
+        self._loaders: Dict[str, Callable[[], object]] = {}
+        self._instances: Dict[str, object] = {}
+        self._lock = asyncio.Lock()
+
+    def register(self, name: str, loader: Callable[[], object]) -> None:
+        self._loaders[name] = loader
+
+    def register_instance(self, name: str, instance: object) -> None:
+        self._instances[name] = instance
+
+    async def get(self, name: str):
+        async with self._lock:
+            if name not in self._instances:
+                if name not in self._loaders:
+                    return None
+                log.info("lazily loading model %r", name)
+                loop = asyncio.get_running_loop()
+                self._instances[name] = await loop.run_in_executor(None, self._loaders[name])
+            return self._instances[name]
+
+    def loaded(self) -> list:
+        return sorted(self._instances)
+
+
+class SpeechServer:
+    """REST + realtime WebSocket speech server."""
+
+    def __init__(self, registry: ModelRegistry, host: str = "127.0.0.1", port: int = 8321,
+                 max_batch: int = 16, max_body: int = 256 * 1024 * 1024):
+        self.registry = registry
+        self.host = host
+        self.port = port
+        self.max_body = max_body
+        self._batchers: Dict[int, ContinuousBatcher] = {}
+        self._max_batch = max_batch
+        self._server: Optional[asyncio.AbstractServer] = None
+        self._started = time.time()
+
+    def _batcher_for(self, model) -> ContinuousBatcher:
+        key = id(model)
+        if key not in self._batchers:
+            self._batchers[key] = ContinuousBatcher(model, max_batch=self._max_batch)
+        return self._batchers[key]
+
+    # ------------------------------------------------------------------ #
+    # HTTP plumbing
+    # ------------------------------------------------------------------ #
+
+    async def start(self):
+        self._server = await asyncio.start_server(self._handle_conn, self.host, self.port)
+        log.info("speech server on http://%s:%d", self.host, self.port)
+        return self._server
+
+    async def serve_forever(self):
+        await self.start()
+        async with self._server:
+            await self._server.serve_forever()
+
+    async def stop(self):
+        if self._server:
+            self._server.close()
+            await self._server.wait_closed()
+        for b in self._batchers.values():
+            b.shutdown()
+
+    async def _handle_conn(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
+        try:
+            while True:
+                request_line = await reader.readline()
+                if not request_line:
+                    break
+                try:
+                    method, path, _version = request_line.decode().split()
+                except ValueError:
+                    await self._respond(writer, 400, {"error": "bad request line"})
+                    break
+                headers = {}
+                while True:
+                    line = await reader.readline()
+                    if line in (b"\r\n", b"\n", b""):
+                        break
+                    k, _, v = line.decode().partition(":")
+                    headers[k.strip().lower()] = v.strip()
+
+                if headers.get("upgrade", "").lower() == "websocket":
+                    await self._handle_websocket(path, headers, reader, writer)
+                    return
+
+                length = int(headers.get("content-length", "0"))
+                if length > self.max_body:
+                    await self._respond(writer, 413, {"error": "body too large"})
+                    break
+                body = await reader.readexactly(length) if length else b""
+                keep_alive = headers.get("connection", "keep-alive").lower() != "close"
+                await self._route(method, path, headers, body, writer)
+                if not keep_alive:
+                    break
+        except (asyncio.IncompleteReadError, ConnectionResetError):
+            pass
+        except Exception:  # noqa: BLE001
+            log.exception("connection handler error")
+        finally:
+            try:
+                writer.close()
+                await writer.wait_closed()
+            except Exception:  # noqa: BLE001
+                pass
+
+    async def _respond(self, writer, status: int, payload, content_type: str = "application/json"):
+        reasons = {200: "OK", 400: "Bad Request", 404: "Not Found", 413: "Payload Too Large",
+                   500: "Internal Server Error", 503: "Service Unavailable"}
+        if isinstance(payload, (dict, list)):
+            body = json.dumps(payload).encode()
+        elif isinstance(payload, str):
+            body = payload.encode()
+        else:
+            body = payload
+        head = (
+            f"HTTP/1.1 {status} {reasons.get(status, 'OK')}\r\n"
+            f"Content-Type: {content_type}\r\n"
+            f"Content-Length: {len(body)}\r\n"
+            "\r\n"
+        ).encode()
+        writer.write(head + body)
+        await writer.drain()
+
+    # ------------------------------------------------------------------ #
+    # routes (reference: AudioServer.swift:53-177)
+    # ------------------------------------------------------------------ #
+
+    async def _route(self, method, path, headers, body, writer):
+        try:
+            if method == "GET" and path == "/health":
+                await self._respond(writer, 200, {
+                    "status": "ok",
+                    "uptime_s": round(time.time() - self._started, 1),
+                    "models_loaded": self.registry.loaded(),
+                    "batcher": {str(k): b.stats for k, b in self._batchers.items()},
+                })
+            elif method == "POST" and path == "/transcribe":
+                await self._handle_transcribe(headers, body, writer)
+            elif method == "POST" and path == "/speak":
+                await self._handle_speak(body, writer)
+            elif method == "POST" and path == "/respond":
+                await self._handle_respond(headers, body, writer)
+            elif method == "POST" and path == "/enhance":
+                await self._handle_enhance(headers, body, writer)
+            else:
+                await self._respond(writer, 404, {"error": f"no route {method} {path}"})
+        except Exception as e:  # noqa: BLE001
+            log.exception("route error")
+            await self._respond(writer, 500, {"error": str(e)})
+
+    def _decode_audio_body(self, headers, body):
+        ctype = headers.get("content-type", "")
+        if "json" in ctype:
+            payload = json.loads(body)
+            pcm = base64.b64decode(payload["audio_base64"])
+            rate = int(payload.get("sample_rate", 16000))
+            audio = to_float32(np.frombuffer(pcm, dtype=np.int16))
+            return audio, rate, payload
+        audio, rate = read_wav(body)
+        return audio, rate, {}
+
+    async def _handle_transcribe(self, headers, body, writer):
+        asr = await self.registry.get("asr")
+        if asr is None:
+            await self._respond(writer, 503, {"error": "no ASR model registered"})
+            return
+        audio, rate, payload = self._decode_audio_body(headers, body)
+        batcher = self._batcher_for(asr)
+        loop = asyncio.get_running_loop()
+        kwargs = {}
+        if payload.get("language"):
+            kwargs["language"] = payload["language"]
+        fut = batcher.submit(audio, sample_rate=rate, **kwargs)
+        result = await loop.run_in_executor(None, fut.result)
+        await self._respond(writer, 200, {
+            "text": result.text,
+            "confidence": result.confidence,
+            "duration": result.duration,
+            "language": result.language,
+        })
+
+    async def _handle_speak(self, body, writer):
+        tts = await self.registry.get("tts")
+        if tts is None:
+            await self._respond(writer, 503, {"error": "no TTS model registered"})
+            return
+        payload = json.loads(body)
+        loop = asyncio.get_running_loop()
+        chunk = await loop.run_in_executor(
+            None, lambda: tts.synthesize(payload["text"], voice=payload.get("voice"))
+        )
+        await self._respond(writer, 200, wav_bytes(chunk.samples, chunk.sample_rate),
+                            content_type="audio/wav")
+
+    async def _handle_respond(self, headers, body, writer):
+        s2s = await self.registry.get("s2s")
+        if s2s is None:
+            await self._respond(writer, 503, {"error": "no speech-to-speech model registered"})
+            return
+        audio, rate, _ = self._decode_audio_body(headers, body)
+        loop = asyncio.get_running_loop()
+        chunk = await loop.run_in_executor(None, lambda: s2s.respond(audio, sample_rate=rate))
+        await self._respond(writer, 200, wav_bytes(chunk.samples, chunk.sample_rate),
+                            content_type="audio/wav")
+
+    async def _handle_enhance(self, headers, body, writer):
+        enh = await self.registry.get("enhance")
+        if enh is None:
+            await self._respond(writer, 503, {"error": "no enhancement model registered"})
+            return
+        audio, rate, _ = self._decode_audio_body(headers, body)
+        loop = asyncio.get_running_loop()
+        chunk = await loop.run_in_executor(None, lambda: enh.enhance(audio, rate))
+        await self._respond(writer, 200, wav_bytes(chunk.samples, chunk.sample_rate),
+                            content_type="audio/wav")
+
+    # ------------------------------------------------------------------ #
+    # /v1/realtime (reference: AudioServer.swift:255-497)
+    # ------------------------------------------------------------------ #
+
+    async def _handle_websocket(self, path, headers, reader, writer):
+        key = headers.get("sec-websocket-key")
+        if not key or not path.startswith("/v1/realtime"):
+            await self._respond(writer, 400, {"error": "bad websocket request"})
+            return
+        resp = (
+            "HTTP/1.1 101 Switching Protocols\r\n"
+            "Upgrade: websocket\r\n"
+            "Connection: Upgrade\r\n"
+            f"Sec-WebSocket-Accept: {accept_key(key)}\r\n\r\n"
+        )
+        writer.write(resp.encode())
+        await writer.drain()
+        ws = WebSocket(reader, writer)
+        session = RealtimeSession(self, ws)
+        await session.run()
+
+
+class RealtimeSession:
+    """OpenAI Realtime protocol subset: audio in → transcription;
+    response.create → TTS audio deltas."""
+
+    def __init__(self, server: SpeechServer, ws: WebSocket):
+        self.server = server
+        self.ws = ws
+        self._audio = bytearray()  # pcm16 @ 16 kHz mono (input_audio_format pcm16)
+        self._input_rate = 16000
+        self._event_counter = 0
+        self._last_transcript = ""
+
+    def _event_id(self) -> str:
+        self._event_counter += 1
+        return f"evt_{self._event_counter}"
+
+    async def _send(self, payload: dict):
+        await self.ws.send_text(json.dumps(payload))
+
+    async def run(self):
+        await self._send({"type": "session.created", "event_id": self._event_id(),
+                          "session": {"id": "sess_1", "input_audio_format": "pcm16"}})
+        while True:
+            msg = await self.ws.recv()
+            if msg is None:
+                return
+            op, payload = msg
+            if op != OP_TEXT:
+                continue
+            try:
+                event = json.loads(payload)
+            except json.JSONDecodeError:
+                await self._send({"type": "error", "error": {"message": "invalid JSON"}})
+                continue
+            try:
+                await self._dispatch(event)
+            except Exception as e:  # noqa: BLE001
+                log.exception("realtime event failed")
+                await self._send({"type": "error", "error": {"message": str(e)}})
+
+    async def _dispatch(self, event: dict):
+        etype = event.get("type", "")
+        if etype == "session.update":
+            rate = event.get("session", {}).get("input_audio_sample_rate")
+            if rate:
+                self._input_rate = int(rate)
+            await self._send({"type": "session.updated", "event_id": self._event_id()})
+        elif etype == "input_audio_buffer.append":
+            self._audio += base64.b64decode(event.get("audio", ""))
+        elif etype == "input_audio_buffer.clear":
+            self._audio.clear()
+            await self._send({"type": "input_audio_buffer.cleared", "event_id": self._event_id()})
+        elif etype == "input_audio_buffer.commit":
+            await self._commit()
+        elif etype == "response.create":
+            await self._response(event)
+        else:
+            await self._send({"type": "error", "error": {"message": f"unsupported event {etype!r}"}})
+
+    async def _commit(self):
+        asr = await self.server.registry.get("asr")
+        if asr is None:
+            await self._send({"type": "error", "error": {"message": "no ASR model"}})
+            return
+        pcm = np.frombuffer(bytes(self._audio), dtype=np.int16)
+        self._audio.clear()
+        audio = to_float32(pcm)
+        await self._send({"type": "input_audio_buffer.committed", "event_id": self._event_id()})
+        batcher = self.server._batcher_for(asr)
+        loop = asyncio.get_running_loop()
+        fut = batcher.submit(audio, sample_rate=self._input_rate)
+        result = await loop.run_in_executor(None, fut.result)
+        self._last_transcript = result.text
+        await self._send({
+            "type": "conversation.item.input_audio_transcription.completed",
+            "event_id": self._event_id(),
+            "transcript": result.text,
+        })
+
+    async def _response(self, event: dict):
+        tts = await self.server.registry.get("tts")
+        text = (event.get("response", {}) or {}).get("instructions") or self._last_transcript
+        if tts is None or not text:
+            await self._send({"type": "response.done", "event_id": self._event_id(),
+                              "response": {"status": "incomplete"}})
+            return
+        loop = asyncio.get_running_loop()
+        await self._send({"type": "response.created", "event_id": self._event_id()})
+        chunk = await loop.run_in_executor(None, lambda: tts.synthesize(text))
+        pcm = to_pcm16(chunk.samples).tobytes()
+        # stream in ~200 ms deltas (reference sends base64 PCM16 deltas)
+        step = chunk.sample_rate // 5 * 2
+        for off in range(0, len(pcm), step):
+            await self._send({
+                "type": "response.audio.delta",
+                "event_id": self._event_id(),
+                "delta": base64.b64encode(pcm[off : off + step]).decode(),
+            })
+        await self._send({"type": "response.audio.done", "event_id": self._event_id()})
+        await self._send({"type": "response.done", "event_id": self._event_id(),
+                          "response": {"status": "completed"}})
+
+
+def build_default_registry() -> ModelRegistry:
+    """Registry wired to the real model loaders (lazy)."""
+    reg = ModelRegistry()
+
+    def load_asr():
+        from ..models.qwen3_asr import Qwen3ASR
+
+        return Qwen3ASR.from_pretrained()
+
+    reg.register("asr", load_asr)
+    return reg
+
+
+def main():
+    import argparse
+
+    parser = argparse.ArgumentParser(description="TPU speech server")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8321)
+    args = parser.parse_args()
+    server = SpeechServer(build_default_registry(), host=args.host, port=args.port)
+    asyncio.run(server.serve_forever())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,258 @@
+"""Serving tests: continuous batcher semantics, HTTP routes, realtime
+WebSocket protocol — against fake models (the reference's unit tier tests
+PCM/JSON/server helpers the same way, Tests/AudioServerTests)."""
+
+import asyncio
+import base64
+import json
+import socket
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from qwen3_asr_swift_tpu.audio.io import wav_bytes
+from qwen3_asr_swift_tpu.core.types import AudioChunk, TranscriptionResult
+from qwen3_asr_swift_tpu.serving import ContinuousBatcher, ModelRegistry, SpeechServer
+from qwen3_asr_swift_tpu.serving.ws import WebSocket, accept_key, encode_frame, OP_TEXT
+
+
+class FakeASR:
+    def __init__(self, delay=0.0):
+        self.calls = []
+        self.delay = delay
+
+    def transcribe_batch(self, audios, sample_rate=16000, **kw):
+        self.calls.append(len(audios))
+        if self.delay:
+            time.sleep(self.delay)
+        return [
+            TranscriptionResult(text=f"len={len(a)}", confidence=0.9, duration=len(a) / sample_rate)
+            for a in audios
+        ]
+
+
+class FakeTTS:
+    def synthesize(self, text, voice=None, **kw):
+        return AudioChunk(np.zeros(1600, np.float32), 16000)
+
+
+class TestBatcher:
+    def test_single_request(self):
+        asr = FakeASR()
+        b = ContinuousBatcher(asr, max_batch=4, max_wait_ms=5)
+        res = b.transcribe(np.zeros(100, np.float32))
+        assert res.text == "len=100"
+        b.shutdown()
+
+    def test_concurrent_requests_batch_together(self):
+        asr = FakeASR(delay=0.05)
+        b = ContinuousBatcher(asr, max_batch=8, max_wait_ms=80)
+        futs = [b.submit(np.zeros(100, np.float32)) for _ in range(6)]
+        results = [f.result(timeout=10) for f in futs]
+        assert all(r.text == "len=100" for r in results)
+        assert max(asr.calls) > 1  # at least one true batch happened
+        b.shutdown()
+
+    def test_error_propagates(self):
+        class Broken:
+            def transcribe_batch(self, *a, **k):
+                raise RuntimeError("boom")
+
+        b = ContinuousBatcher(Broken(), max_wait_ms=5)
+        with pytest.raises(RuntimeError, match="boom"):
+            b.transcribe(np.zeros(10, np.float32))
+        b.shutdown()
+
+
+class TestWsCodec:
+    def test_accept_key_rfc_example(self):
+        assert accept_key("dGhlIHNhbXBsZSBub25jZQ==") == "s3pPLMBiTxaQ9kYGzzhZRbK+xOo="
+
+    def test_frame_roundtrip(self):
+        frame = encode_frame(OP_TEXT, b"hello")
+        assert frame[0] == 0x81 and frame[1] == 5 and frame[2:] == b"hello"
+
+    def test_large_frame_lengths(self):
+        f = encode_frame(OP_TEXT, b"x" * 200)
+        assert f[1] == 126
+        f = encode_frame(OP_TEXT, b"x" * 70000)
+        assert f[1] == 127
+
+
+@pytest.fixture()
+def server():
+    registry = ModelRegistry()
+    registry.register_instance("asr", FakeASR())
+    registry.register_instance("tts", FakeTTS())
+    srv = SpeechServer(registry, host="127.0.0.1", port=0)
+
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+    holder = {}
+
+    def run():
+        asyncio.set_event_loop(loop)
+
+        async def go():
+            s = await srv.start()
+            holder["port"] = s.sockets[0].getsockname()[1]
+            started.set()
+            await s.serve_forever()
+
+        try:
+            loop.run_until_complete(go())
+        except asyncio.CancelledError:
+            pass
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    assert started.wait(5)
+    yield holder["port"]
+    loop.call_soon_threadsafe(loop.stop)
+
+
+def http_request(port, method, path, body=b"", content_type="application/json"):
+    with socket.create_connection(("127.0.0.1", port), timeout=10) as s:
+        req = (
+            f"{method} {path} HTTP/1.1\r\nHost: localhost\r\nConnection: close\r\n"
+            f"Content-Type: {content_type}\r\nContent-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+        s.sendall(req)
+        data = b""
+        while True:
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            data += chunk
+    head, _, resp_body = data.partition(b"\r\n\r\n")
+    status = int(head.split()[1])
+    return status, head, resp_body
+
+
+class TestHttp:
+    def test_health(self, server):
+        status, _, body = http_request(server, "GET", "/health")
+        assert status == 200
+        payload = json.loads(body)
+        assert payload["status"] == "ok"
+        assert "asr" in payload["models_loaded"]
+
+    def test_transcribe_wav(self, server):
+        wav = wav_bytes(np.zeros(1600, np.float32), 16000)
+        status, _, body = http_request(server, "POST", "/transcribe", wav, "audio/wav")
+        assert status == 200
+        assert json.loads(body)["text"] == "len=1600"
+
+    def test_transcribe_json_base64(self, server):
+        pcm = np.zeros(800, np.int16).tobytes()
+        payload = json.dumps({"audio_base64": base64.b64encode(pcm).decode(), "sample_rate": 16000}).encode()
+        status, _, body = http_request(server, "POST", "/transcribe", payload)
+        assert status == 200
+        assert json.loads(body)["text"] == "len=800"
+
+    def test_speak(self, server):
+        status, head, body = http_request(server, "POST", "/speak", json.dumps({"text": "hi"}).encode())
+        assert status == 200
+        assert b"audio/wav" in head
+        assert body[:4] == b"RIFF"
+
+    def test_unknown_route(self, server):
+        status, _, _ = http_request(server, "GET", "/nope")
+        assert status == 404
+
+    def test_missing_model_503(self, server):
+        status, _, body = http_request(server, "POST", "/enhance", wav_bytes(np.zeros(100, np.float32), 16000), "audio/wav")
+        assert status == 503
+
+
+class WsClient:
+    """Tiny buffered websocket test client (frames can share TCP segments
+    with the handshake response)."""
+
+    def __init__(self, port):
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=15)
+        self.buf = b""
+        key = base64.b64encode(b"0123456789abcdef").decode()
+        self.sock.sendall(
+            (
+                f"GET /v1/realtime HTTP/1.1\r\nHost: localhost\r\nUpgrade: websocket\r\n"
+                f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+            ).encode()
+        )
+        while b"\r\n\r\n" not in self.buf:
+            self.buf += self.sock.recv(4096)
+        head, _, self.buf = self.buf.partition(b"\r\n\r\n")
+        assert b"101" in head.split(b"\r\n")[0]
+
+    def _read(self, n):
+        while len(self.buf) < n:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("closed")
+            self.buf += chunk
+        out, self.buf = self.buf[:n], self.buf[n:]
+        return out
+
+    def send_json(self, payload: dict):
+        import struct
+
+        body = json.dumps(payload).encode()
+        mask = b"\x01\x02\x03\x04"
+        masked = bytes(b ^ mask[i % 4] for i, b in enumerate(body))
+        if len(body) < 126:
+            frame = bytes([0x81, 0x80 | len(body)]) + mask + masked
+        elif len(body) < 65536:
+            frame = bytes([0x81, 0x80 | 126]) + struct.pack(">H", len(body)) + mask + masked
+        else:
+            frame = bytes([0x81, 0x80 | 127]) + struct.pack(">Q", len(body)) + mask + masked
+        self.sock.sendall(frame)
+
+    def recv_json(self):
+        import struct
+
+        head = self._read(2)
+        length = head[1] & 0x7F
+        if length == 126:
+            (length,) = struct.unpack(">H", self._read(2))
+        elif length == 127:
+            (length,) = struct.unpack(">Q", self._read(8))
+        return json.loads(self._read(length))
+
+    def close(self):
+        self.sock.close()
+
+
+class TestRealtime:
+
+    def test_commit_transcribes(self, server):
+        c = WsClient(server)
+        assert c.recv_json()["type"] == "session.created"
+        pcm = np.zeros(3200, np.int16).tobytes()
+        c.send_json({"type": "input_audio_buffer.append",
+                     "audio": base64.b64encode(pcm).decode()})
+        c.send_json({"type": "input_audio_buffer.commit"})
+        assert c.recv_json()["type"] == "input_audio_buffer.committed"
+        done = c.recv_json()
+        assert done["type"] == "conversation.item.input_audio_transcription.completed"
+        assert done["transcript"] == "len=3200"
+        c.close()
+
+    def test_response_creates_audio_deltas(self, server):
+        c = WsClient(server)
+        c.recv_json()  # session.created
+        c.send_json({"type": "response.create", "response": {"instructions": "hello"}})
+        types = [c.recv_json()["type"] for _ in range(4)]
+        assert types[0] == "response.created"
+        assert "response.audio.delta" in types
+        assert "response.done" in types or "response.audio.done" in types
+        c.close()
+
+    def test_unknown_event_errors(self, server):
+        c = WsClient(server)
+        c.recv_json()
+        c.send_json({"type": "bogus.event"})
+        err = c.recv_json()
+        assert err["type"] == "error" and "bogus" in err["error"]["message"]
+        c.close()
