@@ -1,0 +1,124 @@
+"""Voice pipeline engine tests: builds the C++ library, drives the full
+VAD→STT→LLM→TTS turn loop with fake models, exercises barge-in, tool
+calls with cooldown, push_text, and state transitions."""
+
+import shutil
+import time
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None, reason="needs g++")
+
+from qwen3_asr_swift_tpu.pipeline import (  # noqa: E402
+    PipelineConfig,
+    PipelineEventType,
+    PipelineState,
+    VoicePipeline,
+    tool_call,
+)
+
+
+def fake_vad(threshold=0.05):
+    def vad(chunk):
+        return 0.9 if np.abs(chunk).mean() > threshold else 0.05
+
+    return vad
+
+
+def wait_for(pipeline, etype, timeout=10.0):
+    deadline = time.time() + timeout
+    seen = []
+    while time.time() < deadline:
+        for ev in pipeline.drain_events(timeout=0.1):
+            seen.append(ev)
+            if ev.type == etype:
+                return ev, seen
+    raise AssertionError(f"no {etype} within {timeout}s; saw {[e.type for e in seen]}")
+
+
+def make_pipeline(**kw):
+    cfg = PipelineConfig(min_speech_s=0.05, min_silence_s=0.1, pre_speech_s=0.1,
+                         tool_cooldown_s=0.5, eager_stt=False)
+    defaults = dict(
+        vad=fake_vad(),
+        stt=lambda audio: f"heard {len(audio)}",
+        llm=lambda text: f"reply to [{text}]",
+        tts=lambda text: np.zeros(8000, np.int16),
+        config=cfg,
+    )
+    defaults.update(kw)
+    return VoicePipeline(**defaults)
+
+
+SPEECH = (0.5 * np.ones(512 * 12)).astype(np.float32)
+SILENCE = np.zeros(512 * 12, np.float32)
+
+
+class TestEngine:
+    def test_full_turn(self):
+        with make_pipeline() as p:
+            assert p.is_running
+            p.push_audio(SPEECH)
+            wait_for(p, PipelineEventType.SPEECH_STARTED)
+            p.push_audio(SILENCE)
+            ev, _ = wait_for(p, PipelineEventType.FINAL_TRANSCRIPT)
+            assert ev.text.startswith("heard ")
+            ev, _ = wait_for(p, PipelineEventType.RESPONSE_TEXT)
+            assert ev.text.startswith("reply to [heard")
+            ev, _ = wait_for(p, PipelineEventType.AUDIO_CHUNK)
+            assert ev.pcm is not None and len(ev.pcm) > 0
+        assert not p.is_running
+
+    def test_push_text_bypasses_stt(self):
+        with make_pipeline() as p:
+            p.push_text("typed input")
+            ev, _ = wait_for(p, PipelineEventType.RESPONSE_TEXT)
+            assert ev.text == "reply to [typed input]"
+
+    def test_echo_mode_without_llm(self):
+        with make_pipeline(llm=None) as p:
+            p.push_text("echo me")
+            ev, _ = wait_for(p, PipelineEventType.RESPONSE_TEXT)
+            assert ev.text == "echo me"
+
+    def test_tool_call_and_cooldown(self):
+        with make_pipeline(llm=lambda text: tool_call("lights", "on")) as p:
+            p.add_tool("lights", "control lights")
+            p.push_text("turn on the lights")
+            ev, _ = wait_for(p, PipelineEventType.TOOL_CALL)
+            assert ev.text == "lights" and ev.aux == "on"
+            # immediate second call hits the cooldown → error event
+            p.push_text("again")
+            ev, _ = wait_for(p, PipelineEventType.ERROR)
+            assert "cooldown" in ev.aux
+            # after cooldown expires it works again
+            time.sleep(0.6)
+            p.push_text("once more")
+            wait_for(p, PipelineEventType.TOOL_CALL)
+
+    def test_unknown_tool_rejected(self):
+        with make_pipeline(llm=lambda text: tool_call("nuke", "now")) as p:
+            p.push_text("hi")
+            ev, _ = wait_for(p, PipelineEventType.ERROR)
+            assert ev.text == "nuke"
+
+    def test_transcribe_only_mode(self):
+        # no TTS, no LLM → final transcript then back to listening
+        with make_pipeline(llm=None, tts=None) as p:
+            p.push_audio(SPEECH)
+            p.push_audio(SILENCE)
+            wait_for(p, PipelineEventType.FINAL_TRANSCRIPT)
+            deadline = time.time() + 5
+            while time.time() < deadline and p.state != PipelineState.LISTENING:
+                time.sleep(0.05)
+            assert p.state == PipelineState.LISTENING
+
+    def test_state_property(self):
+        p = make_pipeline()
+        assert p.state == PipelineState.IDLE
+        p.start()
+        time.sleep(0.2)
+        assert p.state == PipelineState.LISTENING
+        p.stop()
+        p.close()
