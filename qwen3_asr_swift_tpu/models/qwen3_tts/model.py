@@ -1,0 +1,306 @@
+"""Qwen3-TTS: host-facing model with a fully on-device generation loop.
+
+TPU-native re-design of the reference's synthesis path
+(reference: Sources/Qwen3TTS/Qwen3TTS.swift:107-180 synthesize,
+:1401-1528 generateWithCodePredictor, :1195-1330 prompt construction):
+
+- prompt: chat-template text tokens + codec prefix
+  [think, think_bos, lang, think_eos, (speaker), pad, bos] with the
+  element-wise text/codec overlay;
+- generation: talker step → sample codebook-0 (suppress 2048..3071 except
+  EOS, temperature/top-k/repetition penalty) → code predictor completes
+  codebooks 1..15 → next talker input = (trailing text | tts_pad embed) +
+  Σ16 codec embeds. The ENTIRE frame loop runs inside one
+  ``lax.while_loop`` — zero host syncs per frame (the reference does one
+  GPU sync per frame, Qwen3TTS.swift:1541-1585);
+- codec decode: jitted conv graph; streaming via causal chunked decode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Iterator, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core import AudioChunk, SpeechGenerationModel
+from ...core.logging import inference as log
+from ...ops.attention import NEG_INF
+from ...tokenizers.bpe import BPETokenizer
+from .codec import CodecDecoder, init_codec_params
+from .code_predictor import embed_all_groups, init_cp_params, predict_codebooks
+from .config import CONFIG_06B, CodecTokens, Qwen3TTSConfig, config_tiny
+from .talker import (
+    embed_codec,
+    embed_text,
+    init_talker_params,
+    make_talker_cache,
+    talker_prefill,
+    talker_step,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class TTSSamplingConfig:
+    """reference: Sources/Qwen3TTS/Sampling.swift:6-29."""
+
+    temperature: float = 0.9
+    top_k: int = 50
+    repetition_penalty: float = 1.05
+    max_frames: int = 500  # reference caps at 500 (Qwen3TTS.swift:1407)
+    rep_window: int = 64
+
+
+def _round_up(n: int, q: int) -> int:
+    return max(q, ((n + q - 1) // q) * q)
+
+
+class Qwen3TTS(SpeechGenerationModel):
+    def __init__(self, cfg: Qwen3TTSConfig, talker_params, cp_params, codec_params,
+                 tokenizer: Optional[BPETokenizer] = None, dtype=jnp.bfloat16,
+                 speakers: Optional[dict] = None):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.tokenizer = tokenizer
+        self.speakers = speakers or {}
+        cast = lambda t: jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), t)
+        self.talker_params = cast(talker_params)
+        self.cp_params = cast(cp_params)
+        self.codec = CodecDecoder(codec_params, cfg.codec, dtype=jnp.float32)
+        self._loaded = True
+
+        tcfg = cfg.talker
+        cpcfg = cfg.code_predictor
+
+        @functools.partial(jax.jit, static_argnames=("p_block", "t_block", "max_frames", "sampling"))
+        def _generate(tp, cpp, prefill_embeds, prefill_len, trailing, trail_len, tts_pad_embed, key,
+                      *, p_block, t_block, max_frames, sampling: TTSSamplingConfig):
+            b = prefill_embeds.shape[0]
+            cache = make_talker_cache(tcfg, b, p_block + max_frames, dtype)
+            valid = jnp.arange(p_block)[None] < prefill_len[:, None]
+            logits, hidden, cache = talker_prefill(tp, tcfg, prefill_embeds, valid, cache)
+            last = prefill_len - 1
+            logits0 = logits[jnp.arange(b), last]
+            hidden0 = hidden[jnp.arange(b), last]
+
+            codes_out = jnp.zeros((b, max_frames, 16), jnp.int32)
+            rep_ring = jnp.zeros((b, sampling.rep_window), jnp.int32) - 1
+
+            def sample_code0(lg, ring, k):
+                lg = lg.astype(jnp.float32)
+                # suppress special range except EOS
+                ids = jnp.arange(lg.shape[-1])
+                special = (ids >= 2048) & (ids < 3072) & (ids != CodecTokens.EOS)
+                lg = jnp.where(special[None], NEG_INF, lg)
+                if sampling.repetition_penalty != 1.0:
+                    seen = jax.vmap(lambda r: jnp.zeros((lg.shape[-1],), bool).at[jnp.clip(r, 0, None)].max(r >= 0))(ring)
+                    lg = jnp.where(seen, jnp.where(lg > 0, lg / sampling.repetition_penalty,
+                                                   lg * sampling.repetition_penalty), lg)
+                if sampling.top_k > 0:
+                    kth = jnp.sort(lg, axis=-1)[..., -sampling.top_k][..., None]
+                    lg = jnp.where(lg < kth, NEG_INF, lg)
+                if sampling.temperature > 0:
+                    lg = lg / sampling.temperature + jax.random.gumbel(k, lg.shape, dtype=jnp.float32)
+                return jnp.argmax(lg, axis=-1).astype(jnp.int32)
+
+            key, k0, k1 = jax.random.split(key, 3)
+            code0 = sample_code0(logits0, rep_ring, k0)
+            done = code0 == CodecTokens.EOS
+            cp_codes = predict_codebooks(cpp, cpcfg, hidden0.astype(dtype),
+                                         embed_codec(tp, code0).astype(dtype), k1,
+                                         temperature=sampling.temperature, top_k=sampling.top_k)
+            frame = jnp.concatenate([code0[:, None], cp_codes], axis=1)  # [B,16]
+            codes_out = codes_out.at[:, 0].set(jnp.where(done[:, None], 0, frame))
+            rep_ring = rep_ring.at[:, 0].set(jnp.where(done, -1, code0))
+            n_frames0 = jnp.where(done, 0, 1)
+
+            def cond(s):
+                step, _, _, _, done, _, _, _, _ = s
+                return (step < max_frames) & ~jnp.all(done)
+
+            def body(s):
+                step, codes_out, rep_ring, cache, done, code0, cp_codes, n_frames, key = s
+                # text side: trailing text embed while available, else tts_pad
+                t_idx = jnp.clip(step - 1, 0, t_block - 1)
+                text_emb = jnp.where(
+                    (step - 1 < trail_len)[:, None],
+                    trailing[jnp.arange(b), t_idx],
+                    tts_pad_embed,
+                )
+                codec_emb = embed_codec(tp, code0) + embed_all_groups(cpp, cpcfg, cp_codes)
+                step_embeds = (text_emb + codec_emb)[:, None].astype(dtype)
+
+                logits, hidden, cache = talker_step(tp, tcfg, step_embeds, cache)
+                key, k0, k1 = jax.random.split(key, 3)
+                code0_new = sample_code0(logits, rep_ring, k0)
+                newly_done = code0_new == CodecTokens.EOS
+                cp_new = predict_codebooks(cpp, cpcfg, hidden.astype(dtype),
+                                           embed_codec(tp, code0_new).astype(dtype), k1,
+                                           temperature=sampling.temperature, top_k=sampling.top_k)
+                frame = jnp.concatenate([code0_new[:, None], cp_new], axis=1)
+                record = ~done & ~newly_done
+                codes_out = codes_out.at[:, jnp.clip(step, 0, max_frames - 1)].set(
+                    jnp.where(record[:, None], frame, codes_out[:, jnp.clip(step, 0, max_frames - 1)])
+                )
+                rep_ring = rep_ring.at[:, step % sampling.rep_window].set(
+                    jnp.where(record, code0_new, rep_ring[:, step % sampling.rep_window])
+                )
+                done = done | newly_done
+                n_frames = n_frames + record.astype(jnp.int32)
+                return step + 1, codes_out, rep_ring, cache, done, code0_new, cp_new, n_frames, key
+
+            state = (jnp.asarray(1, jnp.int32), codes_out, rep_ring, cache, done, code0,
+                     cp_codes, n_frames0, key)
+            _, codes_out, _, _, _, _, _, n_frames, _ = jax.lax.while_loop(cond, body, state)
+            return codes_out, n_frames
+
+        self._generate = _generate
+
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def init_random(cls, cfg: Optional[Qwen3TTSConfig] = None, seed: int = 0,
+                    dtype=jnp.bfloat16, tokenizer=None, **kw) -> "Qwen3TTS":
+        cfg = cfg or CONFIG_06B
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        return cls(
+            cfg,
+            init_talker_params(k1, cfg.talker, jnp.float32),
+            init_cp_params(k2, cfg.code_predictor, jnp.float32),
+            init_codec_params(k3, cfg.codec, jnp.float32),
+            tokenizer=tokenizer, dtype=dtype, **kw,
+        )
+
+    @classmethod
+    def from_pretrained(cls, model_id: str = "aufklarer/Qwen3-TTS-1.7B-MLX-4bit",
+                        cache_dir=None, offline_mode: bool = False,
+                        progress_handler=None, dtype=jnp.bfloat16, **kw) -> "Qwen3TTS":
+        from ...core.hub import download_weights
+        from ...core.weights import load_safetensors
+        from .convert import convert_tts_checkpoint, detect_tts_config, load_speaker_config
+
+        model_dir = download_weights(
+            model_id, cache_dir=cache_dir, offline_mode=offline_mode,
+            additional_files=("vocab.json", "merges.txt", "tokenizer_config.json", "config.json"),
+        )
+        cfg = detect_tts_config(model_id, model_dir)
+        tokenizer = BPETokenizer.from_pretrained_dir(model_dir)
+        flat = load_safetensors(model_dir)
+        talker, cp, codec = convert_tts_checkpoint(flat, cfg)
+        speakers = load_speaker_config(model_dir)
+        return cls(cfg, talker, cp, codec, tokenizer=tokenizer, dtype=dtype,
+                   speakers=speakers, **kw)
+
+    # ------------------------------------------------------------------ #
+
+    def _build_prompt_embeds(self, text: str, language: str, speaker: Optional[str],
+                             instruct: Optional[str]):
+        """Host-side token assembly; embedding happens in tiny jitted ops
+        (reference: buildPrefillEmbeddings, Qwen3TTS.swift:1299-1330)."""
+        if self.tokenizer is None:
+            raise RuntimeError("synthesis requires a tokenizer")
+        IM_START, IM_END, NL, ASSISTANT, USER = 151644, 151645, 198, 77091, 872
+        text_tokens = [IM_START, ASSISTANT, NL] + self.tokenizer.encode(text) + \
+                      [IM_END, NL, IM_START, ASSISTANT, NL]
+        lang_id = CodecTokens.language_id(language) or CodecTokens.LANGUAGES["en"]
+        spk_id = self.speakers.get((speaker or "").lower())
+        codec_prefix = [CodecTokens.THINK, CodecTokens.THINK_BOS, lang_id, CodecTokens.THINK_EOS]
+        if spk_id is not None:
+            codec_prefix.append(spk_id)
+        codec_prefix += [CodecTokens.PAD, CodecTokens.BOS]
+
+        tp, tcfg = self.talker_params, self.cfg.talker
+        text_ids = jnp.asarray(text_tokens, jnp.int32)
+        text_embeds = embed_text(tp, text_ids[None], tcfg)  # [1, L, H]
+        codec_embeds = embed_codec(tp, jnp.asarray(codec_prefix, jnp.int32)[None])
+
+        special = embed_text(tp, jnp.asarray(
+            [CodecTokens.TTS_PAD, CodecTokens.TTS_BOS, CodecTokens.TTS_EOS], jnp.int32)[None], tcfg)
+        tts_pad, tts_bos, tts_eos = special[0, 0], special[0, 1], special[0, 2]
+
+        n_codec = len(codec_prefix)
+        overlay = jnp.concatenate(
+            [jnp.broadcast_to(tts_pad[None], (n_codec - 2, tts_pad.shape[0])), tts_bos[None]], axis=0
+        )
+        combined = overlay[None] + codec_embeds[:, : n_codec - 1]
+        role = text_embeds[:, :3]
+        first_text = text_embeds[:, 3:4] + codec_embeds[:, -1:]
+        pieces = [role, combined, first_text]
+        if instruct:
+            instruct_ids = [IM_START, USER, NL] + self.tokenizer.encode(instruct) + [IM_END, NL]
+            pieces.insert(0, embed_text(tp, jnp.asarray(instruct_ids, jnp.int32)[None], tcfg))
+        prefill = jnp.concatenate(pieces, axis=1)
+
+        trailing = jnp.concatenate([text_embeds[:, 4:-5], tts_eos[None, None]], axis=1)
+        return prefill, trailing, tts_pad
+
+    def generate_codes(self, text: str, language: str = "english", speaker: Optional[str] = None,
+                       instruct: Optional[str] = None, sampling: Optional[TTSSamplingConfig] = None,
+                       seed: int = 0):
+        """Run the talker+CP loop; returns (codes [16, n_frames], n_frames)."""
+        sampling = sampling or TTSSamplingConfig()
+        prefill, trailing, tts_pad = self._build_prompt_embeds(text, language, speaker, instruct)
+        p_len = prefill.shape[1]
+        t_len = trailing.shape[1]
+        p_block = _round_up(p_len, 32)
+        t_block = _round_up(t_len, 32)
+        prefill = jnp.pad(prefill, ((0, 0), (0, p_block - p_len), (0, 0))).astype(self.dtype)
+        trailing = jnp.pad(trailing, ((0, 0), (0, t_block - t_len), (0, 0))).astype(self.dtype)
+
+        # cap frames: ~proportional to text length (reference scales by text)
+        max_frames = min(sampling.max_frames, 500)
+        codes, n_frames = self._generate(
+            self.talker_params, self.cp_params,
+            prefill, jnp.asarray([p_len], jnp.int32),
+            trailing, jnp.asarray([t_len], jnp.int32),
+            tts_pad.astype(self.dtype)[None],
+            jax.random.PRNGKey(seed),
+            p_block=p_block, t_block=t_block, max_frames=max_frames, sampling=sampling,
+        )
+        n = int(n_frames[0])
+        return np.asarray(codes[0, :n].T), n  # [16, n]
+
+    def synthesize(self, text: str, voice: Optional[str] = None, language: str = "english",
+                   instruct: Optional[str] = None, sampling: Optional[TTSSamplingConfig] = None,
+                   seed: int = 0, **kwargs) -> AudioChunk:
+        t0 = time.perf_counter()
+        codes, n = self.generate_codes(text, language, voice, instruct, sampling, seed)
+        if n == 0:
+            return AudioChunk(np.zeros(0, np.float32), self.cfg.codec.sample_rate)
+        wav = self.codec.decode(codes)
+        dt = time.perf_counter() - t0
+        dur = len(wav) / self.cfg.codec.sample_rate
+        log.info("tts: %d frames, %.2fs audio, RTF %.3f", n, dur, dt / max(dur, 1e-6))
+        return AudioChunk(np.asarray(wav, np.float32), self.cfg.codec.sample_rate)
+
+    def synthesize_stream(self, text: str, voice: Optional[str] = None, language: str = "english",
+                          **kwargs) -> Iterator[AudioChunk]:
+        codes, n = self.generate_codes(text, language, voice)
+        if n == 0:
+            return
+        for chunk in self.codec.decode_stream(codes):
+            yield AudioChunk(np.asarray(chunk, np.float32), self.cfg.codec.sample_rate)
+
+    def synthesize_batch(self, texts: Sequence[str], **kwargs) -> List[AudioChunk]:
+        """Multi-utterance synthesis (reference: synthesizeBatch). Sequential
+        over the shared compiled programs; true batched generation follows
+        the same _generate signature with B>1 once prompts share blocks."""
+        return [self.synthesize(t, **kwargs) for t in texts]
+
+    def warm_up(self) -> None:
+        if self.tokenizer is not None:
+            self.synthesize("hi", sampling=TTSSamplingConfig(max_frames=4))
+
+    def unload(self) -> None:
+        self.talker_params = None
+        self.cp_params = None
+        self.codec = None
+        self._loaded = False
+
+    @property
+    def is_loaded(self) -> bool:
+        return self._loaded

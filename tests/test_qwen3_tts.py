@@ -1,0 +1,139 @@
+"""Qwen3-TTS structural tests on tiny random configs: M-RoPE sections,
+codec decoder shape/causality/streaming equivalence, code predictor
+shapes, end-to-end synthesize flow."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3_asr_swift_tpu.models.qwen3_tts import (
+    CodecDecoder,
+    Qwen3TTS,
+    TTSSamplingConfig,
+    config_tiny,
+    init_codec_params,
+)
+from qwen3_asr_swift_tpu.models.qwen3_tts.code_predictor import (
+    embed_all_groups,
+    init_cp_params,
+    predict_codebooks,
+)
+from qwen3_asr_swift_tpu.models.qwen3_tts.talker import mrope_angles
+from qwen3_asr_swift_tpu.tokenizers.bpe import BPETokenizer, _bytes_to_unicode
+
+CFG = config_tiny()
+
+
+def byte_tokenizer():
+    b2u = _bytes_to_unicode()
+    return BPETokenizer({ch: i for i, ch in enumerate(b2u[b] for b in range(256))}, [])
+
+
+class TestMRope:
+    def test_equal_streams_match_standard_rope(self):
+        from qwen3_asr_swift_tpu.ops.rope import rope_angles
+
+        pos = jnp.asarray(np.arange(6, dtype=np.int32))[None]  # [1, 6]
+        pos3 = jnp.broadcast_to(pos[None], (3, 1, 6))
+        cos_m, sin_m = mrope_angles(pos3, 16, (4, 2, 2), 1e6)
+        cos_s, sin_s = rope_angles(pos, 16, 1e6)
+        assert np.allclose(np.asarray(cos_m), np.asarray(cos_s), atol=1e-6)
+        assert np.allclose(np.asarray(sin_m), np.asarray(sin_s), atol=1e-6)
+
+    def test_sections_use_their_stream(self):
+        t_pos = jnp.zeros((1, 4), jnp.int32)
+        h_pos = jnp.full((1, 4), 5000, jnp.int32)
+        pos3 = jnp.stack([t_pos, h_pos, h_pos])
+        cos, _ = mrope_angles(pos3, 16, (4, 2, 2), 10.0)
+        # first 4 freqs use stream 0 (pos 0) → cos = 1
+        assert np.allclose(np.asarray(cos)[0, :, :4], 1.0, atol=1e-6)
+        # later freqs use pos 5000 → rotated away from 1
+        assert np.abs(np.asarray(cos)[0, :, 4:] - 1.0).max() > 0.1
+
+
+class TestCodecDecoder:
+    @pytest.fixture(scope="class")
+    def decoder(self):
+        params = init_codec_params(jax.random.PRNGKey(0), CFG.codec, jnp.float32)
+        return CodecDecoder(params, CFG.codec)
+
+    def test_output_length(self, decoder):
+        codes = np.random.default_rng(0).integers(0, 2048, size=(16, 7)).astype(np.int32)
+        wav = decoder.decode(codes)
+        assert wav.shape == (7 * CFG.codec.samples_per_frame,)
+        assert np.abs(wav).max() <= 1.0
+
+    def test_causality(self, decoder):
+        """Changing a later frame's codes must not change earlier samples
+        (all convs causal)."""
+        rng = np.random.default_rng(1)
+        codes = rng.integers(0, 2048, size=(16, 8)).astype(np.int32)
+        w1 = decoder.decode(codes)
+        codes2 = codes.copy()
+        codes2[:, 6:] = (codes2[:, 6:] + 7) % 2048
+        w2 = decoder.decode(codes2)
+        spf = CFG.codec.samples_per_frame
+        assert np.allclose(w1[: 5 * spf], w2[: 5 * spf], atol=1e-5)
+        assert not np.allclose(w1[6 * spf :], w2[6 * spf :], atol=1e-3)
+
+    def test_streaming_matches_full(self, decoder):
+        rng = np.random.default_rng(2)
+        codes = rng.integers(0, 2048, size=(16, 9)).astype(np.int32)
+        full = decoder.decode(codes)
+        # With left_context ≥ sequence length every chunk sees the full
+        # prefix, so chunked output must be EXACT (validates the causal
+        # trim/keep arithmetic). Bounded left context is an approximation —
+        # the same one the reference's chunkedDecode makes
+        # (SpeechTokenizerDecoder.swift:696) — and is chaotic under random
+        # weights, so exactness is only required here.
+        streamed = np.concatenate(list(decoder.decode_stream(codes, chunk=4, left_context=16)))
+        assert streamed.shape == full.shape
+        assert np.abs(streamed - full).max() < 1e-5
+        # bounded-context variant must still be exact on the first chunk
+        bounded = np.concatenate(list(decoder.decode_stream(codes, chunk=4, left_context=3)))
+        spf = CFG.codec.samples_per_frame
+        assert np.abs(bounded[: 4 * spf] - full[: 4 * spf]).max() < 1e-5
+
+
+class TestCodePredictor:
+    def test_shapes_and_determinism(self):
+        cp = init_cp_params(jax.random.PRNGKey(0), CFG.code_predictor, jnp.float32)
+        hidden = jnp.asarray(np.random.default_rng(0).standard_normal((2, CFG.code_predictor.hidden_size)), jnp.float32)
+        code0_embed = jnp.asarray(np.random.default_rng(1).standard_normal((2, CFG.code_predictor.hidden_size)), jnp.float32)
+        codes1 = predict_codebooks(cp, CFG.code_predictor, hidden, code0_embed, jax.random.PRNGKey(0))
+        codes2 = predict_codebooks(cp, CFG.code_predictor, hidden, code0_embed, jax.random.PRNGKey(0))
+        assert codes1.shape == (2, 15)
+        assert (np.asarray(codes1) == np.asarray(codes2)).all()  # greedy default
+        assert (np.asarray(codes1) >= 0).all() and (np.asarray(codes1) < 2048).all()
+
+    def test_embed_all_groups_shape(self):
+        cp = init_cp_params(jax.random.PRNGKey(0), CFG.code_predictor, jnp.float32)
+        codes = jnp.asarray(np.random.default_rng(0).integers(0, 2048, (3, 15)), jnp.int32)
+        out = embed_all_groups(cp, CFG.code_predictor, codes)
+        assert out.shape == (3, CFG.code_predictor.hidden_size)
+
+
+class TestModel:
+    @pytest.fixture(scope="class")
+    def model(self):
+        return Qwen3TTS.init_random(CFG, dtype=jnp.float32, tokenizer=byte_tokenizer())
+
+    def test_generate_codes(self, model):
+        codes, n = model.generate_codes("hi", sampling=TTSSamplingConfig(max_frames=3, temperature=0.0))
+        assert codes.shape[0] == 16
+        assert codes.shape[1] == n <= 3
+
+    def test_synthesize_flow(self, model):
+        chunk = model.synthesize("ab", sampling=TTSSamplingConfig(max_frames=3, temperature=0.0))
+        assert chunk.sample_rate == 24000
+        assert len(chunk.samples) % CFG.codec.samples_per_frame == 0
+
+    def test_stream_matches_batch(self, model):
+        full = model.synthesize("abc", sampling=TTSSamplingConfig(max_frames=3, temperature=0.0), seed=1)
+        if len(full.samples) == 0:
+            pytest.skip("random model emitted EOS immediately")
+        pieces = list(model.synthesize_stream("abc", seed=1))
+        streamed = np.concatenate([p.samples for p in pieces]) if pieces else np.zeros(0)
+        # streaming uses the same codes (greedy + same seed) and causal decode
+        assert abs(len(streamed) - len(full.samples)) % CFG.codec.samples_per_frame == 0
