@@ -1,0 +1,83 @@
+"""Qwen3.5 chat tests: delta-rule state semantics, left-pad invariance,
+prefill/decode parity, chat template, streaming generation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3_asr_swift_tpu.models.chat import Qwen3Chat, config_tiny, init_chat_params
+from qwen3_asr_swift_tpu.models.chat.model import (
+    chat_forward,
+    init_states,
+)
+from qwen3_asr_swift_tpu.tokenizers.bpe import BPETokenizer, _bytes_to_unicode
+
+CFG = config_tiny()
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_chat_params(jax.random.PRNGKey(0), CFG)
+
+
+def byte_tokenizer():
+    b2u = _bytes_to_unicode()
+    vocab = {ch: i for i, ch in enumerate(b2u[b] for b in range(200))}
+    return BPETokenizer(vocab, [], {"<|im_start|>": 200, "<|im_end|>": 201})
+
+
+class TestForward:
+    def test_prefill_decode_parity(self, params):
+        """Running [t0..t4] at once must equal prefill [t0..t2] + 2 decode
+        steps — both the DeltaNet state and the attention cache must be
+        transparent."""
+        ids = np.array([[3, 5, 7, 11, 13]], np.int32)
+        states = init_states(CFG, 1, 16)
+        pos = jnp.arange(5)[None]
+        valid = jnp.ones((1, 5), bool)
+        logits_full, _ = chat_forward(params, CFG, jnp.asarray(ids), states, pos, valid)
+
+        states = init_states(CFG, 1, 16)
+        l3, states = chat_forward(params, CFG, jnp.asarray(ids[:, :3]), states,
+                                  jnp.arange(3)[None], jnp.ones((1, 3), bool))
+        assert np.allclose(np.asarray(l3)[0, 2], np.asarray(logits_full)[0, 2], atol=2e-3)
+        for t in range(3, 5):
+            lt, states = chat_forward(params, CFG, jnp.asarray(ids[:, t : t + 1]), states,
+                                      jnp.asarray([[t]]), jnp.ones((1, 1), bool))
+            assert np.allclose(np.asarray(lt)[0, 0], np.asarray(logits_full)[0, t], atol=2e-3), t
+
+    def test_left_pad_invariance(self, params):
+        """A left-padded prompt must produce the same last-token logits as
+        the unpadded prompt (validity gating keeps recurrent state clean)."""
+        ids = np.array([[3, 5, 7]], np.int32)
+        states = init_states(CFG, 1, 16)
+        l_plain, _ = chat_forward(params, CFG, jnp.asarray(ids), states,
+                                  jnp.arange(3)[None], jnp.ones((1, 3), bool))
+
+        padded = np.array([[9, 9, 3, 5, 7]], np.int32)  # junk pad tokens
+        states = init_states(CFG, 1, 16)
+        valid = jnp.asarray([[False, False, True, True, True]])
+        pos = jnp.asarray([[0, 0, 0, 1, 2]])
+        l_pad, _ = chat_forward(params, CFG, jnp.asarray(padded), states, pos, valid)
+        assert np.allclose(np.asarray(l_pad)[0, -1], np.asarray(l_plain)[0, -1], atol=2e-3)
+
+
+class TestGeneration:
+    def test_generate_ids_deterministic(self):
+        model = Qwen3Chat.init_random(CFG)
+        out1 = model.generate_ids([3, 5, 7], max_new=8)
+        out2 = model.generate_ids([3, 5, 7], max_new=8)
+        assert out1 == out2
+        assert len(out1) <= 8
+
+    def test_chat_streams_text(self):
+        model = Qwen3Chat.init_random(CFG, tokenizer=byte_tokenizer())
+        pieces = list(model.chat([{"role": "user", "content": "hi"}]))
+        assert isinstance("".join(pieces), str)
+
+    def test_chat_template(self):
+        text = Qwen3Chat.apply_chat_template(
+            [{"role": "system", "content": "S"}, {"role": "user", "content": "U"}]
+        )
+        assert text == "<|im_start|>system\nS<|im_end|>\n<|im_start|>user\nU<|im_end|>\n<|im_start|>assistant\n"
