@@ -1,0 +1,98 @@
+"""PersonaPlex tests: Mimi codec round-trip structure, stream embedding
+sums, depformer generation, end-to-end respond flow (tiny random config)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3_asr_swift_tpu.models.personaplex import (
+    PersonaPlex,
+    PersonaSampling,
+    config_tiny,
+    init_mimi_params,
+    mimi_decode,
+    mimi_encode,
+)
+from qwen3_asr_swift_tpu.models.personaplex.mimi import config_tiny as mimi_tiny
+from qwen3_asr_swift_tpu.models.personaplex.model import (
+    depformer_generate,
+    embed_frame,
+    init_personaplex_params,
+)
+
+CFG = config_tiny()
+
+
+class TestMimi:
+    @pytest.fixture(scope="class")
+    def mimi(self):
+        cfg = mimi_tiny()
+        return cfg, init_mimi_params(jax.random.PRNGKey(0), cfg)
+
+    def test_encode_shape(self, mimi):
+        cfg, params = mimi
+        spf = cfg.samples_per_frame
+        audio = jnp.asarray(np.random.default_rng(0).standard_normal((1, spf * 5)), jnp.float32)
+        codes = mimi_encode(params, cfg, audio)
+        assert codes.shape == (1, 16, 5)
+        assert (np.asarray(codes) >= 0).all() and (np.asarray(codes) < cfg.codebook_size).all()
+
+    def test_decode_shape(self, mimi):
+        cfg, params = mimi
+        codes = jnp.asarray(np.random.default_rng(1).integers(0, cfg.codebook_size, (1, 16, 4)), jnp.int32)
+        wav = mimi_decode(params, cfg, codes)
+        assert wav.shape == (1, 4 * cfg.samples_per_frame)
+        assert np.abs(np.asarray(wav)).max() <= 1.0
+
+    def test_roundtrip_stable(self, mimi):
+        cfg, params = mimi
+        spf = cfg.samples_per_frame
+        audio = jnp.asarray(0.3 * np.sin(np.arange(spf * 3) * 0.01), jnp.float32)[None]
+        codes = mimi_encode(params, cfg, audio)
+        wav = mimi_decode(params, cfg, codes)
+        assert np.isfinite(np.asarray(wav)).all()
+
+
+class TestTemporal:
+    def test_embed_frame_sums_streams(self):
+        params = init_personaplex_params(jax.random.PRNGKey(0), CFG)
+        text = jnp.asarray([1], jnp.int32)
+        user = jnp.asarray(np.zeros((1, 8)), jnp.int32)
+        agent = jnp.asarray(np.zeros((1, 8)), jnp.int32)
+        e1 = embed_frame(params, CFG, text, user, agent)
+        assert e1.shape == (1, CFG.d_model)
+        # changing one user codebook changes the sum
+        user2 = user.at[0, 3].set(7)
+        e2 = embed_frame(params, CFG, text, user2, agent)
+        assert not np.allclose(np.asarray(e1), np.asarray(e2))
+
+
+class TestDepformer:
+    def test_generates_16_codebooks(self):
+        params = init_personaplex_params(jax.random.PRNGKey(0), CFG)
+        hidden = jnp.asarray(np.random.default_rng(0).standard_normal((2, CFG.d_model)), jnp.float32)
+        codes = depformer_generate(params, CFG, hidden, jax.random.PRNGKey(0),
+                                   PersonaSampling(audio_temperature=0.0))
+        assert codes.shape == (2, 16)
+        assert (np.asarray(codes) >= 0).all() and (np.asarray(codes) < CFG.audio_vocab).all()
+
+    def test_greedy_deterministic(self):
+        params = init_personaplex_params(jax.random.PRNGKey(0), CFG)
+        hidden = jnp.asarray(np.random.default_rng(1).standard_normal((1, CFG.d_model)), jnp.float32)
+        s = PersonaSampling(audio_temperature=0.0)
+        c1 = depformer_generate(params, CFG, hidden, jax.random.PRNGKey(0), s)
+        c2 = depformer_generate(params, CFG, hidden, jax.random.PRNGKey(1), s)
+        assert (np.asarray(c1) == np.asarray(c2)).all()
+
+
+class TestRespond:
+    def test_end_to_end(self):
+        model = PersonaPlex.init_random(CFG)
+        spf = CFG.mimi.samples_per_frame
+        audio = (0.2 * np.random.default_rng(0).standard_normal(spf * 3)).astype(np.float32)
+        out = model.respond(audio, CFG.mimi.sample_rate, max_extra_s=0.2,
+                            sampling=PersonaSampling(audio_temperature=0.0, max_steps=6))
+        assert out.sample_rate == CFG.mimi.sample_rate
+        assert len(out.samples) > 0
+        assert np.isfinite(out.samples).all()
