@@ -12,6 +12,15 @@ from .types import (  # noqa: F401
     to_float32,
     to_pcm16,
 )
+from .loader import (  # noqa: F401
+    MemoryTier,
+    ModelLoader,
+    ModelSet,
+    ModelSpec,
+    can_fit,
+    device_memory_bytes,
+)
+from .text_chunker import chunk_text  # noqa: F401
 from .protocols import (  # noqa: F401
     ForcedAlignmentModel,
     PipelineLLM,

@@ -2,6 +2,7 @@
 VAD→STT→LLM→TTS turn loop with fake models, exercises barge-in, tool
 calls with cooldown, push_text, and state transitions."""
 
+import queue
 import shutil
 import time
 
@@ -27,13 +28,18 @@ def fake_vad(threshold=0.05):
 
 
 def wait_for(pipeline, etype, timeout=10.0):
+    # Pull one event at a time: draining in bulk and returning early would
+    # silently discard events that arrived in the same burst.
     deadline = time.time() + timeout
     seen = []
     while time.time() < deadline:
-        for ev in pipeline.drain_events(timeout=0.1):
-            seen.append(ev)
-            if ev.type == etype:
-                return ev, seen
+        try:
+            ev = pipeline.events.get(timeout=0.1)
+        except queue.Empty:
+            continue
+        seen.append(ev)
+        if ev.type == etype:
+            return ev, seen
     raise AssertionError(f"no {etype} within {timeout}s; saw {[e.type for e in seen]}")
 
 
