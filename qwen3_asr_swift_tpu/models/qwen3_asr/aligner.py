@@ -200,12 +200,15 @@ class Qwen3ForcedAligner(ForcedAlignmentModel):
                            text_ids, text_len, audio_tokens, n_audio, ts_pos,
                            *, a_pad, prefix_block, text_block):
             dcfg = cfg.decoder
+            from ...ops.nn import embedding_lookup
+
             table = dec_params["embed_tokens"]
+            emb_prefix = embedding_lookup(table, prefix_ids, dcfg.hidden_size)
             embeds = jnp.concatenate(
                 [
-                    jnp.take(table, prefix_ids, 0),
-                    audio_tokens.astype(table.dtype),
-                    jnp.take(table, text_ids, 0),
+                    emb_prefix,
+                    audio_tokens.astype(emb_prefix.dtype),
+                    embedding_lookup(table, text_ids, dcfg.hidden_size),
                 ],
                 axis=0,
             )[None]

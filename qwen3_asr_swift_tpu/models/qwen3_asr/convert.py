@@ -28,12 +28,23 @@ def _conv_to_hwio(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (2, 3, 1, 0))  # torch OIHW
 
 
-def _linear(flat: Dict[str, np.ndarray], prefix: str, bits: int, group: int, dtype) -> dict:
-    """Build {"kernel" [in,out], "bias"?} from fp or MLX-quantized weights."""
+def _linear(flat: Dict[str, np.ndarray], prefix: str, bits: int, group: int, dtype,
+            keep_quantized: bool = False) -> dict:
+    """Build a linear param dict from fp or MLX-quantized weights: either
+    {"kernel" [in,out], "bias"?} dense, or — when the checkpoint is
+    quantized and ``keep_quantized`` — the packed {"codes","scales",
+    "biases"} dict consumed by ops.quant (no dense materialization)."""
     w = flat.get(f"{prefix}.weight")
     if w is None:
         raise KeyError(f"missing {prefix}.weight")
     if f"{prefix}.scales" in flat:
+        if keep_quantized:
+            p = {"codes": flat[f"{prefix}.weight"].astype(np.uint32),
+                 "scales": flat[f"{prefix}.scales"].astype(np.float32),
+                 "biases": flat[f"{prefix}.biases"].astype(np.float32)}
+            if f"{prefix}.bias" in flat:
+                p["bias"] = flat[f"{prefix}.bias"].astype(dtype)
+            return p
         w = dequantize_mlx(w, flat[f"{prefix}.scales"], flat[f"{prefix}.biases"],
                            bits=bits, group_size=group)
     p = {"kernel": np.ascontiguousarray(w.T).astype(dtype)}
@@ -95,16 +106,25 @@ def convert_encoder(flat: Dict[str, np.ndarray], cfg: Qwen3ASRConfig, dtype=np.f
     return params
 
 
-def convert_decoder(flat: Dict[str, np.ndarray], cfg: Qwen3ASRConfig, dtype=np.float32) -> dict:
+def convert_decoder(flat: Dict[str, np.ndarray], cfg: Qwen3ASRConfig, dtype=np.float32,
+                    keep_quantized: bool = True) -> dict:
     f = {k[len("model."):]: v for k, v in strip_prefixes(flat).items() if k.startswith("model.")}
     bits, group = cfg.decoder.bits, cfg.decoder.group_size
+    lin = lambda pre: _linear(f, pre, bits, group, dtype, keep_quantized)
 
-    emb = f["embed_tokens.weight"]
     if "embed_tokens.scales" in f:
-        emb = dequantize_mlx(emb, f["embed_tokens.scales"], f["embed_tokens.biases"],
-                             bits=bits, group_size=group)
+        if keep_quantized:
+            emb = {"codes": f["embed_tokens.weight"].astype(np.uint32),
+                   "scales": f["embed_tokens.scales"].astype(np.float32),
+                   "biases": f["embed_tokens.biases"].astype(np.float32)}
+        else:
+            emb = dequantize_mlx(f["embed_tokens.weight"], f["embed_tokens.scales"],
+                                 f["embed_tokens.biases"], bits=bits,
+                                 group_size=group).astype(dtype)
+    else:
+        emb = f["embed_tokens.weight"].astype(dtype)
     params = {
-        "embed_tokens": emb.astype(dtype),
+        "embed_tokens": emb,
         "norm": _rms(f, "norm", dtype),
         "layers": [],
     }
@@ -112,18 +132,18 @@ def convert_decoder(flat: Dict[str, np.ndarray], cfg: Qwen3ASRConfig, dtype=np.f
         pre = f"layers.{i}"
         params["layers"].append(
             {
-                "q_proj": _linear(f, f"{pre}.self_attn.q_proj", bits, group, dtype),
-                "k_proj": _linear(f, f"{pre}.self_attn.k_proj", bits, group, dtype),
-                "v_proj": _linear(f, f"{pre}.self_attn.v_proj", bits, group, dtype),
-                "o_proj": _linear(f, f"{pre}.self_attn.o_proj", bits, group, dtype),
+                "q_proj": lin(f"{pre}.self_attn.q_proj"),
+                "k_proj": lin(f"{pre}.self_attn.k_proj"),
+                "v_proj": lin(f"{pre}.self_attn.v_proj"),
+                "o_proj": lin(f"{pre}.self_attn.o_proj"),
                 "q_norm": _rms(f, f"{pre}.self_attn.q_norm", dtype),
                 "k_norm": _rms(f, f"{pre}.self_attn.k_norm", dtype),
                 "input_layernorm": _rms(f, f"{pre}.input_layernorm", dtype),
                 "post_attention_layernorm": _rms(f, f"{pre}.post_attention_layernorm", dtype),
                 "mlp": {
-                    "gate_proj": _linear(f, f"{pre}.mlp.gate_proj", bits, group, dtype),
-                    "up_proj": _linear(f, f"{pre}.mlp.up_proj", bits, group, dtype),
-                    "down_proj": _linear(f, f"{pre}.mlp.down_proj", bits, group, dtype),
+                    "gate_proj": lin(f"{pre}.mlp.gate_proj"),
+                    "up_proj": lin(f"{pre}.mlp.up_proj"),
+                    "down_proj": lin(f"{pre}.mlp.down_proj"),
                 },
             }
         )

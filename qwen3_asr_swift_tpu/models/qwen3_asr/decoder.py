@@ -118,7 +118,7 @@ def decode_step(params, cfg: TextDecoderConfig, token_ids, cache: KVCache) -> Tu
     """One decode step for every slot. token_ids: [B] int32.
     Returns (logits [B, vocab] fp32, advanced cache)."""
     b = token_ids.shape[0]
-    x = embedding_lookup(params["embed_tokens"], token_ids)[:, None, :]  # [B,1,H]
+    x = embedding_lookup(params["embed_tokens"], token_ids, cfg.hidden_size)[:, None, :]  # [B,1,H]
     positions = cache.positions[:, None]  # [B,1]
 
     new_layers = []

@@ -32,7 +32,7 @@ from ...audio.resample import resample
 from ...core import SpeechRecognitionModel, TranscriptionResult
 from ...core.logging import inference as log
 from ...ops.mel import MelConfig, log_mel_kernel, num_frames, reflect_pad_np
-from ...ops.nn import tied_lm_head
+from ...ops.nn import embedding_lookup, tied_lm_head
 from ...ops.sampling import SamplingOptions, log_softmax_confidence, sample_token
 from ...tokenizers.bpe import BPETokenizer
 from .config import CONFIG_SMALL, Qwen3ASRConfig, detect_config
@@ -65,9 +65,10 @@ class Qwen3ASR(SpeechRecognitionModel):
         self.dtype = dtype
         self.mel_cfg = mel_cfg
         self.tokenizer = tokenizer
-        cast = lambda t: jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), t)
-        self.encoder_params = cast(encoder_params)
-        self.decoder_params = cast(decoder_params)
+        from ...ops.quant import cast_tree
+
+        self.encoder_params = cast_tree(encoder_params, dtype)
+        self.decoder_params = cast_tree(decoder_params, dtype)
         self._audio_buckets_s = tuple(audio_buckets_s)
         self._loaded = True
 
@@ -109,9 +110,9 @@ class Qwen3ASR(SpeechRecognitionModel):
             dcfg = self.cfg.decoder
             b = prefix_ids.shape[0]
             table = dec_params["embed_tokens"]
-            emb_prefix = jnp.take(table, prefix_ids, axis=0)
-            emb_suffix = jnp.take(table, suffix_ids, axis=0)
-            audio = audio_tokens.astype(table.dtype)
+            emb_prefix = embedding_lookup(table, prefix_ids, dcfg.hidden_size)
+            emb_suffix = embedding_lookup(table, suffix_ids, dcfg.hidden_size)
+            audio = audio_tokens.astype(emb_prefix.dtype)
             embeds = jnp.concatenate([emb_prefix, audio, emb_suffix], axis=1)
 
             valid = jnp.concatenate(
@@ -169,11 +170,18 @@ class Qwen3ASR(SpeechRecognitionModel):
 
     @classmethod
     def init_random(cls, cfg: Qwen3ASRConfig = CONFIG_SMALL, seed: int = 0,
-                    dtype=jnp.bfloat16, tokenizer=None, **kw) -> "Qwen3ASR":
-        """Random-weight model (tests, benchmarks without checkpoints)."""
+                    dtype=jnp.bfloat16, tokenizer=None,
+                    quant_bits: Optional[int] = None, **kw) -> "Qwen3ASR":
+        """Random-weight model (tests, benchmarks without checkpoints).
+        ``quant_bits`` packs the decoder linears + embedding into the
+        MLX group-64 format to exercise the quantized compute path."""
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
         enc = init_encoder_params(k1, cfg.encoder, jnp.float32)
         dec = init_decoder_params(k2, cfg.decoder, jnp.float32)
+        if quant_bits:
+            from ...ops.quant import quantize_tree
+
+            dec = quantize_tree(dec, quant_bits)
         return cls(cfg, enc, dec, tokenizer=tokenizer, dtype=dtype, **kw)
 
     @classmethod

@@ -21,7 +21,13 @@ import numpy as np
 
 
 def linear(x, p):
-    """x @ kernel + bias. p: {"kernel": [in, out], optional "bias": [out]}."""
+    """x @ kernel + bias. p: {"kernel": [in, out], optional "bias": [out]},
+    or a group-quantized dict {"codes", "scales", "biases"} (dispatched to
+    ops.quant — reference: MLX QuantizedLinear)."""
+    if "codes" in p:
+        from .quant import quant_linear
+
+        return quant_linear(x, p)
     y = jax.lax.dot_general(
         x, p["kernel"],
         (((x.ndim - 1,), (0,)), ((), ())),
@@ -62,14 +68,23 @@ def swiglu_mlp(x, p):
     return linear(silu(linear(x, p["gate_proj"])) * linear(x, p["up_proj"]), p["down_proj"])
 
 
-def embedding_lookup(table, ids):
-    """table: [vocab, dim]; ids int32 [...]."""
+def embedding_lookup(table, ids, dim: Optional[int] = None):
+    """table: [vocab, dim] array, or a quantized table dict (then ``dim``
+    is required); ids int32 [...]."""
+    if isinstance(table, dict) and "codes" in table:
+        from .quant import quant_embedding_lookup
+
+        return quant_embedding_lookup(table, ids, dim)
     return jnp.take(table, ids, axis=0)
 
 
 def tied_lm_head(hidden, table):
     """Embedding table reused as LM head (reference: PreQuantizedEmbedding
     .asLinear, Sources/MLXCommon/PreQuantizedEmbedding.swift)."""
+    if isinstance(table, dict) and "codes" in table:
+        from .quant import quant_tied_lm_head
+
+        return quant_tied_lm_head(hidden, table)
     return jax.lax.dot_general(
         hidden, table,
         (((hidden.ndim - 1,), (1,)), ((), ())),

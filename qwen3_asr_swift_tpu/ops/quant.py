@@ -1,0 +1,304 @@
+"""Group-quantized (int2/4/8) linear algebra for TPU.
+
+TPU-native analog of the reference's MLX QuantizedLinear /
+PreQuantizedEmbedding compute path (reference:
+Sources/MLXCommon/PreQuantizedEmbedding.swift, QuantizedMLP.swift;
+checkpoint format per mlx.core.quantize: group size 64, codes packed
+little-endian into uint32 along the input axis, ``w = scale*code + bias``
+per group).
+
+Storage keeps the packed uint32 codes on device — 4-bit weights read 4×
+less HBM than bf16, and decode-time GEMV is HBM-bandwidth-bound, so this
+is where the reference's 4-bit RTF advantage comes from. Two compute
+paths:
+
+- :func:`quant_matmul_xla` — pure-XLA exact group decomposition. Used on
+  CPU (tests) and as the universal fallback.
+- :func:`quant_matmul_pallas` — a Pallas TPU kernel that streams packed
+  code tiles HBM→VMEM, unpacks + dequantizes on the VPU, and feeds the
+  MXU per bit-plane, never materializing the dense weight in HBM.
+
+Both compute y = x @ dequant(W)^T exactly (same fp32 accumulation), so
+they are interchangeable; :func:`quant_linear` picks per backend.
+
+Param convention: a quantized linear is a plain dict
+``{"codes": u32[out, in*bits/32], "scales": [out, in/gs],
+"biases": [out, in/gs], optional "bias": [out]}``; ``bits`` and the group
+size are inferred from shapes at trace time (static under jit).
+``ops.nn.linear`` dispatches here when it sees ``"codes"``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_DEFAULT_TILE_OUT = 256
+
+
+def infer_quant_dims(in_dim: int, codes_shape, scales_shape):
+    """(bits, group_size) from static shapes. in_dim comes from the
+    activation, codes [out, in*bits/32], scales [out, in/gs]."""
+    packed = codes_shape[-1]
+    groups = scales_shape[-1]
+    bits = (32 * packed) // in_dim
+    if bits not in (2, 4, 8) or (32 * packed) % in_dim:
+        raise ValueError(f"cannot infer bits: in={in_dim} packed={packed}")
+    if in_dim % groups:
+        raise ValueError(f"cannot infer group size: in={in_dim} groups={groups}")
+    return bits, in_dim // groups
+
+
+def is_quantized(p) -> bool:
+    return isinstance(p, dict) and "codes" in p
+
+
+# ---------------------------------------------------------------------------
+# XLA path
+# ---------------------------------------------------------------------------
+
+def unpack_codes(codes, bits: int, in_dim: int):
+    """u32 [..., in*bits/32] → float32 codes [..., in] (LSB-first)."""
+    per_word = 32 // bits
+    mask = jnp.uint32((1 << bits) - 1)
+    shifts = (jnp.arange(per_word, dtype=jnp.uint32) * bits)
+    u = (codes[..., :, None] >> shifts) & mask  # [..., packed, per_word]
+    return u.reshape(*codes.shape[:-1], in_dim).astype(jnp.float32)
+
+
+def dequantize(p, in_dim: int, dtype=jnp.float32):
+    """Materialize the dense [out, in] weight (embedding tables, tests)."""
+    bits, gs = infer_quant_dims(in_dim, p["codes"].shape, p["scales"].shape)
+    c = unpack_codes(p["codes"], bits, in_dim)
+    s = jnp.repeat(p["scales"].astype(jnp.float32), gs, axis=-1)
+    b = jnp.repeat(p["biases"].astype(jnp.float32), gs, axis=-1)
+    return (c * s + b).astype(dtype)
+
+
+def quant_matmul_xla(x, p):
+    """x [..., in] @ dequant(W)^T → [..., out], fp32 accumulation.
+
+    Exact group decomposition — scales/biases are folded in *after* a
+    per-group partial dot, so the big contraction runs on integer-exact
+    code values and the dense weight is only ever [out, in] fp32 inside
+    one fused op (no extra HBM round-trip at these sizes under jit).
+    """
+    in_dim = x.shape[-1]
+    bits, gs = infer_quant_dims(in_dim, p["codes"].shape, p["scales"].shape)
+    lead = x.shape[:-1]
+    xf = x.reshape(-1, in_dim).astype(jnp.float32)
+    n_groups = in_dim // gs
+
+    codes = unpack_codes(p["codes"], bits, in_dim)       # [out, in]
+    cg = codes.reshape(-1, n_groups, gs)                 # [out, G, gs]
+    xg = xf.reshape(-1, n_groups, gs)                    # [B, G, gs]
+
+    # partial[b, g, o] = x_g · c_g[o];  y = Σ_g s[o,g]·partial + Σ_g β[o,g]·Σx_g
+    partial = jnp.einsum("bgi,ogi->bgo", xg, cg, preferred_element_type=jnp.float32)
+    xsum = xg.sum(axis=-1)                               # [B, G]
+    y = jnp.einsum("bgo,og->bo", partial, p["scales"].astype(jnp.float32))
+    y = y + xsum @ p["biases"].astype(jnp.float32).T
+    return y.reshape(*lead, -1)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel
+# ---------------------------------------------------------------------------
+
+def _quant_matmul_kernel(x_parts_ref, xsum_ref, codes_ref, scales_ref, biases_ref,
+                         out_ref, *, bits: int, repeat: int):
+    """One output tile: unpack packed codes per bit-plane and feed the MXU.
+
+    x_parts [per_word, B, PK]: x_parts[j, b, p] = x[b, p*per_word + j] —
+    the j-th bit-plane's activation columns, pre-strided on host so every
+    plane's dot is a contiguous [B,PK]×[PK,TILE_O] contraction. Because
+    per_word divides the group size, the group of input p*per_word+j is
+    p // repeat for every j, so one scale/bias expansion serves all planes.
+    """
+    per_word = 32 // bits
+    mask = jnp.uint32((1 << bits) - 1)
+    codes = codes_ref[:]                                   # [TILE_O, PK] u32
+    # expand group scales/biases to per-packed-column: [TILE_O, PK]
+    s_exp = jnp.repeat(scales_ref[:].astype(jnp.float32), repeat, axis=1)
+    b_exp = jnp.repeat(biases_ref[:].astype(jnp.float32), repeat, axis=1)
+
+    # bias term: Σ_i x[b,i]·β[o, g(i)] = xsum_p · b_exp^T
+    acc = jax.lax.dot_general(
+        xsum_ref[:], b_exp, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    for j in range(per_word):
+        wj = ((codes >> jnp.uint32(bits * j)) & mask).astype(jnp.float32)
+        acc = acc + jax.lax.dot_general(
+            x_parts_ref[j], wj * s_exp, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "gs", "tile_out", "interpret"))
+def _quant_matmul_pallas_2d(xf, codes, scales, biases, *, bits, gs, tile_out, interpret):
+    from jax.experimental import pallas as pl
+
+    b, in_dim = xf.shape
+    out_dim = codes.shape[0]
+    per_word = 32 // bits
+    pk = in_dim // per_word
+    repeat = gs // per_word
+
+    # host-side (XLA) re-striding: plane j takes columns j, j+pw, j+2pw, …
+    x_parts = xf.reshape(b, pk, per_word).transpose(2, 0, 1)   # [pw, B, PK]
+    xsum = x_parts.sum(axis=0)                                  # [B, PK]
+
+    n_tiles = pl.cdiv(out_dim, tile_out)
+    kernel = functools.partial(_quant_matmul_kernel, bits=bits, repeat=repeat)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((per_word, b, pk), lambda i: (0, 0, 0)),
+            pl.BlockSpec((b, pk), lambda i: (0, 0)),
+            pl.BlockSpec((tile_out, pk), lambda i: (i, 0)),
+            pl.BlockSpec((tile_out, scales.shape[1]), lambda i: (i, 0)),
+            pl.BlockSpec((tile_out, biases.shape[1]), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((b, tile_out), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((b, out_dim), jnp.float32),
+        interpret=interpret,
+    )(x_parts, xsum, codes, scales, biases)
+
+
+def quant_matmul_pallas(x, p, tile_out: int = _DEFAULT_TILE_OUT, interpret: bool = False):
+    """x [..., in] @ dequant(W)^T via the Pallas kernel. Requires the out
+    dim to divide into tiles; pads the tile dim otherwise."""
+    in_dim = x.shape[-1]
+    bits, gs = infer_quant_dims(in_dim, p["codes"].shape, p["scales"].shape)
+    lead = x.shape[:-1]
+    xf = x.reshape(-1, in_dim).astype(jnp.float32)
+
+    out_dim = p["codes"].shape[0]
+    tile = min(tile_out, out_dim)
+    pad = (-out_dim) % tile
+    codes, scales, biases = p["codes"], p["scales"], p["biases"]
+    if pad:
+        codes = jnp.pad(codes, ((0, pad), (0, 0)))
+        scales = jnp.pad(scales, ((0, pad), (0, 0)))
+        biases = jnp.pad(biases, ((0, pad), (0, 0)))
+    y = _quant_matmul_pallas_2d(xf, codes, scales, biases, bits=bits, gs=gs,
+                                tile_out=tile, interpret=interpret)
+    if pad:
+        y = y[:, :out_dim]
+    return y.reshape(*lead, out_dim)
+
+
+# ---------------------------------------------------------------------------
+# dispatch + layer-level ops
+# ---------------------------------------------------------------------------
+
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def quant_linear(x, p):
+    """Quantized y = x @ W^T (+ bias). Backend-dispatched."""
+    if _use_pallas():
+        y = quant_matmul_pallas(x, p)
+    else:
+        y = quant_matmul_xla(x, p)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def quant_embedding_lookup(p, ids, dim: int, dtype=jnp.bfloat16):
+    """Gather + dequantize rows of a quantized embedding table
+    (reference: PreQuantizedEmbedding). ids int32 [...] → [..., dim].
+
+    Only the gathered rows are dequantized — O(T·dim), not O(vocab·dim).
+    ``dim`` (the embedding width) disambiguates bits vs group size."""
+    bits, gs = infer_quant_dims(dim, p["codes"].shape, p["scales"].shape)
+    c = unpack_codes(jnp.take(p["codes"], ids, axis=0), bits, dim)
+    s = jnp.repeat(jnp.take(p["scales"], ids, axis=0).astype(jnp.float32), gs, axis=-1)
+    b = jnp.repeat(jnp.take(p["biases"], ids, axis=0).astype(jnp.float32), gs, axis=-1)
+    return (c * s + b).astype(dtype)
+
+
+def cast_tree(tree, dtype):
+    """Cast float leaves of a param tree to ``dtype``, preserving packed
+    quantized tensors: codes stay uint32 and group scales/biases stay
+    fp32 (they are 1/group_size the size of the codes — accuracy is free).
+    Integer leaves are never cast."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "codes" in node:
+                out = {"codes": jnp.asarray(node["codes"], jnp.uint32),
+                       "scales": jnp.asarray(node["scales"], jnp.float32),
+                       "biases": jnp.asarray(node["biases"], jnp.float32)}
+                if "bias" in node:
+                    out["bias"] = jnp.asarray(node["bias"], dtype)
+                return out
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            seq = [walk(v) for v in node]
+            return type(node)(seq) if isinstance(node, tuple) else seq
+        arr = jnp.asarray(node)
+        return arr.astype(dtype) if jnp.issubdtype(arr.dtype, jnp.floating) else arr
+
+    return walk(tree)
+
+
+def quantize_tree(params, bits: int, group_size: int = 64,
+                  embed_keys=("embed_tokens",), min_dim: int = 128):
+    """Quantize every eligible linear/embedding in a dense param tree to
+    the MLX packed format (host-side numpy; used by ``init_random`` bench
+    paths and for on-the-fly quantization of fp checkpoints — the
+    reference ships pre-quantized repos instead).
+
+    Eligible: {"kernel": [in, out]} dicts with in % group == 0 and both
+    dims ≥ min_dim, and arrays named in ``embed_keys`` ([vocab, dim] with
+    dim % group == 0). Norm scales, conv kernels, small heads stay dense.
+    """
+    from ..core.weights import quantize_mlx
+
+    def quantize_out_in(w_out_in):
+        packed, scales, biases = quantize_mlx(np.asarray(w_out_in, np.float32),
+                                              bits, group_size)
+        return {"codes": packed, "scales": scales, "biases": biases}
+
+    def walk(node, name=""):
+        if isinstance(node, dict):
+            k = node.get("kernel")
+            if k is not None and getattr(k, "ndim", 0) == 2:
+                d_in, d_out = k.shape
+                if d_in % group_size == 0 and d_in >= min_dim and d_out >= min_dim:
+                    q = quantize_out_in(np.asarray(k).T)  # [out, in]
+                    if "bias" in node:
+                        q["bias"] = node["bias"]
+                    return q
+                return node
+            return {k2: walk(v, k2) for k2, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            seq = [walk(v, name) for v in node]
+            return type(node)(seq) if isinstance(node, tuple) else seq
+        if (name in embed_keys and getattr(node, "ndim", 0) == 2
+                and node.shape[1] % group_size == 0 and node.shape[1] >= min_dim):
+            return quantize_out_in(node)  # rows = vocab, input axis = dim
+        return node
+
+    return walk(params)
+
+
+def quant_tied_lm_head(hidden, p):
+    """Quantized-embedding-as-LM-head (reference: PreQuantizedEmbedding
+    .asLinear): logits = hidden @ dequant(table)^T — the same GEMV the
+    Pallas kernel accelerates, with out = vocab."""
+    if _use_pallas():
+        return quant_matmul_pallas(hidden, p)
+    return quant_matmul_xla(hidden, p)
