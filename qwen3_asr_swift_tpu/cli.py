@@ -129,9 +129,15 @@ def cmd_respond(args):
 
 
 def cmd_vad(args):
-    from .models.silero_vad import SileroVAD
+    engine = getattr(args, "engine", "silero")
+    if engine == "pyannote":
+        from .models.pyannote import PyannoteVAD as Model
+    elif engine == "firered":
+        from .models.firered_vad import FireRedVAD as Model
+    else:
+        from .models.silero_vad import SileroVAD as Model
 
-    model = SileroVAD.init_random() if args.random_weights else SileroVAD.from_pretrained(args.model)
+    model = Model.init_random() if args.random_weights else Model.from_pretrained(args.model)
     audio, _ = _load_audio(args.audio)
     segs = model.detect_speech(audio)
     _print([{"start": round(s.start, 3), "end": round(s.end, 3)} for s in segs])
@@ -152,16 +158,23 @@ def cmd_vad_stream(args):
 
 
 def cmd_diarize(args):
-    from .models.diarization import DiarizationPipeline, diarization_error_rate
-    from .models.silero_vad import SileroVAD
-    from .models.speaker import WeSpeaker
-
-    if args.random_weights:
-        pipe = DiarizationPipeline(SileroVAD.init_random(), WeSpeaker.init_random())
-    else:
-        pipe = DiarizationPipeline.from_pretrained()
     audio, _ = _load_audio(args.audio)
-    segs = pipe.diarize(audio, num_speakers=args.num_speakers)
+    if getattr(args, "engine", "pipeline") == "sortformer":
+        from .models.diarization import SortformerDiarizer
+
+        model = (SortformerDiarizer.init_random() if args.random_weights
+                 else SortformerDiarizer.from_pretrained())
+        segs = model.diarize(audio)
+    else:
+        from .models.diarization import DiarizationPipeline
+        from .models.silero_vad import SileroVAD
+        from .models.speaker import WeSpeaker
+
+        if args.random_weights:
+            pipe = DiarizationPipeline(SileroVAD.init_random(), WeSpeaker.init_random())
+        else:
+            pipe = DiarizationPipeline.from_pretrained()
+        segs = pipe.diarize(audio, num_speakers=args.num_speakers)
     _print([{"start": round(s.start, 2), "end": round(s.end, 2), "speaker": int(s.speaker)}
             for s in segs])
 
@@ -342,9 +355,13 @@ def build_parser() -> argparse.ArgumentParser:
     add("respond", cmd_respond, audio={}, **{
         "--model": dict(default="nvidia/personaplex-7b-v1"),
         "--output": dict(default="response.wav")})
-    add("vad", cmd_vad, audio={}, **{"--model": dict(default="silero-vad-v5")})
+    add("vad", cmd_vad, audio={}, **{
+        "--model": dict(default="silero-vad-v5"),
+        "--engine": dict(default="silero", choices=["silero", "pyannote", "firered"])})
     add("vad-stream", cmd_vad_stream, audio={}, **{"--model": dict(default="silero-vad-v5")})
-    add("diarize", cmd_diarize, audio={}, **{"--num-speakers": dict(type=int, default=None)})
+    add("diarize", cmd_diarize, audio={}, **{
+        "--num-speakers": dict(type=int, default=None),
+        "--engine": dict(default="pipeline", choices=["pipeline", "sortformer"])})
     add("embed-speaker", cmd_embed_speaker, audio={}, **{
         "--model": dict(default="wespeaker-resnet34"), "--compare": dict(default=None)})
     add("denoise", cmd_denoise, audio={}, **{

@@ -6,3 +6,8 @@ from .pipeline import (  # noqa: F401
     agglomerative_cluster,
     diarization_error_rate,
 )
+from .sortformer import (  # noqa: F401
+    CONFIG_SORTFORMER,
+    SortformerConfig,
+    SortformerDiarizer,
+)

@@ -1,0 +1,162 @@
+"""Pyannote segmentation / FireRed DFSMN VAD / Sortformer diarizer tests:
+powerset decode math, sliding-window aggregation, hysteresis binarize,
+DFSMN memory causal extent, FIFO→spkcache update semantics, end-to-end
+shapes and determinism on tiny random configs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3_asr_swift_tpu.models.diarization import SortformerDiarizer
+from qwen3_asr_swift_tpu.models.diarization.sortformer import config_tiny as sf_tiny
+from qwen3_asr_swift_tpu.models.firered_vad import FireRedVAD
+from qwen3_asr_swift_tpu.models.firered_vad import config_tiny as fr_tiny
+from qwen3_asr_swift_tpu.models.pyannote import (
+    PyannoteSegmentation,
+    PyannoteVAD,
+    powerset_to_speakers,
+)
+from qwen3_asr_swift_tpu.models.pyannote import config_tiny as py_tiny
+from qwen3_asr_swift_tpu.models.pyannote.model import binarize
+
+
+class TestPowerset:
+    def test_mapping(self):
+        # class 4 = speakers 1+2 → both get its mass
+        post = np.zeros((1, 1, 7), np.float32)
+        post[0, 0, 4] = 0.8
+        post[0, 0, 1] = 0.2
+        spk = np.asarray(powerset_to_speakers(jnp.asarray(post)))[0, 0]
+        assert np.isclose(spk[0], 1.0)   # alone(0.2) + overlap(0.8)
+        assert np.isclose(spk[1], 0.8)
+        assert np.isclose(spk[2], 0.0)
+
+    def test_uniform_rows_sum(self):
+        post = np.full((2, 3, 7), 1 / 7, np.float32)
+        spk = np.asarray(powerset_to_speakers(jnp.asarray(post)))
+        # each speaker appears in 3 of 7 classes
+        assert np.allclose(spk, 3 / 7, atol=1e-6)
+
+
+class TestBinarize:
+    def test_hysteresis(self):
+        probs = np.array([0.1, 0.6, 0.6, 0.4, 0.4, 0.2, 0.1, 0.7, 0.1])
+        segs = binarize(probs, 1.0, onset=0.5, offset=0.3)
+        assert segs == [(1.0, 5.0), (7.0, 8.0)]
+
+    def test_min_durations(self):
+        probs = np.array([0.9, 0.1, 0.9, 0.9, 0.9, 0.1])
+        segs = binarize(probs, 1.0, onset=0.5, offset=0.3,
+                        min_speech_s=2.0, min_silence_s=0.0)
+        assert segs == [(2.0, 5.0)]  # the 1-frame burst is dropped
+
+    def test_merge_short_silence(self):
+        probs = np.array([0.9, 0.1, 0.9, 0.1])
+        segs = binarize(probs, 1.0, onset=0.5, offset=0.3, min_silence_s=1.5)
+        assert segs == [(0.0, 3.0)]
+
+
+class TestPyannote:
+    @pytest.fixture(scope="class")
+    def model(self):
+        return PyannoteSegmentation.init_random(py_tiny())
+
+    def test_forward_shapes(self, model):
+        win = int(model.cfg.window_s * model.cfg.sample_rate)
+        post = np.asarray(model._forward(model.params,
+                                         wave=jnp.zeros((2, win), jnp.float32)))
+        assert post.shape == (2, model.frames_per_window(win), 7)
+        assert np.allclose(post.sum(-1), 1.0, atol=1e-5)
+
+    def test_speaker_activity_covers_audio(self, model):
+        rng = np.random.default_rng(0)
+        audio = (0.1 * rng.standard_normal(int(2.5 * 16000))).astype(np.float32)
+        tracks = model.speaker_activity(audio)
+        assert tracks.shape[1] == 3
+        assert (tracks >= 0).all() and (tracks <= 1.0 + 1e-6).all()
+        expected = int(np.ceil(len(audio) / (model.frame_duration * 16000)))
+        assert abs(tracks.shape[0] - expected) <= 1
+
+    def test_vad_wrapper(self, model):
+        vad = PyannoteVAD(model)
+        segs = vad.detect_speech(np.zeros(16000, np.float32))
+        assert isinstance(segs, list)
+        probs = vad.speech_probabilities(np.zeros(16000, np.float32))
+        assert ((probs >= 0) & (probs <= 1.0 + 1e-6)).all()
+
+
+class TestFireRed:
+    @pytest.fixture(scope="class")
+    def model(self):
+        return FireRedVAD.init_random(fr_tiny())
+
+    def test_frame_probabilities(self, model):
+        probs = model.frame_probabilities(np.zeros(16000, np.float32))
+        assert len(probs) == 1 + (16000 - model.cfg.frame_len) // model.cfg.hop
+        assert ((probs >= 0) & (probs <= 1)).all()
+
+    def test_memory_context_is_bounded(self, model):
+        """Changing audio far past the lookahead horizon must not change
+        an early frame's probability (DFSMN memory is finite)."""
+        rng = np.random.default_rng(1)
+        a = (0.1 * rng.standard_normal(16000)).astype(np.float32)
+        b = a.copy()
+        b[8000:] = 0.5  # only affect later frames
+        pa = model.frame_probabilities(a)
+        pb = model.frame_probabilities(b)
+        # frame 10 ends at sample 10*160+400=2000; max lookahead extent =
+        # blocks * lookahead frames ≈ 2 frames each → well before 8000
+        assert np.allclose(pa[:10], pb[:10], atol=1e-5)
+
+    def test_detect_speech_runs(self, model):
+        segs = model.detect_speech((0.1 * np.random.default_rng(2)
+                                    .standard_normal(16000)).astype(np.float32))
+        for s in segs:
+            assert s.end - s.start >= model.cfg.min_speech_s - 1e-6
+
+
+class TestSortformer:
+    @pytest.fixture(scope="class")
+    def model(self):
+        return SortformerDiarizer.init_random(sf_tiny())
+
+    def test_fifo_to_spkcache_semantics(self, model):
+        cfg = model.cfg
+        model.reset_state()
+        d = cfg.d_model
+        # fill fifo exactly
+        model._update_state(np.ones((cfg.fifo_len, d), np.float32))
+        assert model._fifo_len == cfg.fifo_len and model._spk_len == 0
+        # overflow by 2 → oldest 2 go to spkcache
+        model._update_state(np.full((2, d), 2.0, np.float32))
+        assert model._fifo_len == cfg.fifo_len
+        assert model._spk_len == 2
+        assert (model._spkcache[:2] == 1.0).all()
+        assert (model._fifo[-2:] == 2.0).all()
+
+    def test_spkcache_overflow_shifts(self, model):
+        cfg = model.cfg
+        model.reset_state()
+        total = cfg.fifo_len + cfg.spkcache_len + 3
+        for i in range(total):
+            model._update_state(np.full((1, cfg.d_model), float(i), np.float32))
+        assert model._spk_len == cfg.spkcache_len
+        assert model._fifo_len == cfg.fifo_len
+        # newest frame is at the end of fifo
+        assert model._fifo[model._fifo_len - 1, 0] == float(total - 1)
+
+    def test_diarize_end_to_end(self, model):
+        rng = np.random.default_rng(3)
+        audio = (0.1 * rng.standard_normal(3 * 16000)).astype(np.float32)
+        segs = model.diarize(audio)
+        for s in segs:
+            assert 0 <= s.speaker < model.cfg.max_speakers
+            assert s.end > s.start
+        # deterministic
+        segs2 = model.diarize(audio)
+        assert [(s.start, s.end, s.speaker) for s in segs] == \
+               [(s.start, s.end, s.speaker) for s in segs2]
+
+    def test_empty_audio(self, model):
+        assert model.diarize(np.zeros(0, np.float32)) == []
