@@ -284,6 +284,20 @@ def cmd_vibevoice_encode_voice(args):
     _print({"voice_cache": str(path)})
 
 
+def cmd_voxcpm2(args):
+    from .audio.io import write_wav
+    from .models.voxcpm2 import VoxCPM2TTS, config_tiny
+
+    model = (VoxCPM2TTS.init_random(config_tiny()) if args.random_weights
+             else VoxCPM2TTS.from_pretrained(args.model))
+    voice = None
+    if args.voice:
+        voice, _ = _load_audio(args.voice, rate=model.cfg.sample_rate)
+    chunk = model.synthesize(args.text, voice=voice, instruct=args.instruct)
+    write_wav(args.output, chunk.samples, chunk.sample_rate)
+    _print({"output": args.output, "seconds": len(chunk.samples) / chunk.sample_rate})
+
+
 def cmd_serve(args):
     import asyncio
 
@@ -388,6 +402,11 @@ def build_parser() -> argparse.ArgumentParser:
     add("vibevoice-encode-voice", cmd_vibevoice_encode_voice, audio={}, **{
         "--model": dict(default="microsoft/VibeVoice-Realtime-0.5B"),
         "--transcript": dict(default=None), "--output": dict(default="voice_cache.npz")})
+    add("voxcpm2", cmd_voxcpm2, text={}, **{
+        "--model": dict(default="openbmb/VoxCPM2"),
+        "--voice": dict(default=None, help="reference audio for cloning"),
+        "--instruct": dict(default=None, help="voice-design instruction"),
+        "--output": dict(default="out.wav")})
     add("serve", cmd_serve, **{
         "--host": dict(default="127.0.0.1"), "--port": dict(type=int, default=8321)})
     return p
