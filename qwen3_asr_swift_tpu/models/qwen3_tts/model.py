@@ -62,7 +62,10 @@ def _round_up(n: int, q: int) -> int:
 class Qwen3TTS(SpeechGenerationModel):
     def __init__(self, cfg: Qwen3TTSConfig, talker_params, cp_params, codec_params,
                  tokenizer: Optional[BPETokenizer] = None, dtype=jnp.bfloat16,
-                 speakers: Optional[dict] = None):
+                 speakers: Optional[dict] = None, encoder_params=None,
+                 speaker_encoder_params=None):
+        from .voice_clone import ReferenceAudioCache
+
         self.cfg = cfg
         self.dtype = dtype
         self.tokenizer = tokenizer
@@ -71,6 +74,11 @@ class Qwen3TTS(SpeechGenerationModel):
         self.talker_params = cast(talker_params)
         self.cp_params = cast(cp_params)
         self.codec = CodecDecoder(codec_params, cfg.codec, dtype=jnp.float32)
+        self.encoder_params = (jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float32),
+                                                      encoder_params)
+                               if encoder_params is not None else None)
+        self.speaker_encoder_params = speaker_encoder_params
+        self.ref_cache = ReferenceAudioCache()
         self._loaded = True
 
         tcfg = cfg.talker
@@ -165,14 +173,19 @@ class Qwen3TTS(SpeechGenerationModel):
     @classmethod
     def init_random(cls, cfg: Optional[Qwen3TTSConfig] = None, seed: int = 0,
                     dtype=jnp.bfloat16, tokenizer=None, **kw) -> "Qwen3TTS":
+        from .voice_clone import init_codec_encoder, init_speaker_encoder
+
         cfg = cfg or CONFIG_06B
-        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        k1, k2, k3, k4, k5 = jax.random.split(jax.random.PRNGKey(seed), 5)
         return cls(
             cfg,
             init_talker_params(k1, cfg.talker, jnp.float32),
             init_cp_params(k2, cfg.code_predictor, jnp.float32),
             init_codec_params(k3, cfg.codec, jnp.float32),
-            tokenizer=tokenizer, dtype=dtype, **kw,
+            tokenizer=tokenizer, dtype=dtype,
+            encoder_params=init_codec_encoder(k4, cfg.codec),
+            speaker_encoder_params=init_speaker_encoder(k5),
+            **kw,
         )
 
     @classmethod
@@ -198,12 +211,18 @@ class Qwen3TTS(SpeechGenerationModel):
     # ------------------------------------------------------------------ #
 
     def _build_prompt_embeds(self, text: str, language: str, speaker: Optional[str],
-                             instruct: Optional[str]):
+                             instruct: Optional[str], clone=None):
         """Host-side token assembly; embedding happens in tiny jitted ops
-        (reference: buildPrefillEmbeddings, Qwen3TTS.swift:1299-1330)."""
+        (reference: buildPrefillEmbeddings, Qwen3TTS.swift:1299-1330).
+        ``clone`` = (ref_codes [T,16], ref_text) activates the ICL path
+        (reference: Qwen3TTS+ICL.swift:16-243 — the reference transcript
+        precedes the target text and the reference's codec frames are
+        spliced into the prefill after BOS)."""
         if self.tokenizer is None:
             raise RuntimeError("synthesis requires a tokenizer")
         IM_START, IM_END, NL, ASSISTANT, USER = 151644, 151645, 198, 77091, 872
+        if clone is not None:
+            text = f"{clone[1]} {text}" if clone[1] else text
         text_tokens = [IM_START, ASSISTANT, NL] + self.tokenizer.encode(text) + \
                       [IM_END, NL, IM_START, ASSISTANT, NL]
         lang_id = CodecTokens.language_id(language) or CodecTokens.LANGUAGES["en"]
@@ -229,7 +248,15 @@ class Qwen3TTS(SpeechGenerationModel):
         combined = overlay[None] + codec_embeds[:, : n_codec - 1]
         role = text_embeds[:, :3]
         first_text = text_embeds[:, 3:4] + codec_embeds[:, -1:]
-        pieces = [role, combined, first_text]
+        pieces = [role, combined]
+        if clone is not None:
+            # ICL frames: tts_pad + codec-0 embed + Σ group embeds per frame
+            codes = jnp.asarray(clone[0], jnp.int32)          # [T, 16]
+            frame = embed_codec(tp, codes[None, :, 0]) \
+                + embed_all_groups(self.cp_params, self.cfg.code_predictor,
+                                   codes[:, 1:])[None]
+            pieces.append((frame + tts_pad[None, None]).astype(text_embeds.dtype))
+        pieces.append(first_text)
         if instruct:
             instruct_ids = [IM_START, USER, NL] + self.tokenizer.encode(instruct) + [IM_END, NL]
             pieces.insert(0, embed_text(tp, jnp.asarray(instruct_ids, jnp.int32)[None], tcfg))
@@ -241,9 +268,12 @@ class Qwen3TTS(SpeechGenerationModel):
     def generate_codes(self, text: str, language: str = "english", speaker: Optional[str] = None,
                        instruct: Optional[str] = None, sampling: Optional[TTSSamplingConfig] = None,
                        seed: int = 0):
-        """Run the talker+CP loop; returns (codes [16, n_frames], n_frames)."""
+        """Run the talker+CP loop; returns (codes [16, n_frames], n_frames).
+        ``speaker`` may name a built-in speaker OR a registered voice clone."""
         sampling = sampling or TTSSamplingConfig()
-        prefill, trailing, tts_pad = self._build_prompt_embeds(text, language, speaker, instruct)
+        clone = self.ref_cache.get(speaker) if speaker else None
+        prefill, trailing, tts_pad = self._build_prompt_embeds(
+            text, language, None if clone else speaker, instruct, clone=clone)
         p_len = prefill.shape[1]
         t_len = trailing.shape[1]
         p_block = _round_up(p_len, 32)
@@ -284,6 +314,38 @@ class Qwen3TTS(SpeechGenerationModel):
             return
         for chunk in self.codec.decode_stream(codes):
             yield AudioChunk(np.asarray(chunk, np.float32), self.cfg.codec.sample_rate)
+
+    # -- voice cloning (reference: Qwen3TTS+ICL.swift, SpeakerEncoder) -----
+
+    def register_voice_clone(self, name: str, audio: np.ndarray, transcript: str = "",
+                             sample_rate: int = 24000, max_frames: int = 50) -> None:
+        """Encode reference audio to codec tokens and cache it; synthesize
+        with ``voice=name`` to clone (reference: ICL cloning — ref codec
+        frames + transcript in the prefill)."""
+        from ...audio.resample import resample
+        from .voice_clone import codec_encode
+
+        if self.encoder_params is None:
+            raise RuntimeError("no speech-tokenizer encoder loaded")
+        sr = self.cfg.codec.sample_rate
+        if sample_rate != sr:
+            audio = resample(np.asarray(audio, np.float32), sample_rate, sr)
+        codes = codec_encode(self.encoder_params, self.codec.params, self.cfg.codec,
+                             jnp.asarray(audio, jnp.float32))
+        self.ref_cache.put(name, np.asarray(codes)[:max_frames], transcript)
+
+    def speaker_embedding(self, audio: np.ndarray, sample_rate: int = 16000) -> np.ndarray:
+        """ECAPA-style x-vector for speaker similarity (reference:
+        SpeakerEncoder.swift)."""
+        from ...audio.resample import resample
+        from .voice_clone import speaker_embed
+
+        if self.speaker_encoder_params is None:
+            raise RuntimeError("no speaker encoder loaded")
+        if sample_rate != 16000:
+            audio = resample(np.asarray(audio, np.float32), sample_rate, 16000)
+        return np.asarray(speaker_embed(self.speaker_encoder_params,
+                                        np.asarray(audio, np.float32)))
 
     def synthesize_batch(self, texts: Sequence[str], **kwargs) -> List[AudioChunk]:
         """Multi-utterance synthesis (reference: synthesizeBatch). Sequential
