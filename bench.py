@@ -27,6 +27,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: warmup drops from ~295 s to seconds on re-runs
+    try:
+        cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
+
     from qwen3_asr_swift_tpu.models.qwen3_asr import CONFIG_SMALL, Qwen3ASR
     from qwen3_asr_swift_tpu.ops.sampling import SamplingOptions
 

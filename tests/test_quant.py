@@ -67,21 +67,26 @@ class TestMatmul:
         y = np.asarray(quant_matmul_xla(jnp.asarray(x), p))
         assert np.allclose(y, x @ w_ref.T, rtol=1e-4, atol=1e-4)
 
+    # The Pallas kernel dequantizes into bf16 planes (matching the
+    # reference's fp16 MLX compute), so tolerance is bf16-level relative
+    # to the magnitude of the result.
     @pytest.mark.parametrize("bits", [4, 8])
     def test_pallas_matches_xla(self, bits):
         p, w_ref = make_q(16, 128, bits)
         x = RNG.standard_normal((8, 128)).astype(np.float32)
         y_p = np.asarray(quant_matmul_pallas(jnp.asarray(x), p, tile_out=8, interpret=True))
         y_x = np.asarray(quant_matmul_xla(jnp.asarray(x), p))
-        assert np.allclose(y_p, y_x, rtol=1e-4, atol=1e-4)
-        assert np.allclose(y_p, x @ w_ref.T, rtol=1e-4, atol=1e-4)
+        scale = np.abs(y_x).max()
+        assert np.abs(y_p - y_x).max() / scale < 2e-2
+        assert np.abs(y_p - x @ w_ref.T).max() / scale < 2e-2
 
     def test_pallas_pads_ragged_out_dim(self):
         p, w_ref = make_q(12, 128, 4)  # 12 not divisible by tile 8
         x = RNG.standard_normal((8, 128)).astype(np.float32)
         y = np.asarray(quant_matmul_pallas(jnp.asarray(x), p, tile_out=8, interpret=True))
         assert y.shape == (8, 12)
-        assert np.allclose(y, x @ w_ref.T, rtol=1e-4, atol=1e-4)
+        truth = x @ w_ref.T
+        assert np.abs(y - truth).max() / np.abs(truth).max() < 2e-2
 
     def test_batched_leading_dims(self):
         p, w_ref = make_q(8, 128, 4)
