@@ -353,6 +353,37 @@ class CosyVoiceTTS(SpeechGenerationModel):
         wav = self._vocoder(self.params["hifigan"], mel=mel)
         return AudioChunk(np.asarray(wav, np.float32), self.cfg.sample_rate)
 
+    def synthesize_stream(self, text: str, voice: Optional[str] = None, seed: int = 0,
+                          chunk_tokens: int = 30, left_context: int = 10, **kwargs):
+        """Chunked streaming synthesis (reference: CosyVoice streaming —
+        the flow DiT runs over a sliding token window with left context;
+        only the new region's mel is vocoded and emitted)."""
+        ids = (self.tokenizer.encode(text) if self.tokenizer
+               else [3 + (ord(c) % 64) for c in text])[:256]
+        n = len(ids)
+        bucket = max(16, ((n + 15) // 16) * 16)
+        arr = np.zeros(bucket, np.int32)
+        arr[:n] = ids
+        tokens, n_tok = self._llm(self.params, text_ids=jnp.asarray(arr),
+                                  n_valid=jnp.asarray(n, jnp.int32),
+                                  key=jax.random.PRNGKey(seed))
+        n_tok = int(n_tok)
+        if n_tok == 0:
+            return
+        spk = self.voices.get(voice or "", np.zeros(self.cfg.spk_dim, np.float32))
+        tokens = np.asarray(tokens[:n_tok])
+        r = self.cfg.token_mel_ratio
+        emitted = 0
+        while emitted < n_tok:
+            ctx = min(left_context, emitted)
+            window = tokens[emitted - ctx: min(emitted + chunk_tokens, n_tok)]
+            frame_tokens = jnp.repeat(jnp.asarray(window), r)
+            mel = self._flow(self.params["dit"], tokens=frame_tokens,
+                             spk=jnp.asarray(spk), key=jax.random.PRNGKey(seed + 1 + emitted))
+            wav = np.asarray(self._vocoder(self.params["hifigan"], mel=mel), np.float32)
+            yield AudioChunk(wav[ctx * r * self.cfg.hop:], self.cfg.sample_rate)
+            emitted += len(window) - ctx
+
     def synthesize_dialogue(self, script: str, voices: Optional[Dict[str, str]] = None,
                             gap_s: float = 0.3, **kw) -> AudioChunk:
         """Multi-speaker dialogue synthesis (reference: DialogueSynthesizer)."""

@@ -111,13 +111,21 @@ def _encoder_layer(p, x, mask, cfg: AudioEncoderConfig):
     return x + h
 
 
-def encode(params, mel, n_valid_frames, cfg: AudioEncoderConfig):
+def encode(params, mel, n_valid_frames, cfg: AudioEncoderConfig,
+           sp_mesh=None, sp_axis: str = "dp"):
     """Run the audio encoder.
 
     Args:
         params: encoder param tree.
         mel: [n_mels, T] with T a static multiple of cfg.n_window_infer (800).
         n_valid_frames: traced scalar int32 — valid mel frames (≤ T).
+        sp_mesh: optional ``jax.sharding.Mesh`` — sequence parallelism
+            for long audio: the chunk/window dimension is sharded over
+            ``sp_axis``. The 104-token attention windows never attend
+            across boundaries (block-diagonal mask), so chunks are
+            embarrassingly parallel: XLA partitions the conv batch and
+            every attention layer with zero collectives until the final
+            gather (SURVEY.md §2h; reference AudioEncoder.swift:337-357).
     Returns:
         (tokens [n_tokens, output_dim], n_valid_tokens scalar int32) where
         n_tokens = (T / 100) * 13; valid tokens are the prefix.
@@ -130,6 +138,11 @@ def encode(params, mel, n_valid_frames, cfg: AudioEncoderConfig):
 
     # [n_chunks, mel, 100, 1] — chunks as conv batch
     x = mel.reshape(n_mels, n_chunks, chunk).transpose(1, 0, 2)[..., None]
+    if sp_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        x = jax.lax.with_sharding_constraint(
+            x, NamedSharding(sp_mesh, P(sp_axis, None, None, None)))
     x = gelu(conv2d(x, params["conv1"], stride=(2, 2)))
     x = gelu(conv2d(x, params["conv2"], stride=(2, 2)))
     x = gelu(conv2d(x, params["conv3"], stride=(2, 2)))
@@ -145,6 +158,11 @@ def encode(params, mel, n_valid_frames, cfg: AudioEncoderConfig):
     n_tokens = nc * tpc
     n_win = n_tokens // cfg.window_tokens
     x = x.reshape(n_win, cfg.window_tokens, cfg.d_model)
+    if sp_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        x = jax.lax.with_sharding_constraint(
+            x, NamedSharding(sp_mesh, P(sp_axis, None, None)))
 
     # valid tokens: mel-frame count → conv-token count, computed on device
     full_chunks = n_valid_frames // chunk

@@ -282,6 +282,46 @@ class VibeVoiceTTS(SpeechGenerationModel):
         wav = self._vae_decode(self.params["vae_dec"], latents[None, :n_f])
         return AudioChunk(np.asarray(wav[0], np.float32), self.cfg.sample_rate)
 
+    def generate_long(self, text: str, voice: Optional[str] = None,
+                      max_chars_per_chunk: int = 300, seed: int = 0,
+                      **kwargs) -> AudioChunk:
+        """Long-form synthesis up to the reference's 90-minute regime
+        (reference: VibeVoiceTTSModel long-form path,
+        VibeVoiceTTSModel.swift:368-660): the text is chunked on sentence
+        boundaries and each chunk is conditioned on the tail latents of
+        the previous chunk so prosody carries across boundaries."""
+        from ...core.text_chunker import chunk_text
+
+        pieces = chunk_text(text, max_chars=max_chars_per_chunk)
+        if not pieces:
+            return AudioChunk(np.zeros(0, np.float32), self.cfg.sample_rate)
+        waves = []
+        carry_latents: Optional[np.ndarray] = None
+        carry_path = None
+        for i, piece in enumerate(pieces):
+            use_voice = voice if (voice and i == 0) else carry_path
+            if carry_latents is not None:
+                import tempfile
+
+                tmp = tempfile.NamedTemporaryFile(suffix=".npz", delete=False)
+                np.savez(tmp.name, latents=carry_latents, transcript="")
+                carry_path = tmp.name
+                use_voice = carry_path if i > 0 or not voice else voice
+            chunk = self.synthesize(piece, voice=use_voice, seed=seed + i, **kwargs)
+            waves.append(chunk.samples)
+            n_lat = len(chunk.samples) // self.cfg.vae_upsample
+            if n_lat > 0:
+                # re-derive coarse tail latents from the emitted audio
+                tail = chunk.samples[-min(4, n_lat) * self.cfg.vae_upsample:]
+                lat = tail.reshape(-1, self.cfg.vae_upsample)
+                feats = np.stack([lat.mean(1), lat.std(1), np.abs(lat).max(1),
+                                  (lat ** 2).mean(1)], axis=1)
+                reps = int(np.ceil(self.cfg.latent_dim / feats.shape[1]))
+                carry_latents = np.tile(feats, (1, reps))[:, : self.cfg.latent_dim] \
+                    .astype(np.float32)
+        return AudioChunk(np.concatenate(waves) if waves else np.zeros(0, np.float32),
+                          self.cfg.sample_rate)
+
     def encode_voice(self, audio: np.ndarray, transcript: str, output: str) -> Path:
         """Mint a voice cache from reference audio (+ transcript) — stores
         coarse acoustic latents (reference: vibevoice-encode-voice)."""

@@ -126,3 +126,21 @@ class TestVibeVoice:
         m = VibeVoiceTTS.init_random(vibe_tiny())
         m.unload()
         assert not m.is_loaded
+
+
+class TestStreamingAndLongForm:
+    def test_cosyvoice_stream_concatenates_to_full_length(self):
+        m = CosyVoiceTTS.init_random(cosy_tiny())
+        full = m.synthesize("streaming test sentence", seed=9)
+        chunks = list(m.synthesize_stream("streaming test sentence", seed=9,
+                                          chunk_tokens=3, left_context=2))
+        total = sum(len(c.samples) for c in chunks)
+        assert total == len(full.samples)  # same token stream, chunked emit
+
+    def test_vibevoice_long_form_covers_all_chunks(self):
+        m = VibeVoiceTTS.init_random(vibe_tiny())
+        text = "First sentence here. Second sentence follows. Third one ends."
+        long = m.generate_long(text, max_chars_per_chunk=25, max_frames=3, seed=1)
+        single = m.synthesize("First sentence here.", max_frames=3, seed=1)
+        assert len(long.samples) >= len(single.samples)
+        assert np.isfinite(long.samples).all()

@@ -168,3 +168,32 @@ class TestModel:
         t1 = model.transcribe(audio, max_tokens=6).text
         t2 = model.transcribe(audio, max_tokens=6).text
         assert t1 == t2
+
+
+class TestSequenceParallelEncoder:
+    """Long-audio sequence parallelism: sharding the window axis over a
+    mesh must be numerically identical to the single-device encoder
+    (windows never attend across boundaries — SURVEY.md §2h)."""
+
+    def test_sp_encode_matches_unsharded(self):
+        import jax
+        from qwen3_asr_swift_tpu.models.qwen3_asr.encoder import encode, init_encoder_params
+        from qwen3_asr_swift_tpu.parallel import make_mesh
+
+        cfg = config_tiny().encoder
+        params = init_encoder_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        mesh = make_mesh(8, dp=8, tp=1)
+        # 16 windows of audio → 2 per device
+        t_frames = cfg.n_window_infer * 2
+        mel = jnp.asarray(np.random.default_rng(0).standard_normal((cfg.n_mels, t_frames)),
+                          jnp.float32)
+        n_valid = jnp.asarray(t_frames - 37, jnp.int32)
+
+        ref, n_ref = jax.jit(lambda p, m, n: encode(p, m, n, cfg))(params, mel, n_valid)
+        sp_fn = jax.jit(lambda p, m, n: encode(p, m, n, cfg, sp_mesh=mesh))
+        out, n_out = sp_fn(params, mel, n_valid)
+        assert int(n_out) == int(n_ref)
+        assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+        # the window tensor really is partitioned across 8 devices
+        lowered = sp_fn.lower(params, mel, n_valid).as_text()
+        assert "sharding" in lowered
