@@ -297,9 +297,13 @@ class PersonaPlex(SpeechToSpeechModel):
         self._mimi_decode = jax.jit(functools.partial(mimi_decode, cfg=cfg.mimi))
 
         @functools.partial(jax.jit, static_argnames=("user_frames", "max_steps", "sampling"))
-        def _converse(p, user_codes, key, *, user_frames, max_steps, sampling: PersonaSampling):
-            """user_codes: [1, 16, user_frames]. Runs user-overlap + post-user
-            steps; returns agent codes [1, 16, max_steps]."""
+        def _converse(p, user_codes, voice_codes, n_voice, key, *,
+                      user_frames, max_steps, sampling: PersonaSampling):
+            """user_codes: [1, 16, user_frames]; voice_codes [1, 16, V_cap]
+            agent-stream voice-prompt prefix (reference: voice .safetensors
+            embeddings prefilled before the turn, PersonaPlex.swift:131-223,
+            289-342) with n_voice valid frames. Returns agent codes
+            [1, 16, max_steps]."""
             b = 1
             k = cfg.temporal_codebooks
             cache = init_cache(cfg.num_layers, b, cfg.num_heads, cfg.context, cfg.head_dim, self.dtype)
@@ -329,11 +333,21 @@ class PersonaPlex(SpeechToSpeechModel):
                 step, *_ = s
                 return step < max_steps
 
-            # bootstrap frame: all-pad embeds
-            embeds0 = embed_frame(p, cfg, jnp.full((b,), cfg.text_pad, jnp.int32),
-                                  jnp.full((b, k), cfg.audio_pad, jnp.int32),
-                                  jnp.full((b, k), cfg.audio_pad, jnp.int32))[:, None]
-            valid0 = jnp.ones((b, 1), bool)
+            # prefill: voice-prompt frames (agent stream) then one pad frame
+            v_cap = voice_codes.shape[2]
+
+            def embed_voice_frame(t):
+                return embed_frame(p, cfg, jnp.full((b,), cfg.text_pad, jnp.int32),
+                                   jnp.full((b, k), cfg.audio_pad, jnp.int32),
+                                   voice_codes[:, :k, t])
+
+            voice_embeds = jax.vmap(embed_voice_frame, out_axes=1)(jnp.arange(v_cap))  # [B,V,H]
+            pad0 = embed_frame(p, cfg, jnp.full((b,), cfg.text_pad, jnp.int32),
+                               jnp.full((b, k), cfg.audio_pad, jnp.int32),
+                               jnp.full((b, k), cfg.audio_pad, jnp.int32))[:, None]
+            embeds0 = jnp.concatenate([voice_embeds, pad0], axis=1)
+            valid0 = jnp.concatenate([jnp.arange(v_cap)[None] < n_voice,
+                                      jnp.ones((b, 1), bool)], axis=1)
             _, cache = temporal_prefill(p, cfg, embeds0.astype(self.dtype), valid0, cache)
 
             state = (jnp.asarray(0, jnp.int32), cache, agent_prev, agent_out, key)
@@ -363,11 +377,33 @@ class PersonaPlex(SpeechToSpeechModel):
         tree = unflatten(flat)
         return cls(CONFIG_7B, tree.get("temporal", tree), tree.get("mimi", {}), dtype=dtype, **kw)
 
-    def respond(self, audio: np.ndarray, sample_rate: int = 16000,
-                sampling: Optional[PersonaSampling] = None, max_extra_s: float = 4.0,
-                **kwargs) -> AudioChunk:
-        t0 = time.perf_counter()
-        sampling = sampling or PersonaSampling()
+    VOICE_PROMPT_CAP = 32  # frames; fixed so one compiled program serves all prompts
+
+    def make_voice_prompt(self, audio: np.ndarray, sample_rate: int = 24000,
+                          path: Optional[str] = None) -> np.ndarray:
+        """Reference audio → agent-stream code prefix (reference: voice
+        .safetensors with embeddings + delay-ring snapshot,
+        PersonaPlex.swift:131-223). Optionally persisted as .npz."""
+        sr = self.cfg.mimi.sample_rate
+        if sample_rate != sr:
+            from ...audio.resample import resample
+
+            audio = resample(np.asarray(audio, np.float32), sample_rate, sr)
+        spf = self.cfg.mimi.samples_per_frame
+        n = max(1, len(audio) // spf)
+        audio = np.pad(audio, (0, n * spf - len(audio)))[: n * spf]
+        codes = np.asarray(self._mimi_encode(self.mimi_params,
+                                             audio=jnp.asarray(audio, jnp.float32)[None]))
+        codes = codes[:, :, : self.VOICE_PROMPT_CAP]
+        if path:
+            np.savez(path, codes=codes)
+        return codes
+
+    @staticmethod
+    def load_voice_prompt(path: str) -> np.ndarray:
+        return np.load(path)["codes"]
+
+    def _run_converse(self, audio, sample_rate, sampling, max_extra_s, voice_prompt):
         sr = self.cfg.mimi.sample_rate
         if sample_rate != sr:
             from ...audio.resample import resample
@@ -378,11 +414,28 @@ class PersonaPlex(SpeechToSpeechModel):
         audio = np.pad(audio, (0, n_frames * spf - len(audio)))[: n_frames * spf]
 
         user_codes = self._mimi_encode(self.mimi_params, audio=jnp.asarray(audio)[None])
+        cap = self.VOICE_PROMPT_CAP
+        voice = np.zeros((1, self.cfg.num_codebooks, cap), np.int32)
+        n_voice = 0
+        if voice_prompt is not None:
+            vp = np.asarray(voice_prompt, np.int32)
+            n_voice = min(vp.shape[2], cap)
+            voice[:, : vp.shape[1], :n_voice] = vp[:, :, :n_voice]
         max_steps = min(sampling.max_steps,
                         n_frames + int(max_extra_s * self.cfg.mimi.frame_rate))
-        agent = self._converse(self.params, user_codes, jax.random.PRNGKey(0),
+        agent = self._converse(self.params, user_codes, jnp.asarray(voice),
+                               jnp.asarray(n_voice, jnp.int32), jax.random.PRNGKey(0),
                                user_frames=n_frames, max_steps=max_steps, sampling=sampling)
-        agent = jnp.clip(agent, 0, self.cfg.mimi.codebook_size - 1)
+        return jnp.clip(agent, 0, self.cfg.mimi.codebook_size - 1), n_frames, max_steps
+
+    def respond(self, audio: np.ndarray, sample_rate: int = 16000,
+                sampling: Optional[PersonaSampling] = None, max_extra_s: float = 4.0,
+                voice_prompt: Optional[np.ndarray] = None, **kwargs) -> AudioChunk:
+        t0 = time.perf_counter()
+        sampling = sampling or PersonaSampling()
+        sr = self.cfg.mimi.sample_rate
+        agent, n_frames, max_steps = self._run_converse(
+            audio, sample_rate, sampling, max_extra_s, voice_prompt)
         wav = self._mimi_decode(self.mimi_params, codes=agent)
         out = np.asarray(wav[0], np.float32)
         dur = len(out) / sr
@@ -391,6 +444,30 @@ class PersonaPlex(SpeechToSpeechModel):
         log.info("personaplex: %d user frames → %d agent frames, RTF %.2f",
                  n_frames, max_steps, (time.perf_counter() - t0) / max(dur, 1e-6))
         return AudioChunk(out, sr)
+
+    def respond_stream(self, audio: np.ndarray, sample_rate: int = 16000,
+                       sampling: Optional[PersonaSampling] = None,
+                       max_extra_s: float = 4.0,
+                       voice_prompt: Optional[np.ndarray] = None,
+                       chunk_frames: int = 25, left_context: int = 5):
+        """Streaming response: agent codes decode through Mimi in ~2 s
+        chunks with left context, trimmed at the seam (reference:
+        MimiStreamingDecoder 25-frame chunks, MimiCodec.swift:184-209)."""
+        sampling = sampling or PersonaSampling()
+        sr = self.cfg.mimi.sample_rate
+        spf = self.cfg.mimi.samples_per_frame
+        agent, _, max_steps = self._run_converse(
+            audio, sample_rate, sampling, max_extra_s, voice_prompt)
+        agent = np.asarray(agent)
+        emitted = 0
+        while emitted < max_steps:
+            ctx = min(left_context, emitted)
+            end = min(emitted + chunk_frames, max_steps)
+            piece = jnp.asarray(agent[:, :, emitted - ctx: end])
+            wav = np.asarray(self._mimi_decode(self.mimi_params, codes=piece)[0],
+                             np.float32)
+            yield AudioChunk(wav[ctx * spf:], sr)
+            emitted = end
 
     def warm_up(self) -> None:
         self.respond(np.zeros(self.cfg.mimi.samples_per_frame * 2, np.float32),

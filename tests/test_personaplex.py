@@ -96,3 +96,47 @@ class TestRespond:
         assert out.sample_rate == CFG.mimi.sample_rate
         assert len(out.samples) > 0
         assert np.isfinite(out.samples).all()
+
+
+class TestVoicePromptAndStreaming:
+    @pytest.fixture(scope="class")
+    def model(self):
+        from qwen3_asr_swift_tpu.models.personaplex import PersonaPlex, config_tiny
+
+        return PersonaPlex.init_random(config_tiny())
+
+    def test_voice_prompt_roundtrip(self, model, tmp_path):
+        spf = model.cfg.mimi.samples_per_frame
+        ref = np.sin(np.linspace(0, 50, spf * 5)).astype(np.float32)
+        path = str(tmp_path / "voice.npz")
+        codes = model.make_voice_prompt(ref, model.cfg.mimi.sample_rate, path=path)
+        loaded = model.load_voice_prompt(path)
+        assert np.array_equal(codes, loaded)
+        assert codes.shape[1] == model.cfg.num_codebooks
+
+    def test_voice_prompt_conditions_response(self, model):
+        from qwen3_asr_swift_tpu.models.personaplex import PersonaSampling
+
+        spf = model.cfg.mimi.samples_per_frame
+        user = (0.1 * np.random.default_rng(0).standard_normal(spf * 3)).astype(np.float32)
+        s = PersonaSampling(audio_temperature=0.0, text_temperature=0.0, max_steps=4)
+        plain = model.respond(user, model.cfg.mimi.sample_rate, sampling=s, max_extra_s=0.1)
+        vp = model.make_voice_prompt(np.ones(spf * 4, np.float32) * 0.3,
+                                     model.cfg.mimi.sample_rate)
+        prompted = model.respond(user, model.cfg.mimi.sample_rate, sampling=s,
+                                 max_extra_s=0.1, voice_prompt=vp)
+        assert len(plain.samples) == len(prompted.samples)
+        # prompt changes the prefill → generally different audio
+        assert plain.samples.shape == prompted.samples.shape
+
+    def test_respond_stream_matches_offline_total(self, model):
+        from qwen3_asr_swift_tpu.models.personaplex import PersonaSampling
+
+        spf = model.cfg.mimi.samples_per_frame
+        user = (0.1 * np.random.default_rng(1).standard_normal(spf * 3)).astype(np.float32)
+        s = PersonaSampling(audio_temperature=0.0, text_temperature=0.0, max_steps=4)
+        offline = model.respond(user, model.cfg.mimi.sample_rate, sampling=s, max_extra_s=0.1)
+        chunks = list(model.respond_stream(user, model.cfg.mimi.sample_rate, sampling=s,
+                                           max_extra_s=0.1, chunk_frames=2, left_context=1))
+        total = sum(len(c.samples) for c in chunks)
+        assert total == len(offline.samples)
