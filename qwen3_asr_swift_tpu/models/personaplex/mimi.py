@@ -80,18 +80,21 @@ def init_mimi_params(key, cfg: MimiConfig, dtype=jnp.float32) -> dict:
     ch = max(1, c >> len(cfg.ratios))
     for i, ratio in enumerate(cfg.ratios):
         k = jax.random.split(ks[12 + i], 3)
+        mid = max(1, ch // 2)  # bottleneck floor for tiny test configs
         params["enc_stages"].append({
-            "res_conv1": _conv_init(k[0], 3, ch, ch // 2, dtype=dtype),
-            "res_conv2": _conv_init(k[1], 1, ch // 2, ch, dtype=dtype),
+            "res_conv1": _conv_init(k[0], 3, ch, mid, dtype=dtype),
+            "res_conv2": _conv_init(k[1], 1, mid, ch, dtype=dtype),
             "down": _conv_init(k[2], ratio * 2, ch, ch * 2, dtype=dtype),
         })
         ch *= 2
     for i, ratio in enumerate(reversed(cfg.ratios)):
         k = jax.random.split(ks[16 + i], 3)
+        half = max(1, ch // 2)
+        quarter = max(1, ch // 4)
         params["dec_stages"].append({
-            "up": _conv_init(k[0], ratio * 2, ch, ch // 2, dtype=dtype),
-            "res_conv1": _conv_init(k[1], 3, ch // 2, ch // 4, dtype=dtype),
-            "res_conv2": _conv_init(k[2], 1, ch // 4, ch // 2, dtype=dtype),
+            "up": _conv_init(k[0], ratio * 2, ch, half, dtype=dtype),
+            "res_conv1": _conv_init(k[1], 3, half, quarter, dtype=dtype),
+            "res_conv2": _conv_init(k[2], 1, quarter, half, dtype=dtype),
         })
         ch //= 2
     hd = cfg.latent_dim // cfg.transformer_heads
