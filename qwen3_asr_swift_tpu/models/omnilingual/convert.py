@@ -33,10 +33,15 @@ def convert_wav2vec2(flat: Dict[str, np.ndarray], cfg: OmniConfig) -> dict:
         "ln": ln("feature_projection.layer_norm"),
         "proj": lin("feature_projection.projection"),
     }
-    pos_w = f["encoder.pos_conv_embed.conv.weight"]  # possibly weight-norm split
-    if "encoder.pos_conv_embed.conv.weight_g" in f:
-        g = f["encoder.pos_conv_embed.conv.weight_g"]
-        v = f["encoder.pos_conv_embed.conv.weight_v"]
+    base = "encoder.pos_conv_embed.conv"
+    if f"{base}.weight" in f:
+        pos_w = f[f"{base}.weight"]
+    elif f"{base}.weight_g" in f:  # legacy torch weight-norm split
+        g, v = f[f"{base}.weight_g"], f[f"{base}.weight_v"]
+        pos_w = g * v / np.linalg.norm(v, axis=(0, 1), keepdims=True)
+    else:  # torch >= 2.1 parametrize-style weight norm
+        g = f[f"{base}.parametrizations.weight.original0"]
+        v = f[f"{base}.parametrizations.weight.original1"]
         pos_w = g * v / np.linalg.norm(v, axis=(0, 1), keepdims=True)
     params["pos_conv"] = {
         "kernel": np.transpose(pos_w, (2, 1, 0)).astype(np.float32),
