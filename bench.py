@@ -45,7 +45,8 @@ def main():
 
     print(f"building 0.6B model (random weights), batch={batch} clip={clip_s}s "
           f"tokens={max_tokens}", file=sys.stderr)
-    model = Qwen3ASR.init_random(CONFIG_SMALL, dtype=jnp.bfloat16, audio_buckets_s=(8, 16, 32, 64))
+    model = Qwen3ASR.init_random(CONFIG_SMALL, dtype=jnp.bfloat16, audio_buckets_s=(8, 16, 32, 64),
+                                 wire_dtype=np.int16)  # halve host→device PCM transfer
 
     rng = np.random.default_rng(0)
     clips = [(0.1 * rng.standard_normal(clip_s * sr)).astype(np.float32) for _ in range(batch)]

@@ -60,11 +60,15 @@ class Qwen3ASR(SpeechRecognitionModel):
         dtype=jnp.bfloat16,
         mel_cfg: MelConfig = MelConfig(),
         audio_buckets_s: Sequence[int] = ASR_AUDIO_BUCKETS_S,
+        wire_dtype=np.float32,
     ):
+        # host→device audio format: int16 halves PCM transfer (audio is
+        # natively 16-bit; conversion happens on device inside the jit)
         self.cfg = cfg
         self.dtype = dtype
         self.mel_cfg = mel_cfg
         self.tokenizer = tokenizer
+        self.wire_dtype = np.dtype(wire_dtype)
         from ...ops.quant import cast_tree
 
         self.encoder_params = cast_tree(encoder_params, dtype)
@@ -75,6 +79,8 @@ class Qwen3ASR(SpeechRecognitionModel):
         @functools.partial(jax.jit, static_argnames=("n_frames",))
         def _encode_audio(enc_params, padded_audio, n_valid_frames, *, n_frames):
             """reflect-padded audio → mel → encoder tokens. One program."""
+            if padded_audio.dtype == jnp.int16:
+                padded_audio = padded_audio.astype(jnp.float32) / 32767.0
             mel = log_mel_kernel(padded_audio, n_valid_frames, self.mel_cfg, n_frames)
             mel = mel.astype(dtype)
             return encode(enc_params, mel, n_valid_frames, self.cfg.encoder)
@@ -290,6 +296,8 @@ class Qwen3ASR(SpeechRecognitionModel):
         bucket = max(p[2] for p in prepared)
         need = (bucket - 1) * self.mel_cfg.hop_length + self.mel_cfg.n_fft
         padded = np.stack([np.pad(p[0], (0, need - len(p[0]))) for p in prepared])
+        if self.wire_dtype == np.int16:
+            padded = np.round(np.clip(padded, -1.0, 1.0) * 32767.0).astype(np.int16)
         n_valid = np.array([p[1] for p in prepared], np.int32)
 
         audio_tokens, n_audio = self._encode_audio_batch(
