@@ -140,3 +140,43 @@ class TestVoicePromptAndStreaming:
                                            max_extra_s=0.1, chunk_frames=2, left_context=1))
         total = sum(len(c.samples) for c in chunks)
         assert total == len(offline.samples)
+
+
+class TestRealtimeSession:
+    def test_frame_loop_produces_audio(self):
+        from qwen3_asr_swift_tpu.models.personaplex import PersonaPlex, PersonaSampling, config_tiny
+
+        m = PersonaPlex.init_random(config_tiny())
+        spf = m.cfg.mimi.samples_per_frame
+        s = m.realtime_session(PersonaSampling(audio_temperature=0.0,
+                                               text_temperature=0.0, max_steps=8),
+                               context_frames=3)
+        rng = np.random.default_rng(0)
+        outs = []
+        for i in range(4):
+            frame = (0.1 * rng.standard_normal(spf)).astype(np.float32)
+            out = s.push_frame(frame)
+            assert out.shape == (spf,)
+            assert np.isfinite(out).all()
+            outs.append(out)
+        assert s.frames_done == 4
+
+    def test_push_frame_rejects_wrong_size(self):
+        from qwen3_asr_swift_tpu.models.personaplex import PersonaPlex, config_tiny
+
+        m = PersonaPlex.init_random(config_tiny())
+        s = m.realtime_session(context_frames=2)
+        with pytest.raises(ValueError):
+            s.push_frame(np.zeros(7, np.float32))
+
+    def test_voice_prompt_in_realtime(self):
+        from qwen3_asr_swift_tpu.models.personaplex import PersonaPlex, PersonaSampling, config_tiny
+
+        m = PersonaPlex.init_random(config_tiny())
+        spf = m.cfg.mimi.samples_per_frame
+        vp = m.make_voice_prompt(np.ones(spf * 3, np.float32) * 0.2,
+                                 m.cfg.mimi.sample_rate)
+        s = m.realtime_session(PersonaSampling(audio_temperature=0.0, max_steps=4),
+                               context_frames=2, voice_prompt=vp)
+        out = s.push_frame(np.zeros(spf, np.float32))
+        assert out.shape == (spf,)
