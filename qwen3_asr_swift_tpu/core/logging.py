@@ -38,3 +38,29 @@ def log_stage(logger: logging.Logger, stage: str):
         yield
     finally:
         logger.debug("%s took %.1f ms", stage, (time.perf_counter() - t0) * 1e3)
+
+
+@contextmanager
+def profile_trace(trace_dir: str = "/tmp/speech_trace", annotate: str = ""):
+    """Capture a device profile around a block (the reference has no
+    tracer — SURVEY.md §5; the TPU-native tool is jax.profiler; view with
+    tensorboard/xprof). Also logs wall time like :func:`log_stage`.
+
+    Usage::
+
+        with profile_trace("/tmp/trace", "asr-batch"):
+            model.transcribe_batch(clips)
+    """
+    import jax
+
+    t0 = time.perf_counter()
+    try:
+        with jax.profiler.trace(trace_dir):
+            if annotate:
+                with jax.profiler.TraceAnnotation(annotate):
+                    yield
+            else:
+                yield
+    finally:
+        inference.info("profile %s: %.1f ms → %s", annotate or "block",
+                       (time.perf_counter() - t0) * 1e3, trace_dir)
