@@ -242,7 +242,7 @@ def gated_attention_forward(p, x, cfg: ChatConfig, kv_state, positions, valid=No
 def chat_forward(params, cfg: ChatConfig, token_ids, states, positions, valid=None):
     """token_ids: [B, T]; states: list per layer (deltanet tuple or kv tuple).
     Returns (logits [B, T, V], new_states)."""
-    x = embedding_lookup(params["embed_tokens"], token_ids)
+    x = embedding_lookup(params["embed_tokens"], token_ids, cfg.hidden_size)
     new_states = []
     for i, p in enumerate(params["layers"]):
         h = rms_norm(x, p["input_layernorm"]["weight"], cfg.rms_norm_eps)
@@ -277,9 +277,11 @@ class Qwen3Chat(PipelineLLM):
     """Chat LLM with streaming generation (PipelineLLM for the voice agent)."""
 
     def __init__(self, cfg: ChatConfig, params, tokenizer=None, dtype=jnp.float32):
+        from ...ops.quant import cast_tree
+
         self.cfg = cfg
         self.tokenizer = tokenizer
-        self.params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
+        self.params = cast_tree(params, dtype)
         self.dtype = dtype
 
         @functools.partial(jax.jit, static_argnames=("t_bucket", "max_new", "max_len"))
@@ -317,9 +319,18 @@ class Qwen3Chat(PipelineLLM):
         self._generate = _generate
 
     @classmethod
-    def init_random(cls, cfg: Optional[ChatConfig] = None, seed: int = 0, **kw) -> "Qwen3Chat":
+    def init_random(cls, cfg: Optional[ChatConfig] = None, seed: int = 0,
+                    quant_bits: Optional[int] = None, **kw) -> "Qwen3Chat":
+        """quant_bits packs eligible linears/embeddings into the MLX
+        group-64 format (the reference ships INT4 MLX and INT8 CoreML
+        chat paths — Sources/Qwen3Chat)."""
         cfg = cfg or CONFIG_08B
-        return cls(cfg, init_chat_params(jax.random.PRNGKey(seed), cfg), **kw)
+        params = init_chat_params(jax.random.PRNGKey(seed), cfg)
+        if quant_bits:
+            from ...ops.quant import quantize_tree
+
+            params = quantize_tree(params, quant_bits)
+        return cls(cfg, params, **kw)
 
     @classmethod
     def from_pretrained(cls, model_id: str = "Qwen/Qwen3.5-0.8B", cache_dir=None,

@@ -81,3 +81,18 @@ class TestGeneration:
             [{"role": "system", "content": "S"}, {"role": "user", "content": "U"}]
         )
         assert text == "<|im_start|>system\nS<|im_end|>\n<|im_start|>user\nU<|im_end|>\n<|im_start|>assistant\n"
+
+
+class TestQuantizedChat:
+    def test_4bit_chat_runs_and_packs(self):
+        import dataclasses
+
+        from qwen3_asr_swift_tpu.models.chat import Qwen3Chat, config_tiny
+
+        cfg = dataclasses.replace(config_tiny(), hidden_size=128, intermediate_size=256)
+        m = Qwen3Chat.init_random(cfg, quant_bits=4)
+        assert "codes" in m.params["layers"][0]["mlp"]["gate_proj"]
+        assert "codes" in m.params["embed_tokens"]
+        ids = m.generate_ids([5, 9, 13], max_new=4)
+        assert len(ids) == 4
+        assert ids == m.generate_ids([5, 9, 13], max_new=4)  # deterministic
