@@ -347,11 +347,53 @@ class Qwen3TTS(SpeechGenerationModel):
         return np.asarray(speaker_embed(self.speaker_encoder_params,
                                         np.asarray(audio, np.float32)))
 
-    def synthesize_batch(self, texts: Sequence[str], **kwargs) -> List[AudioChunk]:
-        """Multi-utterance synthesis (reference: synthesizeBatch). Sequential
-        over the shared compiled programs; true batched generation follows
-        the same _generate signature with B>1 once prompts share blocks."""
-        return [self.synthesize(t, **kwargs) for t in texts]
+    def synthesize_batch(self, texts: Sequence[str], language: str = "english",
+                         voice: Optional[str] = None, instruct: Optional[str] = None,
+                         sampling: Optional[TTSSamplingConfig] = None,
+                         seed: int = 0, **kwargs) -> List[AudioChunk]:
+        """True batched multi-utterance synthesis (reference:
+        synthesizeBatch, Qwen3TTS.swift:633-1002): all prompts pad to
+        shared blocks and run the talker/CP loop as ONE program with B
+        slots; per-utterance EOS masks out finished slots. Codec decode
+        runs per clip at a shared frame bucket."""
+        if not texts:
+            return []
+        sampling = sampling or TTSSamplingConfig()
+        clone = self.ref_cache.get(voice) if voice else None
+        built = [self._build_prompt_embeds(t, language, None if clone else voice,
+                                           instruct, clone=clone) for t in texts]
+        b = len(built)
+        p_lens = [p.shape[1] for p, _, _ in built]
+        t_lens = [tr.shape[1] for _, tr, _ in built]
+        p_block = _round_up(max(p_lens), 32)
+        t_block = _round_up(max(t_lens), 32)
+        prefill = jnp.concatenate(
+            [jnp.pad(p, ((0, 0), (0, p_block - p.shape[1]), (0, 0))) for p, _, _ in built],
+            axis=0).astype(self.dtype)
+        trailing = jnp.concatenate(
+            [jnp.pad(tr, ((0, 0), (0, t_block - tr.shape[1]), (0, 0))) for _, tr, _ in built],
+            axis=0).astype(self.dtype)
+        tts_pad = built[0][2]
+
+        max_frames = min(sampling.max_frames, 500)
+        codes, n_frames = self._generate(
+            self.talker_params, self.cp_params,
+            prefill, jnp.asarray(p_lens, jnp.int32),
+            trailing, jnp.asarray(t_lens, jnp.int32),
+            tts_pad.astype(self.dtype)[None],
+            jax.random.PRNGKey(seed),
+            p_block=p_block, t_block=t_block, max_frames=max_frames, sampling=sampling,
+        )
+        codes = np.asarray(codes)
+        out = []
+        for i in range(b):
+            n = int(n_frames[i])
+            if n == 0:
+                out.append(AudioChunk(np.zeros(0, np.float32), self.cfg.codec.sample_rate))
+                continue
+            wav = self.codec.decode(codes[i, :n].T)
+            out.append(AudioChunk(np.asarray(wav, np.float32), self.cfg.codec.sample_rate))
+        return out
 
     def warm_up(self) -> None:
         if self.tokenizer is not None:

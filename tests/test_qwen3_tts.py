@@ -202,3 +202,26 @@ class TestVoiceClone:
         cache.get("a")                      # refresh a
         cache.put("c", np.zeros((1, 16)), "")
         assert "a" in cache and "c" in cache and "b" not in cache
+
+
+class TestBatchedSynthesis:
+    def test_batch_matches_singles_greedy(self):
+        """At temperature 0 a batched run must produce exactly the same
+        audio as per-clip runs (one program, per-slot EOS masking)."""
+        from qwen3_asr_swift_tpu.models.qwen3_tts import Qwen3TTS
+
+        m = Qwen3TTS.init_random(CFG, dtype=jnp.float32, tokenizer=byte_tokenizer())
+        s = TTSSamplingConfig(max_frames=4, temperature=0.0)
+        texts = ["first utterance", "the second one is longer than the first"]
+        batch = m.synthesize_batch(texts, sampling=s, seed=3)
+        singles = [m.synthesize(t, sampling=s, seed=3) for t in texts]
+        assert len(batch) == 2
+        for got, want in zip(batch, singles):
+            assert len(got.samples) == len(want.samples)
+            assert np.allclose(got.samples, want.samples, atol=1e-4)
+
+    def test_empty_batch(self):
+        from qwen3_asr_swift_tpu.models.qwen3_tts import Qwen3TTS
+
+        m = Qwen3TTS.init_random(CFG, dtype=jnp.float32, tokenizer=byte_tokenizer())
+        assert m.synthesize_batch([]) == []
