@@ -63,6 +63,18 @@ def main():
         times.append(time.perf_counter() - t0)
         print(f"run {i}: {times[-1]:.3f}s", file=sys.stderr)
 
+    # p50 first-token proxy: single 8 s clip, 1-token decode (north star:
+    # <150 ms). Printed to stderr; the JSON line below stays the metric.
+    short = (0.1 * rng.standard_normal(8 * sr)).astype(np.float32)
+    ft_opts = SamplingOptions(max_tokens=1)
+    model.transcribe(short, options=ft_opts)  # compile 8s bucket
+    ft = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        model.transcribe(short, options=ft_opts)
+        ft.append(time.perf_counter() - t0)
+    print(f"first-token p50: {sorted(ft)[len(ft)//2]*1000:.0f} ms", file=sys.stderr)
+
     wall = min(times)
     audio_seconds = batch * clip_s
     xrt = audio_seconds / wall
