@@ -212,8 +212,10 @@ def quant_matmul_pallas(x, p, tile_out: int = _DEFAULT_TILE_OUT, interpret: bool
 # ---------------------------------------------------------------------------
 
 def _use_pallas() -> bool:
+    # single-chip TPU only: pallas_call is not GSPMD-partitionable, so
+    # sharded multi-chip params take the XLA group-decomposition path
     try:
-        return jax.default_backend() == "tpu"
+        return jax.default_backend() == "tpu" and jax.device_count() == 1
     except Exception:  # noqa: BLE001
         return False
 

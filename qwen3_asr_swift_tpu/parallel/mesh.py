@@ -58,6 +58,12 @@ QWEN3_DECODER_RULES: Sequence[Tuple[str, P]] = (
     (r".*(gate_proj|up_proj)/kernel$", P(None, "tp")),
     (r".*down_proj/kernel$", P("tp", None)),
     (r".*embed_tokens$", P("tp", None)),                     # vocab-sharded
+    # group-quantized variants (ops/quant dicts): codes/scales/biases are
+    # [out, packed_in] / [out, groups] — column-parallel shards OUT (dim 0),
+    # row-parallel shards the packed input axis (dim 1)
+    (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj)/(codes|scales|biases)$", P("tp", None)),
+    (r".*(o_proj|down_proj)/(codes|scales|biases)$", P(None, "tp")),
+    (r".*embed_tokens/(codes|scales|biases)$", P("tp", None)),  # vocab-sharded
     (r".*", P()),                                            # replicate rest
 )
 

@@ -189,3 +189,41 @@ class TestQuantizedASR:
         assert "codes" in q_model.decoder_params["embed_tokens"]
         assert q_model.decoder_params["embed_tokens"]["codes"].dtype == jnp.uint32
         assert "codes" in q_model.decoder_params["layers"][0]["mlp"]["gate_proj"]
+
+
+class TestQuantizedTensorParallel:
+    def test_quantized_decoder_sharded_matches_replicated(self):
+        """4-bit decoder params sharded by the TP rules over an 8-device
+        mesh must transcribe identically to the unsharded model (XLA
+        inserts the collectives from the shardings alone)."""
+        import dataclasses
+
+        import jax
+
+        from qwen3_asr_swift_tpu.models.qwen3_asr import Qwen3ASR, config_tiny
+        from qwen3_asr_swift_tpu.parallel import (
+            QWEN3_DECODER_RULES,
+            make_mesh,
+            shard_pytree,
+        )
+
+        cfg = config_tiny()
+        cfg = dataclasses.replace(
+            cfg, decoder=dataclasses.replace(
+                cfg.decoder, hidden_size=128, intermediate_size=256,
+                num_heads=4, num_kv_heads=2, head_dim=32),
+            encoder=dataclasses.replace(cfg.encoder, output_dim=128),
+        )
+        model = Qwen3ASR.init_random(cfg, dtype=jnp.float32, quant_bits=4,
+                                     audio_buckets_s=(8,))
+        audio = (0.1 * np.sin(np.linspace(0, 500, 16000))).astype(np.float32)
+        ref = model.transcribe(audio, max_tokens=4).text
+
+        mesh = make_mesh(8, dp=4, tp=2)
+        model.decoder_params = shard_pytree(model.decoder_params, mesh,
+                                            QWEN3_DECODER_RULES)
+        # quantized leaves actually got a tp sharding (not just replicated)
+        gate = model.decoder_params["layers"][0]["mlp"]["gate_proj"]["codes"]
+        assert "tp" in str(gate.sharding.spec)
+        got = model.transcribe(audio, max_tokens=4).text
+        assert got == ref
