@@ -128,3 +128,55 @@ class TestEngine:
         assert p.state == PipelineState.LISTENING
         p.stop()
         p.close()
+
+
+class TestRealModelAdapters:
+    """Drive the C++ engine with REAL (tiny random) JAX models, covering
+    the protocol-object adapter branches in engine.py (_vad_cb
+    process_chunk path, _stt_cb transcribe path, _tts_cb synthesize path,
+    _llm_cb chat path)."""
+
+    def test_full_stack_with_tiny_models(self):
+        import jax.numpy as jnp
+
+        from qwen3_asr_swift_tpu.models.kokoro import KokoroTTS
+        from qwen3_asr_swift_tpu.models.kokoro import config_tiny as kokoro_tiny
+        from qwen3_asr_swift_tpu.models.qwen3_asr import Qwen3ASR
+        from qwen3_asr_swift_tpu.models.qwen3_asr import config_tiny as asr_tiny
+        from qwen3_asr_swift_tpu.models.silero_vad import SileroVAD
+        from qwen3_asr_swift_tpu.tokenizers.bpe import BPETokenizer, _bytes_to_unicode
+
+        b2u = _bytes_to_unicode()
+        tok = BPETokenizer({ch: i for i, ch in enumerate(b2u[b] for b in range(256))}, [])
+
+        class DeterministicVAD(SileroVAD):
+            """Runs the real jitted Silero chunk program (exercising the
+            process_chunk adapter), but random weights give arbitrary
+            probabilities — overlay an energy decision for the test."""
+
+            def process_chunk(self, state, samples):
+                state, _ = super().process_chunk(state, samples)
+                return state, (0.9 if np.abs(samples).mean() > 0.05 else 0.05)
+
+        vad = DeterministicVAD.init_random()
+        stt = Qwen3ASR.init_random(asr_tiny(), dtype=jnp.float32, tokenizer=tok,
+                                   audio_buckets_s=(8,))
+        tts = KokoroTTS.init_random(kokoro_tiny())
+
+        class EchoLLM:
+            def chat(self, messages, tools=()):
+                yield "ok: "
+                yield messages[-1]["content"][:20]
+
+        cfg = PipelineConfig(min_speech_s=0.05, min_silence_s=0.1, pre_speech_s=0.1,
+                             vad_onset=0.3, vad_offset=0.2, eager_stt=True)
+        with VoicePipeline(stt=stt, tts=tts, vad=vad, llm=EchoLLM(), config=cfg) as p:
+            rng = np.random.default_rng(0)
+            p.push_audio((0.5 * rng.standard_normal(512 * 16)).astype(np.float32))
+            p.push_audio(np.zeros(512 * 16, np.float32))
+            ev, seen = wait_for(p, PipelineEventType.FINAL_TRANSCRIPT, timeout=120)
+            assert ev.text is not None
+            ev, _ = wait_for(p, PipelineEventType.RESPONSE_TEXT, timeout=120)
+            assert ev.text.startswith("ok: ")
+            ev, _ = wait_for(p, PipelineEventType.AUDIO_CHUNK, timeout=120)
+            assert ev.pcm is not None and ev.pcm.dtype == np.int16
