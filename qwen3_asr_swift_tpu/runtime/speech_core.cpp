@@ -262,7 +262,13 @@ struct sc_pipeline {
                     if (prob < cfg.vad_offset) {
                         vstate = PENDING_SILENCE;
                         silence_started = t - chunk_s;
-                        if (cfg.eager_stt) eager_transcript = transcribe(utterance);
+                        if (cfg.eager_stt) {
+                            eager_transcript = transcribe(utterance);
+                            // surface the eager result as a partial while the
+                            // silence window is still confirming the turn
+                            if (!eager_transcript.empty())
+                                emit(SC_EVENT_PARTIAL_TRANSCRIPT, eager_transcript.c_str());
+                        }
                     } else if (t - speech_started >= cfg.max_utterance_s) {
                         emit(SC_EVENT_SPEECH_ENDED);
                         vstate = SILENCE;

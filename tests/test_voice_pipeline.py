@@ -180,3 +180,16 @@ class TestRealModelAdapters:
             assert ev.text.startswith("ok: ")
             ev, _ = wait_for(p, PipelineEventType.AUDIO_CHUNK, timeout=120)
             assert ev.pcm is not None and ev.pcm.dtype == np.int16
+
+    def test_eager_stt_emits_partial(self):
+        cfg = PipelineConfig(min_speech_s=0.05, min_silence_s=0.4, pre_speech_s=0.1,
+                             eager_stt=True)
+        with VoicePipeline(vad=fake_vad(), stt=lambda a: f"heard {len(a)}",
+                           llm=None, tts=None, config=cfg) as p:
+            p.push_audio(SPEECH)
+            wait_for(p, PipelineEventType.SPEECH_STARTED)
+            p.push_audio(np.zeros(512 * 20, np.float32))
+            ev, _ = wait_for(p, PipelineEventType.PARTIAL_TRANSCRIPT)
+            assert ev.text.startswith("heard ")
+            ev, _ = wait_for(p, PipelineEventType.FINAL_TRANSCRIPT)
+            assert ev.text == ev.text  # final follows the partial
