@@ -72,18 +72,20 @@ def strip_prefixes(flat: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return out
 
 
-def convert_encoder(flat: Dict[str, np.ndarray], cfg: Qwen3ASRConfig, dtype=np.float32) -> dict:
+def convert_encoder(flat: Dict[str, np.ndarray], cfg: Qwen3ASRConfig, dtype=np.float32,
+                    keep_quantized: bool = True) -> dict:
     f = {k[len("audio_tower."):]: v for k, v in strip_prefixes(flat).items()
          if k.startswith("audio_tower.") or k.startswith("thinker.audio_tower.")}
     bits, group = cfg.decoder.bits, cfg.decoder.group_size
+    lin = lambda pre: _linear(f, pre, bits, group, dtype, keep_quantized)
     params = {
         "conv1": {"kernel": _conv_to_hwio(f["conv2d1.weight"]).astype(dtype)},
         "conv2": {"kernel": _conv_to_hwio(f["conv2d2.weight"]).astype(dtype)},
         "conv3": {"kernel": _conv_to_hwio(f["conv2d3.weight"]).astype(dtype)},
-        "conv_out": _linear(f, "conv_out", bits, group, dtype),
+        "conv_out": lin("conv_out"),
         "ln_post": _ln(f, "ln_post", dtype),
-        "proj1": _linear(f, "proj1", bits, group, dtype),
-        "proj2": _linear(f, "proj2", bits, group, dtype),
+        "proj1": lin("proj1"),
+        "proj2": lin("proj2"),
         "layers": [],
     }
     for name, tgt in (("conv2d1", "conv1"), ("conv2d2", "conv2"), ("conv2d3", "conv3")):
@@ -93,13 +95,13 @@ def convert_encoder(flat: Dict[str, np.ndarray], cfg: Qwen3ASRConfig, dtype=np.f
         pre = f"layers.{i}"
         params["layers"].append(
             {
-                "q_proj": _linear(f, f"{pre}.self_attn.q_proj", bits, group, dtype),
-                "k_proj": _linear(f, f"{pre}.self_attn.k_proj", bits, group, dtype),
-                "v_proj": _linear(f, f"{pre}.self_attn.v_proj", bits, group, dtype),
-                "out_proj": _linear(f, f"{pre}.self_attn.out_proj", bits, group, dtype),
+                "q_proj": lin(f"{pre}.self_attn.q_proj"),
+                "k_proj": lin(f"{pre}.self_attn.k_proj"),
+                "v_proj": lin(f"{pre}.self_attn.v_proj"),
+                "out_proj": lin(f"{pre}.self_attn.out_proj"),
                 "attn_ln": _ln(f, f"{pre}.self_attn_layer_norm", dtype),
-                "fc1": _linear(f, f"{pre}.fc1", bits, group, dtype),
-                "fc2": _linear(f, f"{pre}.fc2", bits, group, dtype),
+                "fc1": lin(f"{pre}.fc1"),
+                "fc2": lin(f"{pre}.fc2"),
                 "final_ln": _ln(f, f"{pre}.final_layer_norm", dtype),
             }
         )
