@@ -366,16 +366,42 @@ class RealtimeSession:
             return
         loop = asyncio.get_running_loop()
         await self._send({"type": "response.created", "event_id": self._event_id()})
-        chunk = await loop.run_in_executor(None, lambda: tts.synthesize(text))
-        pcm = to_pcm16(chunk.samples).tobytes()
-        # stream in ~200 ms deltas (reference sends base64 PCM16 deltas)
-        step = chunk.sample_rate // 5 * 2
-        for off in range(0, len(pcm), step):
-            await self._send({
-                "type": "response.audio.delta",
-                "event_id": self._event_id(),
-                "delta": base64.b64encode(pcm[off : off + step]).decode(),
-            })
+
+        if hasattr(tts, "synthesize_stream"):
+            # true streaming: deltas go out as the engine emits chunks
+            # (reference: synthesizeStream → response.audio.delta,
+            # AudioServer.swift:371-475). The blocking generator runs on a
+            # worker thread; an asyncio queue bridges to the socket.
+            q: "asyncio.Queue" = asyncio.Queue()
+
+            def produce():
+                try:
+                    for piece in tts.synthesize_stream(text):
+                        loop.call_soon_threadsafe(q.put_nowait, piece)
+                finally:
+                    loop.call_soon_threadsafe(q.put_nowait, None)
+
+            loop.run_in_executor(None, produce)
+            while True:
+                piece = await q.get()
+                if piece is None:
+                    break
+                await self._send({
+                    "type": "response.audio.delta",
+                    "event_id": self._event_id(),
+                    "delta": base64.b64encode(to_pcm16(piece.samples).tobytes()).decode(),
+                })
+        else:
+            chunk = await loop.run_in_executor(None, lambda: tts.synthesize(text))
+            pcm = to_pcm16(chunk.samples).tobytes()
+            # stream in ~200 ms deltas (reference sends base64 PCM16 deltas)
+            step = chunk.sample_rate // 5 * 2
+            for off in range(0, len(pcm), step):
+                await self._send({
+                    "type": "response.audio.delta",
+                    "event_id": self._event_id(),
+                    "delta": base64.b64encode(pcm[off : off + step]).decode(),
+                })
         await self._send({"type": "response.audio.done", "event_id": self._event_id()})
         await self._send({"type": "response.done", "event_id": self._event_id(),
                           "response": {"status": "completed"}})

@@ -310,3 +310,46 @@ class TestBatcherConcurrency:
         batcher = ContinuousBatcher(self._model(), max_batch=2, max_wait_ms=5)
         batcher.shutdown()
         batcher.shutdown()  # no hang, no error
+
+
+class TestRealtimeStreamingTTS:
+    def test_streaming_tts_path_sends_deltas(self):
+        """When the TTS exposes synthesize_stream, one delta must flow per
+        generator chunk (not one post-hoc split of a full waveform)."""
+        import asyncio as aio
+
+        from qwen3_asr_swift_tpu.serving.server import RealtimeSession
+
+        class StreamingTTS:
+            sample_rate = 16000
+
+            def synthesize_stream(self, text):
+                from qwen3_asr_swift_tpu.core.types import AudioChunk
+
+                for i in range(3):
+                    yield AudioChunk(np.full(1600, 0.1 * (i + 1), np.float32), 16000)
+
+            def synthesize(self, text):  # pragma: no cover — stream wins
+                raise AssertionError("stream path should be taken")
+
+        sent = []
+
+        class FakeWS:
+            async def send_text(self, text):
+                sent.append(json.loads(text))
+
+        class FakeServer:
+            class registry:  # noqa: N801
+                @staticmethod
+                async def get(name):
+                    return StreamingTTS() if name == "tts" else None
+
+        sess = RealtimeSession.__new__(RealtimeSession)
+        sess.server = FakeServer()
+        sess.ws = FakeWS()
+        sess._last_transcript = "hi"
+        sess._event_counter = 0
+        aio.run(sess._response({"response": {"instructions": "hi"}}))
+        types = [m["type"] for m in sent]
+        assert types.count("response.audio.delta") == 3
+        assert types[-1] == "response.done"
