@@ -11,8 +11,14 @@ from .model import ChatConfig
 
 
 def convert_chat_checkpoint(flat: Dict[str, np.ndarray], cfg: ChatConfig,
-                            bits: int = 4, group: int = 64) -> dict:
+                            bits: int = 4, group: int = 64,
+                            keep_quantized: bool = True) -> dict:
     f = {k[len("model."):] if k.startswith("model.") else k: v for k, v in flat.items()}
+
+    def packed(name):
+        return {"codes": f[f"{name}.weight"].astype(np.uint32),
+                "scales": f[f"{name}.scales"].astype(np.float32),
+                "biases": f[f"{name}.biases"].astype(np.float32)}
 
     def dense(name):
         w = f[f"{name}.weight"]
@@ -21,12 +27,16 @@ def convert_chat_checkpoint(flat: Dict[str, np.ndarray], cfg: ChatConfig,
         return w.astype(np.float32)
 
     def lin(name):
+        if keep_quantized and f"{name}.scales" in f:
+            return packed(name)
         return {"kernel": np.ascontiguousarray(dense(name).T)}
 
     def rms(name):
         return {"weight": f[f"{name}.weight"].astype(np.float32)}
 
-    params = {"embed_tokens": dense("embed_tokens"), "norm": rms("norm"), "layers": []}
+    emb = (packed("embed_tokens") if keep_quantized and "embed_tokens.scales" in f
+           else dense("embed_tokens"))
+    params = {"embed_tokens": emb, "norm": rms("norm"), "layers": []}
     for i in range(cfg.num_layers):
         p = f"layers.{i}"
         layer = {

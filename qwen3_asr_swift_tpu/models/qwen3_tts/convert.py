@@ -51,7 +51,15 @@ class _Loader:
         return w.astype(self.dtype)
 
     def lin(self, name: str) -> dict:
-        p = {"kernel": np.ascontiguousarray(self.dense(name).T)}
+        # MLX-quantized linears stay packed for the quantized-matmul path
+        # (talker/CP steps are the TTS hot loop); embeddings and convs go
+        # through dense().
+        if f"{name}.scales" in self.flat:
+            p = {"codes": self.flat[f"{name}.weight"].astype(np.uint32),
+                 "scales": self.flat[f"{name}.scales"].astype(np.float32),
+                 "biases": self.flat[f"{name}.biases"].astype(np.float32)}
+        else:
+            p = {"kernel": np.ascontiguousarray(self.dense(name).T)}
         if f"{name}.bias" in self.flat:
             p["bias"] = self.flat[f"{name}.bias"].astype(self.dtype)
         return p
