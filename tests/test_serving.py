@@ -96,6 +96,7 @@ def server():
         asyncio.set_event_loop(loop)
 
         async def go():
+            holder["task"] = asyncio.current_task()
             s = await srv.start()
             holder["port"] = s.sockets[0].getsockname()[1]
             started.set()
@@ -110,7 +111,14 @@ def server():
     t.start()
     assert started.wait(5)
     yield holder["port"]
-    loop.call_soon_threadsafe(loop.stop)
+    # cancel the serve task (not loop.stop) so run_until_complete resolves
+    # cleanly — stopping mid-future raises "Event loop stopped before
+    # Future completed" in the thread
+    if "task" in holder:
+        loop.call_soon_threadsafe(holder["task"].cancel)
+    else:
+        loop.call_soon_threadsafe(loop.stop)
+    t.join(timeout=10)
 
 
 def http_request(port, method, path, body=b"", content_type="application/json"):
