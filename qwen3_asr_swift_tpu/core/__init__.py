@@ -38,3 +38,15 @@ from .protocols import (  # noqa: F401
     VoiceActivityDetectionModel,
     WakeWordModel,
 )
+
+
+def enable_persistent_cache(cache_dir: str = "/tmp/jax_cache",
+                            min_compile_secs: float = 1.0) -> None:
+    """Persist compiled XLA programs across processes — model cold-start
+    drops from minutes to seconds on re-runs (the TPU analog of shipping
+    precompiled .mlmodelc artifacts; reference cold vs warm load:
+    docs/benchmarks/asr-wer.md:21-23)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)
