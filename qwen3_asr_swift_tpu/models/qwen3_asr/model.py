@@ -352,6 +352,24 @@ class Qwen3ASR(SpeechRecognitionModel):
 
     # ------------------------------------------------------------------ #
 
+    def shard(self, mesh=None, dp: Optional[int] = None, tp: Optional[int] = None) -> "Qwen3ASR":
+        """Distribute the model over a device mesh (encoder + decoder
+        partition rules; quantized params shard too). Returns self.
+
+            model = Qwen3ASR.from_pretrained(...).shard(tp=4)
+        """
+        from ...parallel import (
+            QWEN3_DECODER_RULES,
+            QWEN3_ENCODER_RULES,
+            make_mesh,
+            shard_pytree,
+        )
+
+        mesh = mesh or make_mesh(dp=dp, tp=tp)
+        self.encoder_params = shard_pytree(self.encoder_params, mesh, QWEN3_ENCODER_RULES)
+        self.decoder_params = shard_pytree(self.decoder_params, mesh, QWEN3_DECODER_RULES)
+        return self
+
     def warm_up(self) -> None:
         silent = np.zeros(self.mel_cfg.sample_rate, np.float32)
         self.transcribe(silent, max_tokens=2)
