@@ -224,3 +224,73 @@ class TestWav2Vec2Parity:
         ours = np.asarray(ours)
         assert ours.shape == ref.shape, (ours.shape, ref.shape)
         assert np.abs(ours - ref).max() < 1e-2, f"max err {np.abs(ours-ref).max()}"
+
+
+class TestQwen3AudioEncoderParity:
+    """The flagship windowed-attention audio encoder vs transformers'
+    Qwen3-Omni audio tower (the published Qwen3-ASR checkpoints share
+    this architecture: conv2d×3 → conv_out → sinusoid positions →
+    windowed attention → ln_post → proj1/gelu/proj2)."""
+
+    def test_encoder_tokens_match(self):
+        import dataclasses
+
+        from transformers.models.qwen3_omni_moe.configuration_qwen3_omni_moe import (
+            Qwen3OmniMoeAudioEncoderConfig,
+        )
+        from transformers.models.qwen3_omni_moe.modeling_qwen3_omni_moe import (
+            Qwen3OmniMoeAudioEncoder,
+        )
+
+        from qwen3_asr_swift_tpu.models.qwen3_asr.config import AudioEncoderConfig
+        from qwen3_asr_swift_tpu.models.qwen3_asr.convert import convert_encoder
+        from qwen3_asr_swift_tpu.models.qwen3_asr.encoder import encode
+
+        n_mels, d, hid = 32, 64, 24
+        hf_cfg = Qwen3OmniMoeAudioEncoderConfig(
+            num_mel_bins=n_mels, encoder_layers=2, encoder_attention_heads=4,
+            encoder_ffn_dim=128, d_model=d, dropout=0.0, attention_dropout=0.0,
+            activation_function="gelu", downsample_hidden_size=hid,
+            n_window=50, n_window_infer=800, output_dim=48,
+            max_source_positions=1500, scale_embedding=False,
+        )
+        torch.manual_seed(0)
+        hf = Qwen3OmniMoeAudioEncoder(hf_cfg).eval()
+
+        mel_pos = (((n_mels + 1) // 2 + 1) // 2 + 1) // 2  # 4
+        cfg = AudioEncoderConfig(
+            d_model=d, num_heads=4, ffn_dim=128, num_layers=2, n_mels=n_mels,
+            output_dim=48, downsample_hidden=hid,
+            conv_out_input_dim=hid * mel_pos,
+        )
+        flat = {f"audio_tower.{k}": v.detach().numpy() for k, v in hf.state_dict().items()}
+        params = jax.tree_util.tree_map(
+            jnp.asarray, convert_encoder(flat, _CfgShim(cfg), dtype=np.float32))
+
+        t_frames = 800  # one full attention window, 8 conv chunks
+        rng = np.random.default_rng(0)
+        mel = rng.standard_normal((n_mels, t_frames)).astype(np.float32) * 0.5
+
+        with torch.no_grad():
+            ref = hf(torch.tensor(mel),
+                     feature_lens=torch.tensor([t_frames])).last_hidden_state.numpy()
+
+        ours, n_valid = encode(params, jnp.asarray(mel),
+                               jnp.asarray(t_frames, jnp.int32), cfg)
+        ours = np.asarray(ours)[: int(n_valid)]
+        assert ours.shape == ref.shape, (ours.shape, ref.shape)
+        assert np.abs(ours - ref).max() < 5e-3, f"max err {np.abs(ours - ref).max()}"
+
+
+class _CfgShim:
+    """convert_encoder reads cfg.decoder.bits/group_size and
+    cfg.encoder.num_layers — wrap a bare AudioEncoderConfig."""
+
+    def __init__(self, enc_cfg):
+        self.encoder = enc_cfg
+
+        class _D:
+            bits = 4
+            group_size = 64
+
+        self.decoder = _D()
