@@ -294,3 +294,46 @@ class _CfgShim:
             group_size = 64
 
         self.decoder = _D()
+
+
+class TestDeltaRuleParity:
+    def test_recurrence_matches_qwen3_next(self):
+        """The chat model's gated delta-rule recurrence (including its q/k
+        scaling convention) vs transformers'
+        torch_recurrent_gated_delta_rule with in-kernel L2 norm."""
+        from transformers.models.qwen3_next.modeling_qwen3_next import (
+            torch_recurrent_gated_delta_rule,
+        )
+
+        B, T, H, DK, DV = 1, 6, 2, 8, 8
+        rng = np.random.default_rng(0)
+        q = rng.standard_normal((B, T, H, DK)).astype(np.float32)
+        k = rng.standard_normal((B, T, H, DK)).astype(np.float32)
+        v = rng.standard_normal((B, T, H, DV)).astype(np.float32)
+        g_log = (-np.abs(rng.standard_normal((B, T, H))) * 0.1).astype(np.float32)
+        beta = (1 / (1 + np.exp(-rng.standard_normal((B, T, H))))).astype(np.float32)
+
+        with torch.no_grad():
+            ref, _ = torch_recurrent_gated_delta_rule(
+                torch.tensor(q), torch.tensor(k), torch.tensor(v),
+                torch.tensor(g_log), torch.tensor(beta), None, True,
+                use_qk_l2norm_in_kernel=True)
+        ref = ref.numpy()
+
+        from qwen3_asr_swift_tpu.models.chat.model import _l2_norm
+
+        inv = 1.0 / np.sqrt(DK)
+        qm = (inv * inv) * _l2_norm(jnp.asarray(q))   # the model's convention
+        km = inv * _l2_norm(jnp.asarray(k))
+        g = np.exp(g_log)
+
+        S = jnp.zeros((B, H, DV, DK))
+        outs = []
+        for t in range(T):  # the exact step body from deltanet_forward
+            S = S * g[:, t][..., None, None]
+            kv = jnp.einsum("bhvk,bhk->bhv", S, km[:, t])
+            delta = (jnp.asarray(v)[:, t] - kv) * beta[:, t][..., None]
+            S = S + jnp.einsum("bhk,bhv->bhvk", km[:, t], delta)
+            outs.append(jnp.einsum("bhvk,bhk->bhv", S, qm[:, t]))
+        mine = np.asarray(jnp.stack(outs, 1))
+        assert np.abs(mine - ref).max() / np.abs(ref).max() < 1e-4
