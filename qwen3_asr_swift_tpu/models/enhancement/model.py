@@ -203,6 +203,8 @@ class SpeechEnhancer(SpeechEnhancementModel):
             from ...audio.resample import resample
 
             audio = resample(audio.astype(np.float32), sample_rate, SR)
+        if len(audio) == 0:
+            return AudioChunk(np.zeros(0, np.float32), SR)
         n_frames = max(1, len(audio) // HOP + 1)
         out = self._jit(self.params, jnp.asarray(audio, jnp.float32), n_frames=n_frames)
         return AudioChunk(np.asarray(out, np.float32), SR)

@@ -244,7 +244,9 @@ class Qwen3ASR(SpeechRecognitionModel):
         (padded_audio [L], n_valid_frames, n_frames_bucket)."""
         if sample_rate != self.mel_cfg.sample_rate:
             audio = resample(audio.astype(np.float32), sample_rate, self.mel_cfg.sample_rate)
-        audio = audio.astype(np.float32)
+        audio = np.atleast_1d(np.asarray(audio, np.float32))
+        if len(audio) < 2:  # reflect padding needs ≥2 samples
+            audio = np.pad(audio, (0, 2 - len(audio)))
         n_valid = num_frames(self.mel_cfg, len(audio))
         bucket = self._frames_bucket(n_valid)
         padded = reflect_pad_np(audio, self.mel_cfg.n_fft // 2)
