@@ -121,6 +121,26 @@ class MemoryTier(enum.Enum):
             MemoryTier.MAX: "aufklarer/Qwen3-ASR-1.7B-MLX-8bit",
         }[self]
 
+    @property
+    def tts_model_id(self) -> str:
+        """Reference MemoryTier ladder: Kokoro on tight memory, Qwen3-TTS
+        above (MemoryTier.swift:11-69)."""
+        return {
+            MemoryTier.LOW: "hexgrad/Kokoro-82M",
+            MemoryTier.MEDIUM: "aufklarer/Qwen3-TTS-0.6B-MLX-8bit",
+            MemoryTier.HIGH: "aufklarer/Qwen3-TTS-1.7B-MLX-4bit",
+            MemoryTier.MAX: "aufklarer/Qwen3-TTS-1.7B-MLX-8bit",
+        }[self]
+
+    @property
+    def vad_model_id(self) -> str:
+        return "silero-vad-v5"  # 309K params — every tier
+
+    @property
+    def s2s_model_id(self) -> Optional[str]:
+        """PersonaPlex 7B only fits the top tier (or a TP mesh)."""
+        return "nvidia/personaplex-7b-v1" if self is MemoryTier.MAX else None
+
 
 def device_memory_bytes() -> int:
     """Per-chip memory (HBM on TPU; heuristic fallback on CPU).

@@ -153,3 +153,11 @@ class TestCLI:
                     "separate", "kokoro", "qwen3-tts", "vibevoice",
                     "vibevoice-encode-voice", "translate", "wake", "serve", "chat"}
         assert expected <= commands
+
+    def test_tier_model_ladders(self):
+        assert MemoryTier.LOW.tts_model_id.startswith("hexgrad/")
+        assert "1.7B" in MemoryTier.MAX.tts_model_id
+        assert MemoryTier.LOW.s2s_model_id is None
+        assert MemoryTier.MAX.s2s_model_id is not None
+        for tier in MemoryTier:
+            assert tier.vad_model_id
