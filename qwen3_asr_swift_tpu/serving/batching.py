@@ -142,3 +142,99 @@ class ContinuousBatcher:
                 "batches_run": self.batches_run,
                 "mean_batch_size": self.requests_served / max(1, self.batches_run),
             }
+
+
+@dataclasses.dataclass
+class _TTSRequest:
+    text: str
+    kwargs: dict
+    future: Future
+    enqueued_at: float
+
+
+class TTSBatcher:
+    """Groups concurrent synthesis requests into one batched talker/CP
+    program (models/qwen3_tts.synthesize_batch). Requests group by their
+    generation kwargs (voice/language/sampling) — mixed settings run in
+    separate batches."""
+
+    def __init__(self, model, max_batch: int = 8, max_wait_ms: float = 30.0):
+        self.model = model
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1000.0
+        self._queue: "queue.Queue[Optional[_TTSRequest]]" = queue.Queue()
+        self._stats_lock = threading.Lock()
+        self.requests_served = 0
+        self.batches_run = 0
+        self._stop = False
+        self._thread = threading.Thread(target=self._run, daemon=True, name="tts-batcher")
+        self._thread.start()
+
+    def submit(self, text: str, **kwargs) -> Future:
+        fut: Future = Future()
+        self._queue.put(_TTSRequest(text, kwargs, fut, time.perf_counter()))
+        return fut
+
+    def synthesize(self, text: str, timeout: float = 300.0, **kwargs):
+        return self.submit(text, **kwargs).result(timeout=timeout)
+
+    def shutdown(self):
+        self._stop = True
+        self._queue.put(None)
+        self._thread.join(timeout=5)
+
+    def _run(self):
+        while not self._stop:
+            try:
+                first = self._queue.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            if first is None:
+                continue
+            batch = [first]
+            deadline = time.perf_counter() + self.max_wait_s
+            leftovers = []
+            while len(batch) < self.max_batch:
+                budget = deadline - time.perf_counter()
+                if budget <= 0:
+                    break
+                try:
+                    req = self._queue.get(timeout=budget)
+                except queue.Empty:
+                    break
+                if req is None:
+                    continue
+                if req.kwargs == first.kwargs:
+                    batch.append(req)
+                else:
+                    leftovers.append(req)
+            for req in leftovers:
+                self._queue.put(req)
+            try:
+                t0 = time.perf_counter()
+                if len(batch) > 1 and hasattr(self.model, "synthesize_batch"):
+                    results = self.model.synthesize_batch(
+                        [r.text for r in batch], **first.kwargs)
+                else:
+                    results = [self.model.synthesize(r.text, **r.kwargs) for r in batch]
+                with self._stats_lock:
+                    self.requests_served += len(batch)
+                    self.batches_run += 1
+                log.debug("tts batch of %d in %.0f ms", len(batch),
+                          (time.perf_counter() - t0) * 1e3)
+                for r, res in zip(batch, results):
+                    r.future.set_result(res)
+            except Exception as e:  # noqa: BLE001
+                log.exception("tts batch failed")
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    @property
+    def stats(self) -> dict:
+        with self._stats_lock:
+            return {
+                "requests_served": self.requests_served,
+                "batches_run": self.batches_run,
+                "mean_batch_size": self.requests_served / max(1, self.batches_run),
+            }

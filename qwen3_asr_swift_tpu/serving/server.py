@@ -29,7 +29,7 @@ import numpy as np
 from ..audio.io import read_wav, wav_bytes
 from ..core.logging import serving as log
 from ..core.types import to_float32, to_pcm16
-from .batching import ContinuousBatcher
+from .batching import ContinuousBatcher, TTSBatcher
 from .ws import WebSocket, accept_key, OP_TEXT
 
 
@@ -71,6 +71,7 @@ class SpeechServer:
         self.port = port
         self.max_body = max_body
         self._batchers: Dict[int, ContinuousBatcher] = {}
+        self._tts_batchers: Dict[int, TTSBatcher] = {}
         self._max_batch = max_batch
         self._server: Optional[asyncio.AbstractServer] = None
         self._started = time.time()
@@ -80,6 +81,12 @@ class SpeechServer:
         if key not in self._batchers:
             self._batchers[key] = ContinuousBatcher(model, max_batch=self._max_batch)
         return self._batchers[key]
+
+    def _tts_batcher_for(self, model) -> TTSBatcher:
+        key = id(model)
+        if key not in self._tts_batchers:
+            self._tts_batchers[key] = TTSBatcher(model, max_batch=self._max_batch)
+        return self._tts_batchers[key]
 
     # ------------------------------------------------------------------ #
     # HTTP plumbing
@@ -100,6 +107,8 @@ class SpeechServer:
             self._server.close()
             await self._server.wait_closed()
         for b in self._batchers.values():
+            b.shutdown()
+        for b in self._tts_batchers.values():
             b.shutdown()
 
     async def _handle_conn(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
@@ -228,8 +237,12 @@ class SpeechServer:
             return
         payload = json.loads(body)
         loop = asyncio.get_running_loop()
+        batcher = self._tts_batcher_for(tts)
+        kwargs = {}
+        if payload.get("voice"):
+            kwargs["voice"] = payload["voice"]
         chunk = await loop.run_in_executor(
-            None, lambda: tts.synthesize(payload["text"], voice=payload.get("voice"))
+            None, lambda: batcher.synthesize(payload["text"], **kwargs)
         )
         await self._respond(writer, 200, wav_bytes(chunk.samples, chunk.sample_rate),
                             content_type="audio/wav")

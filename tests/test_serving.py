@@ -361,3 +361,57 @@ class TestRealtimeStreamingTTS:
         types = [m["type"] for m in sent]
         assert types.count("response.audio.delta") == 3
         assert types[-1] == "response.done"
+
+
+class TestTTSBatcher:
+    def test_groups_equal_kwargs_into_one_batch(self):
+        import threading
+
+        from qwen3_asr_swift_tpu.serving.batching import TTSBatcher
+
+        calls = []
+
+        class BatchTTS:
+            def synthesize_batch(self, texts, **kw):
+                calls.append(("batch", list(texts)))
+                from qwen3_asr_swift_tpu.core.types import AudioChunk
+
+                return [AudioChunk(np.zeros(10, np.float32), 16000) for _ in texts]
+
+            def synthesize(self, text, **kw):
+                calls.append(("single", text))
+                from qwen3_asr_swift_tpu.core.types import AudioChunk
+
+                return AudioChunk(np.zeros(10, np.float32), 16000)
+
+        b = TTSBatcher(BatchTTS(), max_batch=4, max_wait_ms=150)
+        results = [None] * 4
+
+        def worker(i):
+            results[i] = b.synthesize(f"text {i}", timeout=30)
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        b.shutdown()
+        assert all(r is not None for r in results)
+        assert b.stats["requests_served"] == 4
+        # at least one genuinely batched call happened
+        assert any(kind == "batch" and len(texts) > 1 for kind, texts in calls)
+
+    def test_mixed_kwargs_split_batches(self):
+        from qwen3_asr_swift_tpu.serving.batching import TTSBatcher
+
+        class TTS:
+            def synthesize(self, text, **kw):
+                from qwen3_asr_swift_tpu.core.types import AudioChunk
+
+                return AudioChunk(np.zeros(4, np.float32), 16000)
+
+        b = TTSBatcher(TTS(), max_batch=4, max_wait_ms=10)
+        f1 = b.submit("a", voice="x")
+        f2 = b.submit("b", voice="y")
+        assert f1.result(30) is not None and f2.result(30) is not None
+        b.shutdown()
