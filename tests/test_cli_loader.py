@@ -161,3 +161,73 @@ class TestCLI:
         assert MemoryTier.MAX.s2s_model_id is not None
         for tier in MemoryTier:
             assert tier.vad_model_id
+
+
+class TestCLIRemaining:
+    """Smoke the subcommands not covered above (every one of the 19 ends
+    up exercised end-to-end with --random-weights)."""
+
+    def run(self, capsys, *argv):
+        from qwen3_asr_swift_tpu.cli import main
+
+        main(list(argv))
+        return capsys.readouterr().out
+
+    def test_transcribe(self, capsys, wav_file):
+        out = self.run(capsys, "transcribe", wav_file, "--random-weights",
+                       "--max-tokens", "3")
+        assert "text" in json.loads(out)
+
+    def test_transcribe_batch(self, capsys, wav_file):
+        out = self.run(capsys, "transcribe-batch", wav_file, wav_file,
+                       "--random-weights", "--max-tokens", "3")
+        assert len(json.loads(out)) == 2
+
+    def test_align(self, capsys, wav_file):
+        out = self.run(capsys, "align", wav_file, "hello world", "--random-weights")
+        words = json.loads(out)
+        assert all("start" in w and "end" in w for w in words)
+
+    def test_speak_and_qwen3_tts(self, capsys, tmp_path):
+        out = self.run(capsys, "speak", "hi", "--random-weights",
+                       "--output", str(tmp_path / "s.wav"))
+        assert json.loads(out)["seconds"] >= 0
+
+    def test_vad_stream(self, capsys, wav_file):
+        self.run(capsys, "vad-stream", wav_file, "--random-weights")
+
+    def test_diarize(self, capsys, wav_file):
+        out = self.run(capsys, "diarize", wav_file, "--random-weights")
+        json.loads(out)
+
+    def test_denoise(self, capsys, wav_file, tmp_path):
+        out = self.run(capsys, "denoise", wav_file, "--random-weights",
+                       "--output", str(tmp_path / "d.wav"))
+        assert "output" in json.loads(out)
+
+    def test_separate(self, capsys, wav_file, tmp_path):
+        out = self.run(capsys, "separate", wav_file, "--random-weights",
+                       "--output-prefix", str(tmp_path / "stem"))
+        assert len(json.loads(out)) >= 1
+
+    def test_chat(self, capsys):
+        self.run(capsys, "chat", "hello", "--random-weights")
+
+    def test_vibevoice(self, capsys, tmp_path):
+        out = self.run(capsys, "vibevoice", "hi", "--random-weights",
+                       "--output", str(tmp_path / "v.wav"))
+        assert "seconds" in json.loads(out)
+
+    def test_voxcpm2(self, capsys, tmp_path):
+        out = self.run(capsys, "voxcpm2", "hi", "--random-weights",
+                       "--output", str(tmp_path / "x.wav"))
+        assert "seconds" in json.loads(out)
+
+    def test_respond(self, capsys, tmp_path):
+        from qwen3_asr_swift_tpu.audio.io import write_wav
+
+        path = str(tmp_path / "u.wav")
+        write_wav(path, np.zeros(2048, np.float32), 24000)
+        out = self.run(capsys, "respond", path, "--random-weights",
+                       "--output", str(tmp_path / "r.wav"))
+        assert "seconds" in json.loads(out)
