@@ -125,6 +125,12 @@ class WakeWordDetector(WakeWordModel):
                 hits.append(hit)
         return hits
 
+    def new_session(self) -> "WakeWordSession":
+        """Streaming detection: push audio chunks, keyword hits emit as
+        they fire (reference: StreamingKwsDecoder — the streaming encoder
+        + incremental context-graph decode)."""
+        return WakeWordSession(self)
+
     def warm_up(self) -> None:
         self.detect(np.zeros(16000, np.float32))
 
@@ -135,3 +141,49 @@ class WakeWordDetector(WakeWordModel):
     @property
     def is_loaded(self) -> bool:
         return self._loaded
+
+
+class WakeWordSession:
+    """Incremental keyword spotting over pushed audio.
+
+    Frames are Kaldi fbank (25 ms / 10 ms, snip-edges): a chunk of audio
+    yields exactly the frames whose windows it completes; a 400-sample
+    tail carries to the next push, and the context-graph decoder state
+    persists across pushes — a keyword spanning a chunk boundary still
+    fires (reference: Sources/SpeechWakeWord streaming path)."""
+
+    HOP = 160
+    FRAME = 400
+
+    def __init__(self, model: WakeWordDetector):
+        self.model = model
+        self._tail = np.zeros(0, np.float32)
+        self._decoder = StreamingKeywordDecoder(model.graph, model.blank_id)
+        self._frames_done = 0
+
+    def push(self, samples: np.ndarray) -> List[Tuple[str, float, float]]:
+        audio = np.concatenate([self._tail, np.asarray(samples, np.float32)])
+        n_frames = max(0, 1 + (len(audio) - self.FRAME) // self.HOP)
+        if n_frames < 2:  # encoder subsamples by 2 — need ≥2 new frames
+            self._tail = audio
+            return []
+        consumed = n_frames * self.HOP
+        piece, self._tail = audio[: consumed + (self.FRAME - self.HOP)], audio[consumed:]
+        fb = kaldi_fbank(jnp.asarray(piece * 32768.0, jnp.float32))
+        logp = np.asarray(self.model._encode(self.model.params, fb))
+        tokens = logp.argmax(axis=-1)
+        probs = np.exp(logp.max(axis=-1))
+        hits = []
+        frame_s = 0.02
+        for t, (tok, p) in enumerate(zip(tokens, probs)):
+            hit = self._decoder.step(int(tok), float(p),
+                                     (self._frames_done + t) * frame_s)
+            if hit:
+                hits.append(hit)
+        self._frames_done += len(tokens)
+        return hits
+
+    def reset(self) -> None:
+        self._tail = np.zeros(0, np.float32)
+        self._decoder = StreamingKeywordDecoder(self.model.graph, self.model.blank_id)
+        self._frames_done = 0

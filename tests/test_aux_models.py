@@ -110,3 +110,40 @@ class TestContextGraph:
         assert isinstance(hits, list)
         for name, t, score in hits:
             assert name == "kw" and t >= 0
+
+
+class TestWakeWordSession:
+    def _model(self):
+        from qwen3_asr_swift_tpu.models.wakeword import Keyword, WakeWordDetector
+
+        kws = [Keyword("hey tpu", [7, 9, 11], threshold=0.0)]
+        return WakeWordDetector.init_random(kws)
+
+    def test_single_push_matches_batch_detect(self):
+        m = self._model()
+        rng = np.random.default_rng(0)
+        audio = (0.1 * rng.standard_normal(16000)).astype(np.float32)
+        batch_hits = list(m.detect(audio))
+        s = m.new_session()
+        stream_hits = s.push(audio)
+        assert [h[0] for h in stream_hits] == [h[0] for h in batch_hits]
+
+    def test_chunked_pushes_carry_state(self):
+        m = self._model()
+        rng = np.random.default_rng(1)
+        audio = (0.1 * rng.standard_normal(16000)).astype(np.float32)
+        s = m.new_session()
+        total = []
+        for off in range(0, len(audio), 1111):
+            total += s.push(audio[off:off + 1111])
+        # frames progressed across pushes, tail stayed below one frame+hop
+        assert s._frames_done > 0
+        assert len(s._tail) < s.FRAME + s.HOP
+        s.reset()
+        assert s._frames_done == 0
+
+    def test_tiny_pushes_buffer(self):
+        m = self._model()
+        s = m.new_session()
+        assert s.push(np.zeros(100, np.float32)) == []
+        assert len(s._tail) == 100
