@@ -1,3 +1,8 @@
 """Speech enhancement (DeepFilterNet3-style)."""
 
-from .model import SpeechEnhancer, erb_filterbank, init_dfn_params  # noqa: F401
+from .model import (  # noqa: F401
+    SpeechEnhancer,
+    StreamingEnhancer,
+    erb_filterbank,
+    init_dfn_params,
+)

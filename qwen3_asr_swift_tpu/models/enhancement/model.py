@@ -219,3 +219,162 @@ class SpeechEnhancer(SpeechEnhancementModel):
     @property
     def is_loaded(self) -> bool:
         return self._loaded
+
+
+# ---------------------------------------------------------------------------
+# streaming (reference: the CoreML GRU + STFT analysis/synthesis memories are
+# carried across the clip — SpeechEnhancement.swift:61-94; here they become an
+# explicit chunk-step carry so live pipelines can denoise-before-STT)
+# ---------------------------------------------------------------------------
+
+def dfn_chunk_step(params, frames, m_erb, v_erb, gru_h, hist_re, hist_im):
+    """frames: [F, N_FFT] windowed-signal frames (pre-windowing applied by
+    the caller is NOT expected — raw frames). Returns (oframes [F, N_FFT],
+    advanced carries). Identical math to dfn_enhance per frame."""
+    cos_m, sin_m, _ = _dft()
+    re = frames @ jnp.asarray(cos_m)
+    im = frames @ jnp.asarray(sin_m)
+    power = re * re + im * im
+
+    fb = jnp.asarray(erb_filterbank())
+    erb = jnp.log10(jnp.maximum(power @ fb, 1e-10))
+    spec_feat = jnp.stack([re[:, :N_DF_BINS], im[:, :N_DF_BINS]], axis=-1)
+
+    def norm_step(carry, feats):
+        m, v = carry
+        m = NORM_ALPHA * m + (1 - NORM_ALPHA) * feats
+        v = NORM_ALPHA * v + (1 - NORM_ALPHA) * (feats - m) ** 2
+        return (m, v), (feats - m) / jnp.sqrt(v + 1e-6)
+
+    (m_erb, v_erb), erb_n = jax.lax.scan(norm_step, (m_erb, v_erb), erb)
+    n_frames = frames.shape[0]
+    spec_n = spec_feat / jnp.sqrt(jnp.mean(spec_feat ** 2, axis=(1, 2), keepdims=True) + 1e-6)
+
+    feats = jnp.concatenate([erb_n, spec_n.reshape(n_frames, -1)], axis=-1)
+    h_in = jnp.tanh(feats @ params["enc"]["kernel"] + params["enc"]["bias"])
+
+    def gru_scan(h, xt):
+        h = _gru_step(params["gru"], xt, h)
+        return h, h
+
+    gru_h, hs = jax.lax.scan(gru_scan, gru_h, h_in)
+
+    gains = jax.nn.sigmoid(hs @ params["erb_head"]["kernel"] + params["erb_head"]["bias"])
+    df = (hs @ params["df_head"]["kernel"] + params["df_head"]["bias"]).reshape(
+        n_frames, N_DF_BINS, DF_ORDER, 2) * 0.1
+
+    bin_gain = gains @ fb.T
+    re_g = re * bin_gain
+    im_g = im * bin_gain
+
+    # deep filtering with carried history: x[t-i] may live in the previous
+    # chunk (hist holds the last DF_ORDER-1 frames' low bins)
+    re_ext = jnp.concatenate([hist_re, re[:, :N_DF_BINS]], axis=0)
+    im_ext = jnp.concatenate([hist_im, im[:, :N_DF_BINS]], axis=0)
+    off = DF_ORDER - 1
+    re_df = jnp.zeros((n_frames, N_DF_BINS))
+    im_df = jnp.zeros((n_frames, N_DF_BINS))
+    for i in range(DF_ORDER):
+        xr = re_ext[off - i: off - i + n_frames]
+        xi = im_ext[off - i: off - i + n_frames]
+        cr, ci = df[:, :, i, 0], df[:, :, i, 1]
+        re_df += cr * xr - ci * xi
+        im_df += cr * xi + ci * xr
+    hist_re = re_ext[-off:] if off else hist_re
+    hist_im = im_ext[-off:] if off else hist_im
+
+    re_out = re_g.at[:, :N_DF_BINS].set(re_g[:, :N_DF_BINS] + re_df)
+    im_out = im_g.at[:, :N_DF_BINS].set(im_g[:, :N_DF_BINS] + im_df)
+
+    n = np.arange(N_FFT)
+    k = np.arange(N_BINS)
+    phase = 2 * np.pi * np.outer(k, n) / N_FFT
+    scale = np.ones(N_BINS, np.float32) * 2.0
+    scale[0] = scale[-1] = 1.0
+    icos = (np.cos(phase) / N_FFT).astype(np.float32)
+    isin = (np.sin(phase) / N_FFT).astype(np.float32)
+    oframes = (re_out * scale) @ jnp.asarray(icos) - (im_out * scale) @ jnp.asarray(isin)
+    return oframes, m_erb, v_erb, gru_h, hist_re, hist_im
+
+
+class StreamingEnhancer:
+    """Chunked 48 kHz enhancement with carried state. Per-chunk latency is
+    N_FFT - HOP = 10 ms of lookback; output equals the batch path on the
+    shared frames (same frame math; OLA normalization accumulated on the
+    host as samples finalize)."""
+
+    def __init__(self, model: "SpeechEnhancer", chunk_samples: int = 10 * HOP):
+        if chunk_samples % HOP:
+            raise ValueError("chunk_samples must be a multiple of the 480-sample hop")
+        self.model = model
+        self.chunk = chunk_samples
+        self._step = jax.jit(dfn_chunk_step)
+        _, _, window = _dft()
+        self._win = window.astype(np.float32)
+        self.reset()
+
+    def reset(self):
+        self._buf = np.zeros(0, np.float32)       # raw input awaiting framing
+        self._tail = None                          # last N_FFT-HOP input samples
+        self._m = jnp.zeros(N_ERB)
+        self._v = jnp.ones(N_ERB)
+        self._h = jnp.zeros(self.model.params["gru"]["wh"].shape[0])
+        self._hist_re = jnp.zeros((DF_ORDER - 1, N_DF_BINS))
+        self._hist_im = jnp.zeros((DF_ORDER - 1, N_DF_BINS))
+        self._ola = np.zeros(N_FFT, np.float32)    # pending overlap-add window
+        self._ola_norm = np.zeros(N_FFT, np.float32)
+
+    def push(self, samples: np.ndarray) -> np.ndarray:
+        """Feed audio; returns finalized enhanced samples (lags the input
+        by N_FFT - HOP = 480 samples)."""
+        self._buf = np.concatenate([self._buf, np.asarray(samples, np.float32)])
+        out = np.zeros(0, np.float32)
+        while len(self._buf) >= self.chunk:
+            piece, self._buf = self._buf[: self.chunk], self._buf[self.chunk:]
+            out = np.concatenate([out, self._process(piece)])
+        return out
+
+    def flush(self) -> np.ndarray:
+        """Process the remainder (zero-padded to whole hops) and drain."""
+        rem = len(self._buf)
+        out = np.zeros(0, np.float32)
+        if rem:
+            pad = (-rem) % HOP
+            piece = np.pad(self._buf, (0, pad))
+            self._buf = np.zeros(0, np.float32)
+            out = self._process(piece)
+        # drain the pending OLA window
+        tail_norm = np.maximum(self._ola_norm, 1e-8)
+        out = np.concatenate([out, (self._ola / tail_norm)[: N_FFT - HOP]])
+        return out
+
+    def _process(self, piece: np.ndarray) -> np.ndarray:
+        if self._tail is None:
+            # center semantics: reflect-pad from the first real samples
+            lead = piece[1 : N_FFT // 2 + 1][::-1]
+            self._tail = np.pad(lead, (max(0, N_FFT // 2 - len(lead)), 0))
+        signal = np.concatenate([self._tail, piece])
+        n_frames = len(piece) // HOP
+        idx = np.arange(n_frames)[:, None] * HOP + np.arange(N_FFT)[None, :]
+        frames = signal[idx]
+        self._tail = signal[n_frames * HOP:]
+
+        oframes, self._m, self._v, self._h, self._hist_re, self._hist_im = \
+            self._step(self.model.params, jnp.asarray(frames),
+                       self._m, self._v, self._h, self._hist_re, self._hist_im)
+        oframes = np.asarray(oframes) * self._win[None]
+
+        # host OLA: emit samples whose every contributing frame is done
+        total = n_frames * HOP + (N_FFT - HOP)
+        acc = np.zeros(total, np.float32)
+        nrm = np.zeros(total, np.float32)
+        acc[: N_FFT] += self._ola
+        nrm[: N_FFT] += self._ola_norm
+        w2 = self._win * self._win
+        for i in range(n_frames):
+            acc[i * HOP: i * HOP + N_FFT] += oframes[i]
+            nrm[i * HOP: i * HOP + N_FFT] += w2
+        emit = n_frames * HOP
+        self._ola = np.pad(acc[emit:], (0, emit + N_FFT - total))[:N_FFT]
+        self._ola_norm = np.pad(nrm[emit:], (0, emit + N_FFT - total))[:N_FFT]
+        return acc[:emit] / np.maximum(nrm[:emit], 1e-8)

@@ -147,3 +147,50 @@ class TestWakeWordSession:
         s = m.new_session()
         assert s.push(np.zeros(100, np.float32)) == []
         assert len(s._tail) == 100
+
+
+class TestStreamingEnhancer:
+    def test_streamed_matches_batch_interior(self):
+        """Chunked enhancement with carried state must reproduce the batch
+        path on shared frames. The streamed output starts at the padded
+        origin (includes the 480-sample reflect lead the batch trims) and
+        differs only in the final window where the batch sees the right
+        reflect pad."""
+        from qwen3_asr_swift_tpu.models.enhancement import SpeechEnhancer
+        from qwen3_asr_swift_tpu.models.enhancement.model import HOP, N_FFT, StreamingEnhancer
+
+        model = SpeechEnhancer.init_random()
+        rng = np.random.default_rng(0)
+        t = HOP * 40  # 19200 samples = 0.4 s @48k
+        audio = (0.1 * rng.standard_normal(t)).astype(np.float32)
+        batch = model.enhance(audio, 48000).samples
+
+        s = StreamingEnhancer(model, chunk_samples=HOP * 7)
+        streamed = s.push(audio)
+        streamed = np.concatenate([streamed, s.flush()])
+
+        lead = HOP  # the batch trims the reflect lead; streaming emits it
+        usable = min(len(batch), len(streamed) - lead) - N_FFT
+        a = streamed[lead: lead + usable]
+        b = batch[:usable]
+        err = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+        assert err < 1e-3, f"interior mismatch {err}"
+
+    def test_chunk_size_must_align(self):
+        from qwen3_asr_swift_tpu.models.enhancement import SpeechEnhancer
+        from qwen3_asr_swift_tpu.models.enhancement.model import StreamingEnhancer
+
+        with pytest.raises(ValueError):
+            StreamingEnhancer(SpeechEnhancer.init_random(), chunk_samples=333)
+
+    def test_reset_and_reuse(self):
+        from qwen3_asr_swift_tpu.models.enhancement import SpeechEnhancer
+        from qwen3_asr_swift_tpu.models.enhancement.model import HOP, StreamingEnhancer
+
+        model = SpeechEnhancer.init_random()
+        s = StreamingEnhancer(model, chunk_samples=HOP * 4)
+        audio = np.random.default_rng(1).standard_normal(HOP * 8).astype(np.float32)
+        y1 = np.concatenate([s.push(audio), s.flush()])
+        s.reset()
+        y2 = np.concatenate([s.push(audio), s.flush()])
+        assert np.allclose(y1, y2)
