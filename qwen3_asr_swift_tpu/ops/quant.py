@@ -220,9 +220,24 @@ def _use_pallas() -> bool:
         return False
 
 
+# Above this many activation rows the Pallas kernel's whole-x-in-VMEM
+# layout overflows (16 MB); prefill-shaped calls take the XLA path, which
+# is MXU-bound (not bandwidth-bound) at high arithmetic intensity anyway.
+_PALLAS_MAX_ROWS = 256
+
+
+def _rows(x) -> int:
+    n = 1
+    for d in x.shape[:-1]:
+        n *= int(d)
+    return n
+
+
 def quant_linear(x, p):
-    """Quantized y = x @ W^T (+ bias). Backend-dispatched."""
-    if _use_pallas():
+    """Quantized y = x @ W^T (+ bias). Backend- and shape-dispatched:
+    Pallas for decode-shaped GEMV on a single chip, XLA group
+    decomposition otherwise."""
+    if _use_pallas() and _rows(x) <= _PALLAS_MAX_ROWS:
         y = quant_matmul_pallas(x, p)
     else:
         y = quant_matmul_xla(x, p)
@@ -314,6 +329,6 @@ def quant_tied_lm_head(hidden, p):
     """Quantized-embedding-as-LM-head (reference: PreQuantizedEmbedding
     .asLinear): logits = hidden @ dequant(table)^T — the same GEMV the
     Pallas kernel accelerates, with out = vocab."""
-    if _use_pallas():
+    if _use_pallas() and _rows(hidden) <= _PALLAS_MAX_ROWS:
         return quant_matmul_pallas(hidden, p)
     return quant_matmul_xla(hidden, p)
