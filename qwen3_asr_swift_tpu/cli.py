@@ -362,6 +362,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--model": dict(default="aufklarer/Qwen3-TTS-1.7B-MLX-4bit"),
         "--voice": dict(default=None), "--language": dict(default="english"),
         "--instruct": dict(default=None), "--output": dict(default="out.wav")})
+    # reference name kept as an alias: the CoreML variant is the same set
+    # of jitted programs here (AudioCLI.swift lists it separately)
+    add("qwen3-tts-coreml", cmd_speak, text={}, **{
+        "--model": dict(default="aufklarer/Qwen3-TTS-0.6B-CoreML"),
+        "--voice": dict(default=None), "--language": dict(default="english"),
+        "--instruct": dict(default=None), "--output": dict(default="out.wav")})
     add("kokoro", cmd_kokoro, text={}, **{
         "--model": dict(default="hexgrad/Kokoro-82M"), "--voice": dict(default=None),
         "--language": dict(default="en"), "--speed": dict(type=float, default=1.0),

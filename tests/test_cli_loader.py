@@ -151,7 +151,8 @@ class TestCLI:
         expected = {"transcribe", "transcribe-batch", "align", "speak", "respond",
                     "vad", "vad-stream", "diarize", "embed-speaker", "denoise",
                     "separate", "kokoro", "qwen3-tts", "vibevoice",
-                    "vibevoice-encode-voice", "translate", "wake", "serve", "chat"}
+                    "vibevoice-encode-voice", "translate", "wake", "serve", "chat",
+                    "qwen3-tts-coreml", "voxcpm2"}
         assert expected <= commands
 
     def test_tier_model_ladders(self):
