@@ -415,3 +415,57 @@ class TestTTSBatcher:
         f2 = b.submit("b", voice="y")
         assert f1.result(30) is not None and f2.result(30) is not None
         b.shutdown()
+
+
+class TestEnhanceRespondRoutes:
+    @pytest.fixture()
+    def full_server(self):
+        class FakeEnhancer:
+            def enhance(self, audio, sample_rate):
+                return AudioChunk(np.asarray(audio, np.float32) * 0.5, sample_rate)
+
+        class FakeS2S:
+            def respond(self, audio, sample_rate=16000, **kw):
+                return AudioChunk(np.zeros(2400, np.float32), 24000)
+
+        registry = ModelRegistry()
+        registry.register_instance("enhance", FakeEnhancer())
+        registry.register_instance("s2s", FakeS2S())
+        srv = SpeechServer(registry, host="127.0.0.1", port=0)
+        loop = asyncio.new_event_loop()
+        started = threading.Event()
+        holder = {}
+
+        def run():
+            asyncio.set_event_loop(loop)
+
+            async def go():
+                holder["task"] = asyncio.current_task()
+                s = await srv.start()
+                holder["port"] = s.sockets[0].getsockname()[1]
+                started.set()
+                await s.serve_forever()
+
+            try:
+                loop.run_until_complete(go())
+            except asyncio.CancelledError:
+                pass
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        assert started.wait(5)
+        yield holder["port"]
+        loop.call_soon_threadsafe(holder["task"].cancel)
+        t.join(timeout=10)
+
+    def test_enhance_route(self, full_server):
+        wav = wav_bytes(np.ones(4800, np.float32) * 0.5, 48000)
+        status, head, body = http_request(full_server, "POST", "/enhance", wav, "audio/wav")
+        assert status == 200
+        assert body[:4] == b"RIFF"
+
+    def test_respond_route(self, full_server):
+        wav = wav_bytes(np.zeros(2400, np.float32), 24000)
+        status, head, body = http_request(full_server, "POST", "/respond", wav, "audio/wav")
+        assert status == 200
+        assert body[:4] == b"RIFF"
