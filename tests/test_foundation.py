@@ -176,3 +176,25 @@ class TestTreeUtils:
         tree = unflatten(flat)
         assert set(tree) == {"a", "e"}
         assert set(flatten(tree)) == set(flat)
+
+
+class TestObservabilityHelpers:
+    def test_profile_trace_writes_and_times(self, tmp_path):
+        import jax.numpy as jnp
+
+        from qwen3_asr_swift_tpu.core.logging import profile_trace
+
+        d = str(tmp_path / "trace")
+        with profile_trace(d, "unit"):
+            (jnp.ones((16, 16)) @ jnp.ones((16, 16))).block_until_ready()
+        import os
+
+        assert os.path.isdir(d)
+
+    def test_enable_persistent_cache_sets_config(self, tmp_path):
+        import jax
+
+        from qwen3_asr_swift_tpu.core import enable_persistent_cache
+
+        enable_persistent_cache(str(tmp_path / "cc"))
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cc")
