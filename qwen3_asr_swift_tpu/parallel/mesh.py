@@ -37,6 +37,12 @@ def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
     if devices is None:
         devices = jax.devices()
     n = n_devices or len(devices)
+    if len(devices) < n:
+        raise ValueError(
+            f"make_mesh needs {n} devices but only {len(devices)} are visible; "
+            "for CPU simulation set JAX_PLATFORMS=cpu and "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n} before jax initializes"
+        )
     devices = devices[:n]
     if tp is None and dp is None:
         dp, tp = n, 1
