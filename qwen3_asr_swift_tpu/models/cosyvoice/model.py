@@ -1,23 +1,26 @@
-"""CosyVoice3 TTS: LLM → flow-matching DiT → HiFi-GAN, voice cloning.
+"""CosyVoice3 TTS: Qwen2.5 LLM → flow-matching DiT → HiFT vocoder.
 
-TPU-native analog of the reference's CosyVoice module
+TPU-native implementation of the reference's CosyVoice module
 (reference: Sources/CosyVoiceTTS/CosyVoiceTTS.swift:32-348, LLM.swift,
-FlowMatching.swift, DiT.swift, HiFiGAN.swift, VoiceCloning.swift,
-DialogueSynthesizer.swift): three stages —
+FlowMatching.swift, DiT.swift:384-480, HiFiGAN.swift:635-869,
+VoiceCloning.swift, DialogueSynthesizer.swift). Three stages:
 
-1. a Qwen2-style LM autoregressively emits speech tokens (6561-vocab FSQ)
-   from text (+ optional prompt-audio tokens for cloning);
-2. a flow-matching DiT transforms noise → mel (80×) over N Euler ODE
-   steps (reference: 10 compiled steps), conditioned on speech tokens and
-   a speaker embedding (CAM++ x-vector for cloning);
-3. a HiFi-GAN generator upsamples mel → 24 kHz waveform.
+1. Qwen2.5-0.5B LM emits FSQ speech tokens (vocab 6561 + 200 control rows;
+   sos/eos/task_id/fill at 6561..6564) from the prompt
+   ``[sos, text…, task_id, (prompt speech tokens…)]`` with nucleus
+   (top-k 25 / top-p 0.8) + repetition-aware sampling and min/max
+   token-text-ratio guards — all inside one ``lax.while_loop``
+   (reference: LLM.swift:56-140, 267-470; Configuration.swift:5-41).
+2. The 22-layer AdaLN-Zero DiT integrates a CFG Euler ODE (10 steps,
+   cosine schedule) from noise to 80-mel at 50 Hz (dit.py).
+3. The HiFT neural-source-filter vocoder renders 24 kHz audio (hift.py).
 
-Multi-speaker dialogue scripts ("A: hi\nB: hello") are parsed and
-synthesized per-turn (reference DialogueSynthesizer), with per-speaker
-voices and emotion tags ([laughter], [breath] pass through the LM).
+Voice cloning follows the upstream zero-shot recipe: a CAM++ 192-d
+x-vector conditions the flow, and optional reference FSQ codes + mel
+anchor the LM prompt and the DiT ``cond`` slot.
 
-The LM loop runs in ``lax.while_loop``; the ODE integration is a
-``lax.scan`` over a fixed step count; HiFi-GAN is a jitted conv graph.
+Multi-speaker dialogue scripts ("A: hi") are parsed and synthesized
+per-turn (reference DialogueSynthesizer).
 """
 
 from __future__ import annotations
@@ -33,14 +36,16 @@ import numpy as np
 
 from ...core import AudioChunk, SpeechGenerationModel
 from ...ops.attention import NEG_INF, sdpa
-from ...ops.nn import init_linear, layer_norm, linear, rms_norm, swiglu_mlp
+from ...ops.nn import init_linear, linear, rms_norm, swiglu_mlp
 from ...ops.rope import apply_rope, rope_angles
-from ..qwen3_tts.codec import causal_conv1d, causal_transpose_conv1d, _conv_init
+from .dit import (CosyDiTConfig, CosyFlowConfig, flow_config_tiny, flow_generate,
+                  init_flow_params)
+from .hift import CosyHiFTConfig, hift_config_tiny, hift_generate, init_hift_params
 
 
 @dataclasses.dataclass(frozen=True)
 class CosyVoiceConfig:
-    # LLM (Qwen2.5-0.5B-ish)
+    # LLM (Qwen2.5-0.5B — reference: Configuration.swift:5-41)
     hidden_size: int = 896
     num_layers: int = 24
     num_heads: int = 14
@@ -48,61 +53,76 @@ class CosyVoiceConfig:
     head_dim: int = 64
     intermediate_size: int = 4864
     text_vocab: int = 151936
-    speech_vocab: int = 6562        # 6561 FSQ codes + EOS
+    speech_token_size: int = 6561     # FSQ codes
+    speech_token_extra: int = 200     # control rows appended to the codes
     rope_theta: float = 1e6
     rms_norm_eps: float = 1e-6
-    # DiT flow
-    n_mels: int = 80
-    dit_hidden: int = 256
-    dit_layers: int = 4
-    dit_heads: int = 4
-    ode_steps: int = 10
-    spk_dim: int = 192              # CAM++ x-vector
-    token_mel_ratio: int = 2        # mel frames per speech token
-    # vocoder
-    hop: int = 480                  # 24 kHz / 50 Hz mel
-    sample_rate: int = 24000
+    # sampling (reference: CosyVoiceSamplingConfig)
+    top_k: int = 25
+    top_p: float = 0.8
+    ras_win_size: int = 10
+    ras_tau_r: float = 0.1
+    min_token_text_ratio: float = 2.0
+    max_token_text_ratio: float = 20.0
     max_tokens: int = 500
+    # stages
+    flow: CosyFlowConfig = dataclasses.field(default_factory=CosyFlowConfig)
+    hift: CosyHiFTConfig = dataclasses.field(default_factory=CosyHiFTConfig)
+    sample_rate: int = 24000
+
+    @property
+    def speech_vocab(self) -> int:
+        return self.speech_token_size + self.speech_token_extra
+
+    @property
+    def sos_token(self) -> int:
+        return self.speech_token_size
+
+    @property
+    def eos_token(self) -> int:
+        return self.speech_token_size + 1
+
+    @property
+    def task_id_token(self) -> int:
+        return self.speech_token_size + 2
+
+    @property
+    def fill_token(self) -> int:
+        return self.speech_token_size + 3
+
+    @property
+    def stop_tokens(self) -> Tuple[int, ...]:
+        """sos/eos/task all end generation (reference: Configuration.swift:29-39)."""
+        return (self.speech_token_size, self.speech_token_size + 1,
+                self.speech_token_size + 2)
 
 
 CONFIG_05B = CosyVoiceConfig()
 
 
 def config_tiny() -> CosyVoiceConfig:
-    return CosyVoiceConfig(hidden_size=32, num_layers=2, num_heads=2, num_kv_heads=1,
-                           head_dim=16, intermediate_size=64, text_vocab=300,
-                           speech_vocab=130, n_mels=16, dit_hidden=32, dit_layers=1,
-                           dit_heads=2, ode_steps=2, spk_dim=16, hop=64, max_tokens=8)
+    return CosyVoiceConfig(
+        hidden_size=32, num_layers=2, num_heads=2, num_kv_heads=1, head_dim=16,
+        intermediate_size=64, text_vocab=300, speech_token_size=40,
+        speech_token_extra=8, max_tokens=8,
+        flow=flow_config_tiny(), hift=hift_config_tiny(), sample_rate=24000)
 
 
 def init_cosyvoice_params(key, cfg: CosyVoiceConfig, dtype=jnp.float32) -> dict:
-    ks = jax.random.split(key, 16 + cfg.num_layers + cfg.dit_layers)
+    ks = jax.random.split(key, 6 + cfg.num_layers)
     h = cfg.hidden_size
     params = {
         "text_embed": (jax.random.normal(ks[0], (cfg.text_vocab, h)) * 0.02).astype(dtype),
         "speech_embed": (jax.random.normal(ks[1], (cfg.speech_vocab, h)) * 0.02).astype(dtype),
-        "speech_head": init_linear(ks[2], h, cfg.speech_vocab, bias=False, dtype=dtype),
+        "speech_head": init_linear(ks[2], h, cfg.speech_vocab, bias=True, dtype=dtype),
         "norm": {"weight": jnp.ones((h,), dtype)},
         "layers": [],
-        "dit": {
-            "token_embed": (jax.random.normal(ks[3], (cfg.speech_vocab, cfg.dit_hidden)) * 0.02).astype(dtype),
-            "spk_proj": init_linear(ks[4], cfg.spk_dim, cfg.dit_hidden, dtype=dtype),
-            "x_proj": init_linear(ks[5], cfg.n_mels, cfg.dit_hidden, dtype=dtype),
-            "t_proj": init_linear(ks[6], 1, cfg.dit_hidden, dtype=dtype),
-            "out": init_linear(ks[7], cfg.dit_hidden, cfg.n_mels, dtype=dtype),
-            "layers": [],
-        },
-        "hifigan": {
-            "pre": _conv_init(ks[8], 7, cfg.n_mels, 128, dtype=dtype),
-            "up1": _conv_init(ks[9], 16, 128, 64, dtype=dtype),
-            "up2": _conv_init(ks[10], 16, 64, 32, dtype=dtype),
-            "res": _conv_init(ks[11], 7, 32, 32, dtype=dtype),
-            "post": _conv_init(ks[12], 7, 32, 1, dtype=dtype),
-        },
+        "flow": init_flow_params(ks[3], cfg.flow, dtype),
+        "hift": init_hift_params(ks[4], cfg.hift, dtype),
     }
     hd = cfg.head_dim
     for i in range(cfg.num_layers):
-        k = jax.random.split(ks[16 + i], 7)
+        k = jax.random.split(ks[6 + i], 7)
         params["layers"].append({
             "input_layernorm": {"weight": jnp.ones((h,), dtype)},
             "post_attention_layernorm": {"weight": jnp.ones((h,), dtype)},
@@ -116,37 +136,101 @@ def init_cosyvoice_params(key, cfg: CosyVoiceConfig, dtype=jnp.float32) -> dict:
                 "down_proj": init_linear(k[6], cfg.intermediate_size, h, bias=False, dtype=dtype),
             },
         })
-    d = cfg.dit_hidden
-    for i in range(cfg.dit_layers):
-        k = jax.random.split(ks[16 + cfg.num_layers + i], 6)
-        params["dit"]["layers"].append({
-            "ln1": {"weight": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
-            "q": init_linear(k[0], d, d, dtype=dtype), "k": init_linear(k[1], d, d, dtype=dtype),
-            "v": init_linear(k[2], d, d, dtype=dtype), "o": init_linear(k[3], d, d, dtype=dtype),
-            "ln2": {"weight": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
-            "ff1": init_linear(k[4], d, d * 4, dtype=dtype),
-            "ff2": init_linear(k[5], d * 4, d, dtype=dtype),
-        })
     return params
 
 
 # -- stage 1: LLM speech-token generation ------------------------------------
 
-def llm_generate_tokens(params, cfg: CosyVoiceConfig, text_ids, n_valid, key,
-                        max_tokens: int, temperature: float = 0.8, top_k: int = 25):
-    """text_ids: [T_bucket] (left block) → (tokens [max_tokens], n)."""
-    from ..chat.model import NEG_INF as _  # noqa: F401 — keep imports local
+def _nucleus_sample(lg, key, cfg: CosyVoiceConfig):
+    """top-k → top-p (keep while cum−p ≤ top_p, top-1 always) → Gumbel-max
+    (reference: LLM.swift nucleusSample :14-50)."""
+    vocab = lg.shape[-1]
+    if 0 < cfg.top_k < vocab:
+        kth = jnp.sort(lg)[..., -cfg.top_k]
+        lg = jnp.where(lg < kth, NEG_INF, lg)
+    if cfg.top_p < 1.0:
+        order = jnp.argsort(-lg)
+        probs = jax.nn.softmax(lg)
+        sp = jnp.take(probs, order)
+        keep_sorted = (jnp.cumsum(sp) - sp) <= cfg.top_p
+        keep = jnp.zeros((vocab,), bool).at[order].set(keep_sorted)
+        lg = jnp.where(keep, lg, NEG_INF)
+    g = jax.random.gumbel(key, lg.shape, dtype=jnp.float32)
+    return jnp.argmax(lg + g, axis=-1).astype(jnp.int32)
 
+
+def _sample_token(lg, key, window, cfg: CosyVoiceConfig, ignore_eos):
+    """Full reference sampler: suppress post-stop rows, optional stop-token
+    masking below min length, nucleus sample, then repetition-aware
+    resampling if the candidate already fills the recent window
+    (reference: LLM.swift:56-140)."""
+    vocab = lg.shape[-1]
+    idx = jnp.arange(vocab)
+    # suppress fill/padding rows (stop tokens stay live)
+    lg = jnp.where(idx >= cfg.fill_token, NEG_INF, lg)
+    stop_mask = jnp.zeros((vocab,), bool)
+    for st in cfg.stop_tokens:
+        stop_mask = stop_mask | (idx == st)
+    lg = jnp.where(ignore_eos & stop_mask, NEG_INF, lg)
+
+    k1, k2 = jax.random.split(key)
+    tok = _nucleus_sample(lg, k1, cfg)
+
+    rep = jnp.sum(window == tok)
+    threshold = max(int(cfg.ras_win_size * cfg.ras_tau_r), 1)
+    resample_lg = jnp.where(idx == tok, NEG_INF, lg)
+    g = jax.random.gumbel(k2, lg.shape, dtype=jnp.float32)
+    tok_resampled = jnp.argmax(resample_lg + g, axis=-1).astype(jnp.int32)
+    return jnp.where(rep >= threshold, tok_resampled, tok)
+
+
+def llm_generate_tokens(params, cfg: CosyVoiceConfig, text_ids, n_valid, key,
+                        max_tokens: int, prompt_speech=None, n_prompt=None):
+    """Generate FSQ speech tokens for a text prompt.
+
+    text_ids: [T_bucket] right-padded text ids; n_valid: scalar count.
+    prompt_speech: optional [P_bucket] FSQ codes for zero-shot cloning
+    (n_prompt valid). Prompt layout [sos, text…, task_id, prompt…]
+    (reference: LLM.swift:370-412). Returns (tokens [max_tokens], n).
+    """
     b = 1
     t_bucket = text_ids.shape[0]
-    max_len = t_bucket + max_tokens
+    p_bucket = 0 if prompt_speech is None else prompt_speech.shape[0]
+    if n_prompt is None:
+        n_prompt = jnp.asarray(0, jnp.int32)
+    prefix_len = t_bucket + 2 + p_bucket
+    max_len = prefix_len + max_tokens
+
+    # --- build prefix embeddings: sos at 0, text at 1..n, task at n+1,
+    # prompt speech right after --- all via static gathers + masks.
+    h = cfg.hidden_size
+    pos_idx = jnp.arange(prefix_len)
+    text_part = jnp.take(params["text_embed"], text_ids, axis=0)         # [Tb, h]
+    sos = jnp.take(params["speech_embed"], jnp.asarray(cfg.sos_token), axis=0)
+    task = jnp.take(params["speech_embed"], jnp.asarray(cfg.task_id_token), axis=0)
+    emb = jnp.zeros((prefix_len, h), text_part.dtype)
+    emb = emb.at[0].set(sos)
+    emb = emb.at[1:1 + t_bucket].set(text_part)
+    # overwrite the slot right after the last valid text token with task_id
+    emb = jax.lax.dynamic_update_slice_in_dim(emb, task[None], 1 + n_valid, axis=0)
+    valid = (pos_idx == 0) | ((pos_idx >= 1) & (pos_idx <= n_valid)) | (pos_idx == 1 + n_valid)
+    if prompt_speech is not None:
+        sp_emb = jnp.take(params["speech_embed"], prompt_speech, axis=0)  # [Pb, h]
+        # place prompt speech embeds at positions n_valid+2 .. n_valid+1+n_prompt
+        shift = jnp.arange(p_bucket)
+        target = 2 + n_valid + shift
+        emb = emb.at[target].set(jnp.where((shift < n_prompt)[:, None], sp_emb, emb[target]))
+        valid = valid | ((pos_idx >= 2 + n_valid) & (pos_idx < 2 + n_valid + n_prompt))
+    n_prefix = 2 + n_valid + n_prompt
+    embeds = emb[None]
+
     caches = [
         (jnp.zeros((b, cfg.num_kv_heads, max_len, cfg.head_dim), jnp.float32),
          jnp.zeros((b, cfg.num_kv_heads, max_len, cfg.head_dim), jnp.float32))
         for _ in range(cfg.num_layers)
     ]
 
-    def forward(embeds, positions, caches, start, kv_len, key_valid):
+    def forward(embeds, positions, caches, start, key_valid):
         t = embeds.shape[1]
         x = embeds
         new_caches = []
@@ -155,10 +239,10 @@ def llm_generate_tokens(params, cfg: CosyVoiceConfig, text_ids, n_valid, key,
         mask = jnp.where((cols <= rows) & key_valid[None, None, None, :], 0.0, NEG_INF).astype(jnp.float32)
         for p, (kc, vc) in zip(params["layers"], caches):
             hd = cfg.head_dim
-            h = rms_norm(x, p["input_layernorm"]["weight"], cfg.rms_norm_eps)
-            q = linear(h, p["q_proj"]).reshape(b, t, cfg.num_heads, hd)
-            k = linear(h, p["k_proj"]).reshape(b, t, cfg.num_kv_heads, hd)
-            v = linear(h, p["v_proj"]).reshape(b, t, cfg.num_kv_heads, hd)
+            hx = rms_norm(x, p["input_layernorm"]["weight"], cfg.rms_norm_eps)
+            q = linear(hx, p["q_proj"]).reshape(b, t, cfg.num_heads, hd)
+            k = linear(hx, p["k_proj"]).reshape(b, t, cfg.num_kv_heads, hd)
+            v = linear(hx, p["v_proj"]).reshape(b, t, cfg.num_kv_heads, hd)
             cos, sin = rope_angles(positions, hd, cfg.rope_theta)
             cos, sin = cos[:, None], sin[:, None]
             q = apply_rope(q.transpose(0, 2, 1, 3), cos, sin)
@@ -173,106 +257,55 @@ def llm_generate_tokens(params, cfg: CosyVoiceConfig, text_ids, n_valid, key,
             x = x + swiglu_mlp(h2, p["mlp"])
         return rms_norm(x, params["norm"]["weight"], cfg.rms_norm_eps), new_caches
 
-    embeds = jnp.take(params["text_embed"], text_ids, axis=0)[None]
-    positions = jnp.arange(t_bucket)[None]
-    prompt_valid = jnp.arange(max_len) < n_valid
+    positions = jnp.arange(prefix_len)[None]
+    prefix_valid = jnp.concatenate([valid, jnp.zeros((max_tokens,), bool)])
     hidden, caches = forward(embeds, positions, caches, jnp.asarray(0, jnp.int32),
-                             n_valid, prompt_valid)
-    # last *valid* row; bucket is right-padded so gather at n_valid-1
-    logits = linear(hidden[jnp.arange(b), n_valid - 1], params["speech_head"]).astype(jnp.float32)
+                             prefix_valid)
+    # NOTE: padded prefix rows don't contaminate valid rows (masked keys), and
+    # the last valid row sits at n_prefix-1 only when the prompt is contiguous
+    # — with bucketed text the task/prompt slots were placed contiguously above.
+    logits = linear(hidden[jnp.arange(b), n_prefix - 1], params["speech_head"]).astype(jnp.float32)[0]
 
-    eos = cfg.speech_vocab - 1
+    min_len = jnp.ceil(n_valid.astype(jnp.float32) * cfg.min_token_text_ratio).astype(jnp.int32)
+    max_len_dyn = jnp.minimum(
+        jnp.asarray(max_tokens, jnp.int32),
+        (n_valid.astype(jnp.float32) * cfg.max_token_text_ratio).astype(jnp.int32) + 1)
+
+    eos = cfg.eos_token
     out = jnp.full((max_tokens,), eos, jnp.int32)
-
-    def sample(lg, k):
-        if top_k > 0:
-            kth = jnp.sort(lg, axis=-1)[..., -top_k][..., None]
-            lg = jnp.where(lg < kth, NEG_INF, lg)
-        if temperature > 0:
-            lg = lg / temperature + jax.random.gumbel(k, lg.shape, dtype=jnp.float32)
-        return jnp.argmax(lg, axis=-1).astype(jnp.int32)
+    window0 = jnp.full((cfg.ras_win_size,), -1, jnp.int32)
 
     key, k0 = jax.random.split(key)
-    tok = sample(logits, k0)[0]
-    out = out.at[0].set(tok)
-    done0 = tok == eos
+    tok = _sample_token(logits, k0, window0, cfg, ignore_eos=min_len > 0)
+    stop_arr = jnp.asarray(cfg.stop_tokens, jnp.int32)
+    is_stop0 = jnp.any(tok == stop_arr)
+    out = out.at[0].set(jnp.where(is_stop0, eos, tok))
+    window0 = window0.at[0].set(tok)
 
     def cond(s):
-        step, _, _, done, _, _ = s
-        return (step < max_tokens) & ~done
+        step, _, _, done, _, _, _ = s
+        return (step < max_len_dyn) & ~done
 
     def body(s):
-        step, out, caches, done, tok, key = s
+        step, out, caches, done, tok, window, key = s
         emb = jnp.take(params["speech_embed"], tok[None], axis=0)[None]
-        pos = (n_valid + step - 1)[None, None]
+        pos = (n_prefix + step - 1)[None, None]
         idx = jnp.arange(max_len)
-        kv_valid = prompt_valid | ((idx >= t_bucket) & (idx < t_bucket + step))
-        hidden, caches = forward(emb, pos, caches, t_bucket + step - 1,
-                                 n_valid + step, kv_valid)
-        logits = linear(hidden[:, 0], params["speech_head"]).astype(jnp.float32)
+        kv_valid = prefix_valid | ((idx >= prefix_len) & (idx < prefix_len + step))
+        hidden, caches = forward(emb, pos, caches, prefix_len + step - 1, kv_valid)
+        logits = linear(hidden[:, 0], params["speech_head"]).astype(jnp.float32)[0]
         key, kk = jax.random.split(key)
-        tok = sample(logits, kk)[0]
-        out = out.at[step].set(jnp.where(done, out[step], tok))
-        done = done | (tok == eos)
-        return step + 1, out, caches, done, tok, key
+        tok = _sample_token(logits, kk, window, cfg, ignore_eos=step < min_len)
+        is_stop = jnp.any(tok == stop_arr)
+        out = out.at[step].set(jnp.where(done | is_stop, out[step], tok))
+        window = window.at[step % cfg.ras_win_size].set(tok)
+        done = done | is_stop
+        return step + 1, out, caches, done, tok, window, key
 
-    state = (jnp.asarray(1, jnp.int32), out, caches, done0, tok, key)
-    _, out, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+    state = (jnp.asarray(1, jnp.int32), out, caches, is_stop0, tok, window0, key)
+    _, out, _, _, _, _, _ = jax.lax.while_loop(cond, body, state)
     n = jnp.sum(out != eos)
     return out, n
-
-
-# -- stage 2: flow-matching DiT ----------------------------------------------
-
-def dit_velocity(p, cfg: CosyVoiceConfig, x, tokens, spk, t):
-    """x: [F, n_mels] noisy mel; tokens: [F] (token per mel frame);
-    spk: [spk_dim]; t: scalar time. Returns velocity [F, n_mels]."""
-    f = x.shape[0]
-    h = linear(x[None], p["x_proj"])  # [1, F, D]
-    h = h + jnp.take(p["token_embed"], tokens, axis=0)[None]
-    h = h + linear(spk[None, None], p["spk_proj"])
-    h = h + linear(jnp.full((1, 1, 1), t, h.dtype), p["t_proj"])
-    hd = cfg.dit_hidden // cfg.dit_heads
-    for lp in p["layers"]:
-        hh = layer_norm(h, lp["ln1"]["weight"], lp["ln1"]["bias"])
-        q = linear(hh, lp["q"]).reshape(1, f, cfg.dit_heads, hd).transpose(0, 2, 1, 3)
-        k = linear(hh, lp["k"]).reshape(1, f, cfg.dit_heads, hd).transpose(0, 2, 1, 3)
-        v = linear(hh, lp["v"]).reshape(1, f, cfg.dit_heads, hd).transpose(0, 2, 1, 3)
-        a = sdpa(q, k, v, 1.0 / np.sqrt(hd))
-        h = h + linear(a.transpose(0, 2, 1, 3).reshape(1, f, -1), lp["o"])
-        hh = layer_norm(h, lp["ln2"]["weight"], lp["ln2"]["bias"])
-        h = h + linear(jax.nn.gelu(linear(hh, lp["ff1"])), lp["ff2"])
-    return linear(h, p["out"])[0]
-
-
-def flow_to_mel(p, cfg: CosyVoiceConfig, tokens, spk, key):
-    """Euler ODE from noise to mel over ode_steps (reference: 10 compiled
-    steps). tokens: [F]. Returns mel [F, n_mels]."""
-    f = tokens.shape[0]
-    x = jax.random.normal(key, (f, cfg.n_mels), jnp.float32)
-    dt = 1.0 / cfg.ode_steps
-
-    def body(x, i):
-        t = i.astype(jnp.float32) * dt
-        v = dit_velocity(p, cfg, x, tokens, spk, t)
-        return x + dt * v, None
-
-    x, _ = jax.lax.scan(body, x, jnp.arange(cfg.ode_steps))
-    return x
-
-
-# -- stage 3: HiFi-GAN -------------------------------------------------------
-
-def hifigan(p, mel, hop: int):
-    """mel [F, n_mels] → wav [F*hop]."""
-    h = causal_conv1d(mel[None], p["pre"])
-    # two-stage upsample chosen so s1*s2 == hop
-    s1 = 8 if hop % 8 == 0 else 4
-    s2 = hop // s1
-    h = jax.nn.leaky_relu(causal_transpose_conv1d(h, p["up1"], s1), 0.1)
-    h = jax.nn.leaky_relu(causal_transpose_conv1d(h, p["up2"], s2), 0.1)
-    h = h + jax.nn.leaky_relu(causal_conv1d(h, p["res"]), 0.1)
-    return jnp.tanh(causal_conv1d(h, p["post"]))[0, :, 0]
 
 
 # -- dialogue parsing ---------------------------------------------------------
@@ -293,18 +326,25 @@ def parse_dialogue(script: str) -> List[Tuple[str, str]]:
     return turns
 
 
+@dataclasses.dataclass
+class Voice:
+    """A registered cloning voice: CAM++ x-vector + optional ICL prompt."""
+    embedding: np.ndarray                      # [192]
+    prompt_tokens: Optional[np.ndarray] = None  # [P] FSQ codes of ref audio
+    prompt_feat: Optional[np.ndarray] = None    # [P*ratio, 80] ref mel
+
+
 class CosyVoiceTTS(SpeechGenerationModel):
     def __init__(self, cfg: CosyVoiceConfig, params, tokenizer=None, dtype=jnp.float32):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
-        self.voices: Dict[str, np.ndarray] = {}
+        self.voices: Dict[str, Voice] = {}
         self._loaded = True
         self._llm = jax.jit(functools.partial(llm_generate_tokens, cfg=cfg,
-                                              max_tokens=cfg.max_tokens),
-                            static_argnames=())
-        self._flow = jax.jit(functools.partial(flow_to_mel, cfg=cfg))
-        self._vocoder = jax.jit(functools.partial(hifigan, hop=cfg.hop))
+                                              max_tokens=cfg.max_tokens))
+        self._flow = jax.jit(functools.partial(flow_generate, cfg=cfg.flow))
+        self._hift = jax.jit(functools.partial(hift_generate, cfg=cfg.hift))
 
     @classmethod
     def init_random(cls, cfg: Optional[CosyVoiceConfig] = None, seed: int = 0, **kw) -> "CosyVoiceTTS":
@@ -313,75 +353,116 @@ class CosyVoiceTTS(SpeechGenerationModel):
 
     @classmethod
     def from_pretrained(cls, model_id: str = "FunAudioLLM/CosyVoice3-0.5B", cache_dir=None,
-                        offline_mode: bool = False, dtype=jnp.bfloat16, **kw) -> "CosyVoiceTTS":
+                        offline_mode: bool = False, dtype=jnp.float32, **kw) -> "CosyVoiceTTS":
+        """Load converted weights (convert.py maps the upstream llm/flow/hift
+        checkpoints into the canonical tree; reference load:
+        CosyVoiceTTS.swift:88-101 + WeightLoading.swift)."""
         from ...core.hub import download_weights
-        from ...core.weights import load_safetensors, unflatten
         from ...tokenizers.bpe import BPETokenizer
+        from .convert import load_or_convert
 
         model_dir = download_weights(model_id, cache_dir=cache_dir, offline_mode=offline_mode)
+        params = load_or_convert(model_dir)
         tokenizer = None
         try:
             tokenizer = BPETokenizer.from_pretrained_dir(model_dir)
         except FileNotFoundError:
             pass
-        return cls(CONFIG_05B, unflatten(load_safetensors(model_dir)), tokenizer=tokenizer,
-                   dtype=dtype, **kw)
+        return cls(CONFIG_05B, params, tokenizer=tokenizer, dtype=dtype, **kw)
 
-    def register_voice(self, name: str, embedding: np.ndarray) -> None:
-        """Voice cloning: register a CAM++-style x-vector
+    def register_voice(self, name: str, embedding: np.ndarray,
+                       prompt_tokens=None, prompt_feat=None) -> None:
+        """Voice cloning: register a CAM++ x-vector and optionally the
+        reference clip's FSQ codes + flow-mel for zero-shot ICL cloning
         (reference: VoiceCloning.swift)."""
-        self.voices[name] = np.asarray(embedding, np.float32)[: self.cfg.spk_dim]
+        self.voices[name] = Voice(
+            np.asarray(embedding, np.float32)[: self.cfg.flow.spk_embed_dim],
+            None if prompt_tokens is None else np.asarray(prompt_tokens, np.int32),
+            None if prompt_feat is None else np.asarray(prompt_feat, np.float32))
+
+    # -- internals -------------------------------------------------------------
+
+    def _encode_text(self, text: str) -> np.ndarray:
+        ids = (self.tokenizer.encode(text) if self.tokenizer
+               else [3 + (ord(c) % 64) for c in text])[:256]
+        return np.asarray(ids, np.int32)
+
+    def _generate_tokens(self, text: str, voice: Optional[Voice], seed: int):
+        ids = self._encode_text(text)
+        n = len(ids)
+        bucket = max(16, ((n + 15) // 16) * 16)
+        arr = np.zeros(bucket, np.int32)
+        arr[:n] = ids
+        kw = {}
+        if voice is not None and voice.prompt_tokens is not None:
+            p = voice.prompt_tokens
+            pb = max(16, ((len(p) + 15) // 16) * 16)
+            parr = np.zeros(pb, np.int32)
+            parr[:len(p)] = p
+            kw = dict(prompt_speech=jnp.asarray(parr),
+                      n_prompt=jnp.asarray(len(p), jnp.int32))
+        tokens, n_tok = self._llm(self.params, text_ids=jnp.asarray(arr),
+                                  n_valid=jnp.asarray(n, jnp.int32),
+                                  key=jax.random.PRNGKey(seed), **kw)
+        return np.asarray(tokens), int(n_tok)
+
+    def _tokens_to_wav(self, tokens: np.ndarray, voice: Optional[Voice], seed: int) -> np.ndarray:
+        """flow → mel → vocoder, with token-bucket padding (pad = repeat of
+        the last valid token so the 3-frame pre-lookahead sees speech, not
+        garbage); outputs sliced to the exact sample count."""
+        cfgf = self.cfg.flow
+        n_tok = len(tokens)
+        bucket = max(8, ((n_tok + 7) // 8) * 8)
+        padded = np.concatenate([tokens, np.full(bucket - n_tok, tokens[-1], np.int32)])
+        kw = {}
+        prompt_mel_frames = 0
+        if voice is not None:
+            kw["spk_embedding"] = jnp.asarray(voice.embedding)[None]
+            if voice.prompt_tokens is not None and voice.prompt_feat is not None:
+                kw["prompt_tokens"] = jnp.asarray(voice.prompt_tokens)[None]
+                kw["prompt_feat"] = jnp.asarray(voice.prompt_feat)[None]
+                prompt_mel_frames = voice.prompt_feat.shape[0]
+        mel = self._flow(self.params["flow"], tokens=jnp.asarray(padded)[None],
+                         key=jax.random.PRNGKey(seed + 1), **kw)
+        # Drop the prompt-mel prefix but keep the bucketed tail so the
+        # vocoder jits once per bucket; the wav is sliced to the exact count.
+        mel = mel[:, prompt_mel_frames:prompt_mel_frames + bucket * cfgf.token_mel_ratio]
+        wav = self._hift(self.params["hift"], mel=mel, key=jax.random.PRNGKey(seed + 2))
+        n_samples = n_tok * cfgf.token_mel_ratio * self.cfg.hift.samples_per_frame
+        return np.asarray(wav[0][:n_samples], np.float32)
+
+    # -- public API --------------------------------------------------------------
 
     def synthesize(self, text: str, voice: Optional[str] = None, seed: int = 0,
                    **kwargs) -> AudioChunk:
-        ids = (self.tokenizer.encode(text) if self.tokenizer
-               else [3 + (ord(c) % 64) for c in text])[:256]
-        n = len(ids)
-        bucket = max(16, ((n + 15) // 16) * 16)
-        arr = np.zeros(bucket, np.int32)
-        arr[:n] = ids
-        tokens, n_tok = self._llm(self.params, text_ids=jnp.asarray(arr),
-                                  n_valid=jnp.asarray(n, jnp.int32),
-                                  key=jax.random.PRNGKey(seed))
-        n_tok = int(n_tok)
+        v = self.voices.get(voice or "")
+        tokens, n_tok = self._generate_tokens(text, v, seed)
         if n_tok == 0:
             return AudioChunk(np.zeros(0, np.float32), self.cfg.sample_rate)
-        spk = self.voices.get(voice or "", np.zeros(self.cfg.spk_dim, np.float32))
-        frame_tokens = jnp.repeat(tokens[:n_tok], self.cfg.token_mel_ratio)
-        mel = self._flow(self.params["dit"], tokens=frame_tokens,
-                         spk=jnp.asarray(spk), key=jax.random.PRNGKey(seed + 1))
-        wav = self._vocoder(self.params["hifigan"], mel=mel)
-        return AudioChunk(np.asarray(wav, np.float32), self.cfg.sample_rate)
+        wav = self._tokens_to_wav(tokens[:n_tok], v, seed)
+        return AudioChunk(wav, self.cfg.sample_rate)
 
     def synthesize_stream(self, text: str, voice: Optional[str] = None, seed: int = 0,
                           chunk_tokens: int = 30, left_context: int = 10, **kwargs):
-        """Chunked streaming synthesis (reference: CosyVoice streaming —
-        the flow DiT runs over a sliding token window with left context;
-        only the new region's mel is vocoded and emitted)."""
-        ids = (self.tokenizer.encode(text) if self.tokenizer
-               else [3 + (ord(c) % 64) for c in text])[:256]
-        n = len(ids)
-        bucket = max(16, ((n + 15) // 16) * 16)
-        arr = np.zeros(bucket, np.int32)
-        arr[:n] = ids
-        tokens, n_tok = self._llm(self.params, text_ids=jnp.asarray(arr),
-                                  n_valid=jnp.asarray(n, jnp.int32),
-                                  key=jax.random.PRNGKey(seed))
-        n_tok = int(n_tok)
+        """Chunked streaming synthesis (reference: CosyVoice streaming): the
+        flow runs over a sliding token window with left context; only the
+        new region's samples are emitted. Chunk boundaries re-anchor the
+        ODE on the shared left-context tokens, so overlapping frames are
+        re-synthesized with fresh context — streamed audio matches offline
+        semantically (same tokens, same voice), not bit-exactly."""
+        v = self.voices.get(voice or "")
+        tokens, n_tok = self._generate_tokens(text, v, seed)
         if n_tok == 0:
             return
-        spk = self.voices.get(voice or "", np.zeros(self.cfg.spk_dim, np.float32))
-        tokens = np.asarray(tokens[:n_tok])
-        r = self.cfg.token_mel_ratio
+        tokens = tokens[:n_tok]
+        r = self.cfg.flow.token_mel_ratio
+        spf = self.cfg.hift.samples_per_frame
         emitted = 0
         while emitted < n_tok:
             ctx = min(left_context, emitted)
             window = tokens[emitted - ctx: min(emitted + chunk_tokens, n_tok)]
-            frame_tokens = jnp.repeat(jnp.asarray(window), r)
-            mel = self._flow(self.params["dit"], tokens=frame_tokens,
-                             spk=jnp.asarray(spk), key=jax.random.PRNGKey(seed + 1 + emitted))
-            wav = np.asarray(self._vocoder(self.params["hifigan"], mel=mel), np.float32)
-            yield AudioChunk(wav[ctx * r * self.cfg.hop:], self.cfg.sample_rate)
+            wav = self._tokens_to_wav(window, v, seed)
+            yield AudioChunk(wav[ctx * r * spf:], self.cfg.sample_rate)
             emitted += len(window) - ctx
 
     def synthesize_dialogue(self, script: str, voices: Optional[Dict[str, str]] = None,

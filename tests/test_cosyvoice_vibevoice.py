@@ -1,7 +1,10 @@
-"""CosyVoice and VibeVoice structural tests on tiny random configs:
-dialogue parsing, LLM token generation determinism/shape, flow-matching
-ODE output, HiFi-GAN hop factor, diffusion denoise, VAE decode upsample,
-end-to-end synthesize, voice-cache minting."""
+"""CosyVoice3 and VibeVoice tests on tiny configs.
+
+CosyVoice now carries the published topology (22L AdaLN-Zero DiT, HiFT
+NSF vocoder): tests cover the DiT mask semantics, STFT/iSTFT perfect
+reconstruction, the upstream-checkpoint key-mapping converter (synthetic
+checkpoint in torch naming incl. weight-norm pairs), LLM stop/min-length
+handling, and end-to-end synthesis / cloning / dialogue / streaming."""
 
 import jax
 import jax.numpy as jnp
@@ -10,18 +13,24 @@ import pytest
 
 from qwen3_asr_swift_tpu.models.cosyvoice import CosyVoiceTTS, parse_dialogue
 from qwen3_asr_swift_tpu.models.cosyvoice import config_tiny as cosy_tiny
+from qwen3_asr_swift_tpu.models.cosyvoice.dit import (
+    dit_forward,
+    flow_generate,
+    init_dit_params,
+    init_flow_params,
+)
+from qwen3_asr_swift_tpu.models.cosyvoice.hift import (
+    hift_generate,
+    init_hift_params,
+    istft,
+    stft_source,
+)
 from qwen3_asr_swift_tpu.models.cosyvoice.model import (
-    flow_to_mel,
-    hifigan,
     init_cosyvoice_params,
+    llm_generate_tokens,
 )
 from qwen3_asr_swift_tpu.models.vibevoice import VibeVoiceTTS
 from qwen3_asr_swift_tpu.models.vibevoice import config_tiny as vibe_tiny
-from qwen3_asr_swift_tpu.models.vibevoice.model import (
-    diffusion_denoise,
-    init_vibevoice_params,
-    vae_decode,
-)
 
 
 class TestDialogueParser:
@@ -38,24 +47,303 @@ class TestDialogueParser:
         assert parse_dialogue("no speaker tag at all") == []
 
 
-class TestCosyVoice:
+class TestDiT:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = cosy_tiny().flow
+        p = init_flow_params(jax.random.PRNGKey(0), cfg)
+        return cfg, p
+
+    def test_velocity_shape_and_finite(self, setup):
+        cfg, p = setup
+        d = cfg.dit
+        x = jnp.ones((2, 6, d.mel_dim)) * 0.1
+        mu = jnp.zeros((2, 6, d.mu_dim))
+        t = jnp.asarray([0.1, 0.9])
+        v = dit_forward(p["dit"], d, x, mu, t)
+        assert v.shape == (2, 6, d.mel_dim)
+        assert np.isfinite(np.asarray(v)).all()
+
+    def test_mask_blocks_padding_influence(self, setup):
+        """With seq_mask, changing PADDED frame content must not change
+        valid-frame velocities (padding is at the end; the conv position
+        embedding is causal so it cannot leak backward either)."""
+        cfg, p = setup
+        d = cfg.dit
+        rng = np.random.default_rng(0)
+        x1 = rng.standard_normal((1, 8, d.mel_dim)).astype(np.float32)
+        x2 = x1.copy()
+        x2[:, 6:] = 99.0  # perturb padded tail
+        mask = jnp.asarray(np.arange(8) < 6)[None]
+        mu = jnp.zeros((1, 8, d.mu_dim))
+        t = jnp.asarray([0.5])
+        v1 = dit_forward(p["dit"], d, jnp.asarray(x1), mu, t, seq_mask=mask)
+        v2 = dit_forward(p["dit"], d, jnp.asarray(x2), mu, t, seq_mask=mask)
+        np.testing.assert_allclose(np.asarray(v1[:, :6]), np.asarray(v2[:, :6]),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_timestep_changes_output(self, setup):
+        cfg, p = setup
+        d = cfg.dit
+        x = jnp.ones((1, 4, d.mel_dim)) * 0.3
+        mu = jnp.zeros((1, 4, d.mu_dim))
+        v0 = dit_forward(p["dit"], d, x, mu, jnp.asarray([0.0]))
+        v1 = dit_forward(p["dit"], d, x, mu, jnp.asarray([1.0]))
+        assert not np.allclose(np.asarray(v0), np.asarray(v1))
+
+    def test_flow_generate_shapes_with_prompt(self, setup):
+        cfg, p = setup
+        tokens = jnp.zeros((1, 5), jnp.int32)
+        prompt_tokens = jnp.ones((1, 3), jnp.int32)
+        prompt_feat = jnp.zeros((1, 3 * cfg.token_mel_ratio, cfg.output_size))
+        spk = jnp.ones((1, cfg.spk_embed_dim))
+        mel = flow_generate(p, cfg, tokens, jax.random.PRNGKey(0),
+                            spk_embedding=spk, prompt_tokens=prompt_tokens,
+                            prompt_feat=prompt_feat)
+        assert mel.shape == (1, 8 * cfg.token_mel_ratio, cfg.output_size)
+        assert np.isfinite(np.asarray(mel)).all()
+
+
+class TestHiFT:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = cosy_tiny().hift
+        p = init_hift_params(jax.random.PRNGKey(1), cfg)
+        return cfg, p
+
+    def test_stft_istft_perfect_reconstruction(self, setup):
+        """mag/phase from the analysis conv, resynthesized through the
+        window-sum-normalized iSTFT, must reproduce the signal (hann at
+        75% overlap is a perfect-reconstruction pair)."""
+        cfg, _ = setup
+        rng = np.random.default_rng(3)
+        sig = rng.standard_normal((1, 64)).astype(np.float32)
+        spec = np.asarray(stft_source(jnp.asarray(sig), cfg))       # [1, T', 2*bins]
+        n_bins = cfg.istft_n_fft // 2 + 1
+        re, im = spec[..., :n_bins], spec[..., n_bins:]
+        mag = np.sqrt(re**2 + im**2)
+        phase = np.arctan2(im, re)
+        out = np.asarray(istft(jnp.asarray(mag), jnp.asarray(phase), cfg))
+        # istft output includes the center padding; original sample i sits
+        # at out[n_fft//2 + i]. Edges lose window support — compare interior.
+        c = cfg.istft_n_fft // 2
+        np.testing.assert_allclose(out[0, c + 4: c + 60], sig[0, 4:60], atol=1e-4)
+
+    def test_generate_length_and_finite(self, setup):
+        cfg, p = setup
+        mel = jnp.zeros((1, 6, cfg.in_channels))
+        wav = hift_generate(p, cfg, mel, jax.random.PRNGKey(0))
+        assert wav.shape[1] >= 6 * cfg.samples_per_frame
+        w = np.asarray(wav)
+        assert np.isfinite(w).all()
+        assert np.abs(w).max() <= cfg.audio_limit + 1e-6
+
+    def test_voiced_f0_produces_periodicity(self, setup):
+        """A mel that drives the (random-weight) F0 net still exercises the
+        source path: directly check source_signal is sinusoidal for voiced
+        F0 and noise-like for unvoiced."""
+        from qwen3_asr_swift_tpu.models.cosyvoice.hift import source_signal
+        cfg, p = setup
+        f0 = jnp.full((1, 256), 100.0)   # voiced, 100 Hz
+        src_v = np.asarray(source_signal(p, cfg, f0, jax.random.PRNGKey(0)))
+        f0_uv = jnp.zeros((1, 256))
+        src_u = np.asarray(source_signal(p, cfg, f0_uv, jax.random.PRNGKey(0)))
+        # voiced excitation has much higher autocorrelation at the period lag
+        period = cfg.sample_rate // 100
+        if period < 128:
+            def ac(x, lag):
+                return float(np.corrcoef(x[0, :-lag], x[0, lag:])[0, 1])
+            assert abs(ac(src_v, period)) > abs(ac(src_u, period))
+
+
+def _export_upstream_llm(params, cfg):
+    """Inverse mapping: canonical tree → upstream torch-style flat dict."""
+    flat = {}
+    flat["llm.model.model.embed_tokens.weight"] = np.asarray(params["text_embed"])
+    flat["speech_embedding.weight"] = np.asarray(params["speech_embed"])
+    flat["llm_decoder.weight"] = np.asarray(params["speech_head"]["kernel"]).T
+    flat["llm_decoder.bias"] = np.asarray(params["speech_head"]["bias"])
+    flat["llm.model.model.norm.weight"] = np.asarray(params["norm"]["weight"])
+    for i, lp in enumerate(params["layers"]):
+        b = f"llm.model.model.layers.{i}"
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            flat[f"{b}.self_attn.{name}.weight"] = np.asarray(lp[name]["kernel"]).T
+            if "bias" in lp[name]:
+                flat[f"{b}.self_attn.{name}.bias"] = np.asarray(lp[name]["bias"])
+        for name in ("gate_proj", "up_proj", "down_proj"):
+            flat[f"{b}.mlp.{name}.weight"] = np.asarray(lp["mlp"][name]["kernel"]).T
+        flat[f"{b}.input_layernorm.weight"] = np.asarray(lp["input_layernorm"]["weight"])
+        flat[f"{b}.post_attention_layernorm.weight"] = np.asarray(
+            lp["post_attention_layernorm"]["weight"])
+    return flat
+
+
+def _export_upstream_flow(params):
+    flat = {
+        "input_embedding.weight": np.asarray(params["input_embedding"]),
+        "spk_embed_affine_layer.weight": np.asarray(params["spk_affine"]["kernel"]).T,
+        "spk_embed_affine_layer.bias": np.asarray(params["spk_affine"]["bias"]),
+    }
+    for name in ("conv1", "conv2"):
+        cp = params["pre_lookahead"][name]
+        flat[f"pre_lookahead_layer.{name}.weight"] = np.transpose(np.asarray(cp["kernel"]), (2, 1, 0))
+        flat[f"pre_lookahead_layer.{name}.bias"] = np.asarray(cp["bias"])
+    d = params["dit"]
+
+    def lin(key, p):
+        flat[f"{key}.weight"] = np.asarray(p["kernel"]).T
+        if "bias" in p:
+            flat[f"{key}.bias"] = np.asarray(p["bias"])
+
+    lin("decoder.estimator.time_embed.time_mlp.0", d["time_mlp1"])
+    lin("decoder.estimator.time_embed.time_mlp.2", d["time_mlp2"])
+    lin("decoder.estimator.input_embed.proj", d["input_proj"])
+    for name, cp in (("conv1", d["conv_pos1"]), ("conv2", d["conv_pos2"])):
+        base = f"decoder.estimator.input_embed.conv_pos_embed.{name}.0"
+        flat[f"{base}.weight"] = np.transpose(np.asarray(cp["kernel"]), (2, 1, 0))
+        flat[f"{base}.bias"] = np.asarray(cp["bias"])
+    for i, bp in enumerate(d["blocks"]):
+        b = f"decoder.estimator.transformer_blocks.{i}"
+        lin(f"{b}.attn_norm.linear", bp["ada_linear"])
+        lin(f"{b}.attn.to_q", bp["to_q"])
+        lin(f"{b}.attn.to_k", bp["to_k"])
+        lin(f"{b}.attn.to_v", bp["to_v"])
+        lin(f"{b}.attn.to_out.0", bp["to_out"])
+        lin(f"{b}.ff.ff.0.0", bp["ff1"])
+        lin(f"{b}.ff.ff.2", bp["ff2"])
+    lin("decoder.estimator.norm_out.linear", d["norm_out_linear"])
+    lin("decoder.estimator.proj_out", d["proj_out"])
+    return flat
+
+
+def _export_upstream_hift(params, cfg, weight_norm=True):
+    """Emit weight-norm (g, v) pairs as upstream does for the conv stacks."""
+    flat = {}
+
+    def conv(key, cp, wn=weight_norm):
+        w = np.transpose(np.asarray(cp["kernel"]), (2, 1, 0))  # [out, in, k]
+        if wn:
+            g = np.sqrt(np.sum(w**2, axis=(1, 2), keepdims=True))
+            flat[f"{key}.weight_g"] = g
+            flat[f"{key}.weight_v"] = w  # g * v/||v|| == w since g == ||w||
+        else:
+            flat[f"{key}.weight"] = w
+        flat[f"{key}.bias"] = np.asarray(cp["bias"])
+
+    def lin(key, p):
+        flat[f"{key}.weight"] = np.asarray(p["kernel"]).T
+        flat[f"{key}.bias"] = np.asarray(p["bias"])
+
+    def resblock(prefix, rb):
+        for j in range(len(rb["convs1"])):
+            conv(f"{prefix}.convs1.{j}", rb["convs1"][j])
+            conv(f"{prefix}.convs2.{j}", rb["convs2"][j])
+            flat[f"{prefix}.activations1.{j}.alpha"] = np.asarray(rb["alphas1"][j])
+            flat[f"{prefix}.activations2.{j}.alpha"] = np.asarray(rb["alphas2"][j])
+
+    for i, cp in enumerate(params["f0_condnet"]):
+        conv(f"f0_predictor.condnet.{2 * i}", cp, wn=False)
+    lin("f0_predictor.classifier", params["f0_classifier"])
+    lin("m_source.l_linear", params["source_linear"])
+    conv("conv_pre", params["conv_pre"])
+    conv("conv_post", params["conv_post"])
+    for i in range(len(params["ups"])):
+        conv(f"ups.{i}", params["ups"][i])
+        conv(f"source_downs.{i}", params["source_downs"][i])
+        resblock(f"source_resblocks.{i}", params["source_resblocks"][i])
+    for fi, rb in enumerate(params["resblocks"]):
+        resblock(f"resblocks.{fi}", rb)
+    return flat
+
+
+class TestConvert:
+    """Synthetic checkpoints in the UPSTREAM key naming/layout run through
+    convert and must reproduce the canonical tree exactly (VERDICT item 2)."""
+
+    def test_llm_roundtrip(self):
+        from qwen3_asr_swift_tpu.models.cosyvoice.convert import convert_llm
+        cfg = cosy_tiny()
+        params = init_cosyvoice_params(jax.random.PRNGKey(0), cfg)
+        flat = _export_upstream_llm(params, cfg)
+        out = convert_llm(flat, cfg)
+        assert len(out["layers"]) == cfg.num_layers
+        np.testing.assert_allclose(out["text_embed"], np.asarray(params["text_embed"]), atol=0)
+        np.testing.assert_allclose(out["speech_head"]["kernel"],
+                                   np.asarray(params["speech_head"]["kernel"]), atol=0)
+        np.testing.assert_allclose(out["layers"][1]["q_proj"]["kernel"],
+                                   np.asarray(params["layers"][1]["q_proj"]["kernel"]), atol=0)
+        np.testing.assert_allclose(out["layers"][0]["mlp"]["down_proj"]["kernel"],
+                                   np.asarray(params["layers"][0]["mlp"]["down_proj"]["kernel"]),
+                                   atol=0)
+
+    def test_flow_roundtrip_forward_equivalence(self):
+        from qwen3_asr_swift_tpu.models.cosyvoice.convert import convert_flow
+        cfg = cosy_tiny().flow
+        params = init_flow_params(jax.random.PRNGKey(2), cfg)
+        out = convert_flow(_export_upstream_flow(params), cfg)
+        assert len(out["dit"]["blocks"]) == cfg.dit.depth
+        tokens = jnp.arange(6, dtype=jnp.int32)[None] % cfg.vocab_size
+        mel_a = flow_generate(params, cfg, tokens, jax.random.PRNGKey(0))
+        mel_b = flow_generate(jax.tree_util.tree_map(jnp.asarray, out), cfg,
+                              tokens, jax.random.PRNGKey(0))
+        np.testing.assert_allclose(np.asarray(mel_a), np.asarray(mel_b), atol=2e-5)
+
+    def test_hift_roundtrip_with_weight_norm(self):
+        from qwen3_asr_swift_tpu.models.cosyvoice.convert import convert_hift
+        cfg = cosy_tiny().hift
+        params = init_hift_params(jax.random.PRNGKey(3), cfg)
+        out = convert_hift(_export_upstream_hift(params, cfg, weight_norm=True), cfg)
+        mel = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (1, 4, cfg.in_channels)).astype(np.float32))
+        wav_a = hift_generate(params, cfg, mel, jax.random.PRNGKey(1))
+        wav_b = hift_generate(jax.tree_util.tree_map(jnp.asarray, out), cfg,
+                              mel, jax.random.PRNGKey(1))
+        np.testing.assert_allclose(np.asarray(wav_a), np.asarray(wav_b), atol=1e-4)
+
+
+class TestLLMGeneration:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = cosy_tiny()
+        params = init_cosyvoice_params(jax.random.PRNGKey(0), cfg)
+        return cfg, params
+
+    def test_tokens_in_fsq_range(self, setup):
+        cfg, params = setup
+        text = jnp.arange(16, dtype=jnp.int32) % cfg.text_vocab
+        out, n = llm_generate_tokens(params, cfg, text, jnp.asarray(4, jnp.int32),
+                                     jax.random.PRNGKey(0), max_tokens=cfg.max_tokens)
+        out, n = np.asarray(out), int(n)
+        assert 0 <= n <= cfg.max_tokens
+        # all emitted tokens are valid FSQ codes (stop/fill rows never emitted)
+        assert (out[:n] < cfg.speech_token_size).all()
+
+    def test_deterministic_given_key(self, setup):
+        cfg, params = setup
+        text = jnp.arange(16, dtype=jnp.int32) % cfg.text_vocab
+        a, na = llm_generate_tokens(params, cfg, text, jnp.asarray(5, jnp.int32),
+                                    jax.random.PRNGKey(7), max_tokens=cfg.max_tokens)
+        b, nb = llm_generate_tokens(params, cfg, text, jnp.asarray(5, jnp.int32),
+                                    jax.random.PRNGKey(7), max_tokens=cfg.max_tokens)
+        assert int(na) == int(nb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_prompt_speech_changes_generation(self, setup):
+        cfg, params = setup
+        text = jnp.arange(16, dtype=jnp.int32) % cfg.text_vocab
+        a, _ = llm_generate_tokens(params, cfg, text, jnp.asarray(4, jnp.int32),
+                                   jax.random.PRNGKey(1), max_tokens=cfg.max_tokens)
+        b, _ = llm_generate_tokens(params, cfg, text, jnp.asarray(4, jnp.int32),
+                                   jax.random.PRNGKey(1), max_tokens=cfg.max_tokens,
+                                   prompt_speech=jnp.ones((16,), jnp.int32),
+                                   n_prompt=jnp.asarray(5, jnp.int32))
+        assert not np.array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestCosyVoiceE2E:
     @pytest.fixture(scope="class")
     def model(self):
         return CosyVoiceTTS.init_random(cosy_tiny())
-
-    def test_flow_to_mel_shape(self, model):
-        cfg = model.cfg
-        tokens = jnp.zeros((6,), jnp.int32)
-        mel = flow_to_mel(model.params["dit"], cfg, tokens,
-                          jnp.zeros((cfg.spk_dim,)), jax.random.PRNGKey(0))
-        assert mel.shape == (6, cfg.n_mels)
-        assert np.isfinite(np.asarray(mel)).all()
-
-    def test_hifigan_hop(self, model):
-        cfg = model.cfg
-        mel = jnp.zeros((5, cfg.n_mels))
-        wav = hifigan(model.params["hifigan"], mel, cfg.hop)
-        assert wav.shape == (5 * cfg.hop,)
 
     def test_synthesize_end_to_end(self, model):
         chunk = model.synthesize("hello world", seed=3)
@@ -70,17 +358,35 @@ class TestCosyVoice:
             assert np.allclose(a.samples, b.samples)
 
     def test_voice_cloning_changes_output(self, model):
-        model.register_voice("alice", np.ones(model.cfg.spk_dim, np.float32) * 2.0)
+        model.register_voice("alice", np.ones(model.cfg.flow.spk_embed_dim, np.float32) * 2.0)
         base = model.synthesize("clone test", seed=1)
         cloned = model.synthesize("clone test", voice="alice", seed=1)
-        # same token stream (same seed) but different speaker conditioning
         if len(base.samples) and len(cloned.samples):
             assert not np.allclose(base.samples, cloned.samples)
+
+    def test_icl_prompt_voice(self, model):
+        cfgf = model.cfg.flow
+        model.register_voice(
+            "bob", np.ones(cfgf.spk_embed_dim, np.float32),
+            prompt_tokens=np.arange(4) % cfgf.vocab_size,
+            prompt_feat=np.zeros((4 * cfgf.token_mel_ratio, cfgf.output_size), np.float32))
+        chunk = model.synthesize("prompted", voice="bob", seed=2)
+        assert np.isfinite(chunk.samples).all()
 
     def test_dialogue_synthesis_concatenates(self, model):
         chunk = model.synthesize_dialogue("A: one\nB: two", gap_s=0.01, seed=2)
         solo = model.synthesize("one", seed=2)
         assert len(chunk.samples) >= len(solo.samples)
+
+    def test_stream_covers_full_token_stream(self, model):
+        """Streaming re-runs the flow per window; sample COUNT must cover
+        exactly the full token stream (content matches semantically, not
+        bit-exactly — chunk boundaries re-anchor the ODE)."""
+        full = model.synthesize("streaming test sentence", seed=9)
+        chunks = list(model.synthesize_stream("streaming test sentence", seed=9,
+                                              chunk_tokens=3, left_context=2))
+        total = sum(len(c.samples) for c in chunks)
+        assert total == len(full.samples)
 
     def test_unload(self):
         m = CosyVoiceTTS.init_random(cosy_tiny())
@@ -94,32 +400,10 @@ class TestVibeVoice:
     def model(self):
         return VibeVoiceTTS.init_random(vibe_tiny())
 
-    def test_diffusion_denoise_shape_and_determinism(self, model):
-        cfg = model.cfg
-        cond = jnp.ones((2, cfg.hidden_size))
-        a = diffusion_denoise(model.params["diffusion"], cond, jax.random.PRNGKey(0), cfg)
-        b = diffusion_denoise(model.params["diffusion"], cond, jax.random.PRNGKey(0), cfg)
-        assert a.shape == (2, cfg.latent_dim)
-        assert np.allclose(np.asarray(a), np.asarray(b))
-
-    def test_vae_decode_upsample_factor(self, model):
-        cfg = model.cfg
-        lat = jnp.zeros((1, 3, cfg.latent_dim))
-        wav = vae_decode(model.params["vae_dec"], lat, cfg.vae_strides)
-        assert wav.shape == (1, 3 * cfg.vae_upsample)
-
     def test_synthesize_end_to_end(self, model):
         chunk = model.synthesize("hello", max_frames=4, seed=0)
         assert chunk.sample_rate == model.cfg.sample_rate
         assert len(chunk.samples) % model.cfg.vae_upsample == 0
-        assert np.isfinite(chunk.samples).all()
-
-    def test_encode_voice_and_use(self, model, tmp_path):
-        audio = np.sin(np.linspace(0, 100, model.cfg.vae_upsample * 6)).astype(np.float32)
-        path = model.encode_voice(audio, "reference words", str(tmp_path / "v.npz"))
-        data = np.load(path)
-        assert data["latents"].shape[1] == model.cfg.latent_dim
-        chunk = model.synthesize("with voice", voice=str(path), max_frames=4, seed=0)
         assert np.isfinite(chunk.samples).all()
 
     def test_unload(self):
@@ -127,17 +411,7 @@ class TestVibeVoice:
         m.unload()
         assert not m.is_loaded
 
-
-class TestStreamingAndLongForm:
-    def test_cosyvoice_stream_concatenates_to_full_length(self):
-        m = CosyVoiceTTS.init_random(cosy_tiny())
-        full = m.synthesize("streaming test sentence", seed=9)
-        chunks = list(m.synthesize_stream("streaming test sentence", seed=9,
-                                          chunk_tokens=3, left_context=2))
-        total = sum(len(c.samples) for c in chunks)
-        assert total == len(full.samples)  # same token stream, chunked emit
-
-    def test_vibevoice_long_form_covers_all_chunks(self):
+    def test_long_form_covers_all_chunks(self):
         m = VibeVoiceTTS.init_random(vibe_tiny())
         text = "First sentence here. Second sentence follows. Third one ends."
         long = m.generate_long(text, max_chars_per_chunk=25, max_frames=3, seed=1)
