@@ -1,258 +1,684 @@
-"""Kokoro-82M TTS: StyleTTS2-derived single-pass synthesis.
+"""Kokoro-82M TTS — the real StyleTTS2-derived KModel graph.
 
-TPU-native analog of the reference's Kokoro module
-(reference: Sources/KokoroTTS/KokoroTTS.swift:43-130, KokoroModel.swift —
-the reference consumes a single end-to-end CoreML graph
-BERT→duration→alignment→prosody→decoder 'predictE2E' with 54 style-vector
-voices, 128-phoneme padded inputs, and RMS-windowed trailing-artifact trim
-+ fade-out). The architecture here follows the open Kokoro/StyleTTS2
-recipe in compact form:
+BERT → duration → alignment → prosody (F0/N) → iSTFTNet decoder, matching
+the published Kokoro-82M architecture (the reference runs this same graph
+as one precompiled CoreML blob — Sources/KokoroTTS/KokoroModel.swift:5-8,
+KokoroTTS.swift:43-130; the open checkpoint is hexgrad/Kokoro-82M
+kokoro-v1_0.pth with module state-dicts bert / bert_encoder / predictor /
+text_encoder / decoder — mapped in convert.py).
 
-  phoneme ids → transformer text encoder (+style) → duration predictor →
-  monotonic alignment expansion → F0/energy predictors (style-conditioned)
-  → iSTFTNet-style generator (upsampling convs + harmonic sine source +
-  STFT head) → 24 kHz.
+Pipeline (KModel.forward_with_tokens semantics):
+  1. ALBERT over phoneme ids (albert.py) → bert_encoder Linear 768→512.
+  2. ProsodyPredictor.text_encoder (DurationEncoder: 3× [BiLSTM(640→512),
+     AdaLayerNorm(128,512)] with style re-append) → BiLSTM → sigmoid-sum
+     duration head (50 bins) → round/clamp(min=1) / speed.
+  3. Alignment: repeat-interleave token features by predicted durations —
+     here a static-budget ``searchsorted`` gather (TPU-friendly: no
+     data-dependent shapes; frames beyond the total are masked).
+  4. F0/N: shared BiLSTM then 3 AdainResBlk1d towers (the middle one
+     upsamples ×2) + 1×1 conv heads.
+  5. Decoder: F0/N strided convs, AdainResBlk1d encode/decode stack with
+     asr residual, then the iSTFTNet generator — harmonic source (NSF),
+     noise convs/res, 2 ConvTranspose upsamples (×10, ×6), AdaIN Snake
+     resblocks, conv_post → 11 mag + 11 phase bins → iSTFT (hop 5) ≈
+     300 samples per frame @ 24 kHz.
 
-One jitted program per 128-phoneme block; the predicted durations drive a
-static-shape gather (frames budgeted to ``max_frames``), keeping the whole
-pipeline compiled. Voice packs are [max_phonemes, style_dim] tables indexed
-by input length — same convention as the published voices.
+Voice packs: [510, 1, 256] tensors indexed by phoneme count; first 128
+dims condition the decoder, last 128 the prosody predictor.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ...core import AudioChunk, SpeechGenerationModel
-from ...ops.attention import NEG_INF, sdpa
 from ...ops.nn import init_linear, layer_norm, linear
+from .albert import AlbertConfig, albert_config_tiny, albert_forward, init_albert_params
 from .phonemizer import VOCAB_SIZE, phonemize, phonemes_to_ids
 
 SAMPLE_RATE = 24000
-MAX_PHONEMES = 128
-HOP = 300  # generator upsample factor: samples per mel frame
-STYLE_DIM = 256
+MAX_PHONEMES = 510
 
 
 @dataclasses.dataclass(frozen=True)
 class KokoroConfig:
-    vocab_size: int = VOCAB_SIZE
-    d_model: int = 128
-    num_layers: int = 3
-    num_heads: int = 4
-    style_dim: int = STYLE_DIM
-    max_duration: int = 16     # frames per phoneme cap
-    max_frames: int = 512      # total frame budget (~6.4 s)
-    gen_channels: int = 256
-    n_fft: int = 600
+    vocab_size: int = 178
+    hidden_dim: int = 512          # d_model
+    style_dim: int = 128           # per-branch style (voice vector is 2×)
+    n_dur_layers: int = 3
+    max_dur: int = 50
+    text_kernel: int = 5
+    albert: AlbertConfig = dataclasses.field(default_factory=AlbertConfig)
+    # decoder / iSTFTNet generator
+    decoder_dim: int = 1024
+    asr_res_dim: int = 64
+    upsample_rates: Tuple[int, ...] = (10, 6)
+    upsample_kernels: Tuple[int, ...] = (20, 12)
+    upsample_initial: int = 512
+    resblock_kernels: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilations: Tuple[int, ...] = (1, 3, 5)
+    gen_istft_n_fft: int = 20
+    gen_istft_hop: int = 5
+    nb_harmonics: int = 8
+    voiced_threshold: float = 10.0
+    sine_amp: float = 0.1
+    noise_std: float = 0.003
     sample_rate: int = SAMPLE_RATE
+    max_phonemes: int = MAX_PHONEMES
+
+    @property
+    def samples_per_frame(self) -> int:
+        return int(np.prod(self.upsample_rates)) * self.gen_istft_hop  # 300
 
 
-CONFIG_82M = KokoroConfig(d_model=512, num_layers=6, num_heads=8, gen_channels=512)
+CONFIG_82M = KokoroConfig()
 
 
 def config_tiny() -> KokoroConfig:
-    return KokoroConfig(d_model=32, num_layers=1, num_heads=2, gen_channels=32,
-                        max_frames=64, n_fft=60)
+    return KokoroConfig(
+        vocab_size=VOCAB_SIZE, hidden_dim=16, style_dim=8, n_dur_layers=1, max_dur=6,
+        text_kernel=3, albert=albert_config_tiny(),
+        decoder_dim=16, asr_res_dim=4, upsample_rates=(2, 2), upsample_kernels=(4, 4),
+        upsample_initial=16, resblock_kernels=(3,), resblock_dilations=(1, 2),
+        gen_istft_n_fft=8, gen_istft_hop=2, max_phonemes=64)
+
+
+# -- param init ------------------------------------------------------------------
+
+def _lstm_init(key, i, h, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    s = 1.0 / np.sqrt(h)
+    return {"wx": (jax.random.normal(k1, (i, 4 * h)) * s).astype(dtype),
+            "wh": (jax.random.normal(k2, (h, 4 * h)) * s).astype(dtype),
+            "bias": jnp.zeros((4 * h,), dtype)}
+
+
+def _bilstm_init(key, i, h, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {"fwd": _lstm_init(k1, i, h, dtype), "bwd": _lstm_init(k2, i, h, dtype)}
+
+
+def _conv_init(key, width, cin, cout, bias=True, dtype=jnp.float32):
+    scale = 1.0 / np.sqrt(width * cin)
+    p = {"kernel": (jax.random.normal(key, (width, cin, cout)) * scale).astype(dtype)}
+    if bias:
+        p["bias"] = jnp.zeros((cout,), dtype)
+    return p
+
+
+def _adain_init(key, style_dim, channels, dtype=jnp.float32):
+    return {"fc": init_linear(key, style_dim, channels * 2, dtype=dtype)}
+
+
+def _adain_resblk_init(key, cin, cout, style_dim, upsample=False, dtype=jnp.float32):
+    ks = jax.random.split(key, 6)
+    p = {
+        "norm1": _adain_init(ks[0], style_dim, cin, dtype),
+        "conv1": _conv_init(ks[1], 3, cin, cout, dtype=dtype),
+        "norm2": _adain_init(ks[2], style_dim, cout, dtype),
+        "conv2": _conv_init(ks[3], 3, cout, cout, dtype=dtype),
+    }
+    if cin != cout:
+        p["conv1x1"] = _conv_init(ks[4], 1, cin, cout, bias=False, dtype=dtype)
+    if upsample:
+        # depthwise ConvTranspose1d(k=3, s=2, groups=cin) "pool"
+        p["pool"] = _conv_init(ks[5], 3, 1, cin, dtype=dtype)
+    return p
+
+
+def _adain_resblock1_init(key, channels, kernel, dilations, style_dim, dtype=jnp.float32):
+    n = len(dilations)
+    ks = jax.random.split(key, 4 * n)
+    return {
+        "convs1": [_conv_init(ks[4 * j], kernel, channels, channels, dtype=dtype) for j in range(n)],
+        "convs2": [_conv_init(ks[4 * j + 1], kernel, channels, channels, dtype=dtype) for j in range(n)],
+        "adain1": [_adain_init(ks[4 * j + 2], style_dim, channels, dtype) for j in range(n)],
+        "adain2": [_adain_init(ks[4 * j + 3], style_dim, channels, dtype) for j in range(n)],
+        "alpha1": [jnp.ones((channels,), dtype) for _ in range(n)],
+        "alpha2": [jnp.ones((channels,), dtype) for _ in range(n)],
+    }
 
 
 def init_kokoro_params(key, cfg: KokoroConfig, dtype=jnp.float32) -> dict:
-    ks = jax.random.split(key, 16 + cfg.num_layers)
-    d = cfg.d_model
-    params = {
-        "embed": (jax.random.normal(ks[0], (cfg.vocab_size, d)) * 0.02).astype(dtype),
-        "style_proj": init_linear(ks[1], cfg.style_dim, d, dtype=dtype),
-        "layers": [],
-        "dur_head": init_linear(ks[2], d, cfg.max_duration, dtype=dtype),
-        "f0_head": init_linear(ks[3], d, 1, dtype=dtype),
-        "energy_head": init_linear(ks[4], d, 1, dtype=dtype),
-        "frame_proj": init_linear(ks[5], d, cfg.gen_channels, dtype=dtype),
-        # generator: 2 upsampling stages (×10, ×30 → HOP=300 total) then STFT-free conv head
-        "gen_up1": {"kernel": (jax.random.normal(ks[6], (20, cfg.gen_channels, cfg.gen_channels)) * 0.02).astype(dtype),
-                    "bias": jnp.zeros((cfg.gen_channels,), dtype)},
-        "gen_conv1": {"kernel": (jax.random.normal(ks[7], (7, cfg.gen_channels, cfg.gen_channels // 2)) * 0.05).astype(dtype),
-                      "bias": jnp.zeros((cfg.gen_channels // 2,), dtype)},
-        "gen_up2": {"kernel": (jax.random.normal(ks[8], (60, cfg.gen_channels // 2, cfg.gen_channels // 2)) * 0.02).astype(dtype),
-                    "bias": jnp.zeros((cfg.gen_channels // 2,), dtype)},
-        "gen_conv2": {"kernel": (jax.random.normal(ks[9], (7, cfg.gen_channels // 2, 1)) * 0.05).astype(dtype),
-                      "bias": jnp.zeros((1,), dtype)},
-        "harmonic_proj": init_linear(ks[10], 1, cfg.gen_channels // 2, dtype=dtype),
+    ks = jax.random.split(key, 64)
+    ki = iter(range(64))
+    d, sty = cfg.hidden_dim, cfg.style_dim
+
+    # text encoder: embedding + 3 conv/LN blocks + BiLSTM
+    text_encoder = {
+        "embedding": (jax.random.normal(ks[next(ki)], (cfg.vocab_size, d)) * 0.02).astype(dtype),
+        "cnn": [{"conv": _conv_init(ks[next(ki)], cfg.text_kernel, d, d, dtype=dtype),
+                 "ln": {"weight": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}}
+                for _ in range(3)],
+        "lstm": _bilstm_init(ks[next(ki)], d, d // 2, dtype),
     }
-    for i in range(cfg.num_layers):
-        k = jax.random.split(ks[16 + i], 6)
-        params["layers"].append({
-            "ln1": {"weight": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
-            "q": init_linear(k[0], d, d, dtype=dtype), "k": init_linear(k[1], d, d, dtype=dtype),
-            "v": init_linear(k[2], d, d, dtype=dtype), "o": init_linear(k[3], d, d, dtype=dtype),
-            "ln2": {"weight": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
-            "ff1": init_linear(k[4], d, d * 4, dtype=dtype),
-            "ff2": init_linear(k[5], d * 4, d, dtype=dtype),
+
+    # prosody predictor
+    dur_encoder = []
+    for _ in range(cfg.n_dur_layers):
+        dur_encoder.append({
+            "lstm": _bilstm_init(ks[next(ki)], d + sty, d // 2, dtype),
+            "ada_ln": {"fc": init_linear(ks[next(ki)], sty, d * 2, dtype=dtype)},
         })
-    return params
+    predictor = {
+        "dur_encoder": dur_encoder,
+        "lstm": _bilstm_init(ks[next(ki)], d + sty, d // 2, dtype),
+        "duration_proj": init_linear(ks[next(ki)], d, cfg.max_dur, dtype=dtype),
+        "shared": _bilstm_init(ks[next(ki)], d + sty, d // 2, dtype),
+        "F0": [_adain_resblk_init(ks[next(ki)], d, d, sty, dtype=dtype),
+               _adain_resblk_init(ks[next(ki)], d, d // 2, sty, upsample=True, dtype=dtype),
+               _adain_resblk_init(ks[next(ki)], d // 2, d // 2, sty, dtype=dtype)],
+        "F0_proj": _conv_init(ks[next(ki)], 1, d // 2, 1, dtype=dtype),
+        "N": [_adain_resblk_init(ks[next(ki)], d, d, sty, dtype=dtype),
+              _adain_resblk_init(ks[next(ki)], d, d // 2, sty, upsample=True, dtype=dtype),
+              _adain_resblk_init(ks[next(ki)], d // 2, d // 2, sty, dtype=dtype)],
+        "N_proj": _conv_init(ks[next(ki)], 1, d // 2, 1, dtype=dtype),
+    }
+
+    # decoder
+    dec = cfg.decoder_dim
+    ch0 = cfg.upsample_initial
+    n_up = len(cfg.upsample_rates)
+    stft_ch = cfg.gen_istft_n_fft + 2
+    gen = {
+        "m_source": init_linear(ks[next(ki)], cfg.nb_harmonics + 1, 1, dtype=dtype),
+        "noise_convs": [], "noise_res": [], "ups": [], "resblocks": [],
+        "conv_post": _conv_init(ks[next(ki)], 7, ch0 // (2 ** n_up), stft_ch, dtype=dtype),
+    }
+    noise_kernels = list(cfg.resblock_kernels[-2:]) or [7]
+    for i in range(n_up):
+        c_cur = ch0 // (2 ** (i + 1))
+        if i + 1 < n_up:
+            stride_f0 = int(np.prod(cfg.upsample_rates[i + 1:]))
+            gen["noise_convs"].append(_conv_init(ks[next(ki)], stride_f0 * 2, stft_ch, c_cur, dtype=dtype))
+            nk = 7
+        else:
+            gen["noise_convs"].append(_conv_init(ks[next(ki)], 1, stft_ch, c_cur, dtype=dtype))
+            nk = 11 if len(cfg.resblock_kernels) > 1 else cfg.resblock_kernels[-1]
+        gen["noise_res"].append(_adain_resblock1_init(
+            ks[next(ki)], c_cur, nk, cfg.resblock_dilations, sty, dtype))
+        gen["ups"].append(_conv_init(ks[next(ki)], cfg.upsample_kernels[i],
+                                     ch0 // (2 ** i), c_cur, dtype=dtype))
+        for kern in cfg.resblock_kernels:
+            gen["resblocks"].append(_adain_resblock1_init(
+                ks[next(ki)], c_cur, kern, cfg.resblock_dilations, sty, dtype))
+
+    decoder = {
+        "F0_conv": _conv_init(ks[next(ki)], 3, 1, 1, dtype=dtype),
+        "N_conv": _conv_init(ks[next(ki)], 3, 1, 1, dtype=dtype),
+        "encode": _adain_resblk_init(ks[next(ki)], d + 2, dec, sty, dtype=dtype),
+        "decode": [_adain_resblk_init(ks[next(ki)], dec + 2 + cfg.asr_res_dim, dec, sty, dtype=dtype)
+                   for _ in range(3)]
+                  + [_adain_resblk_init(ks[next(ki)], dec + 2 + cfg.asr_res_dim, ch0, sty,
+                                        upsample=True, dtype=dtype)],
+        "asr_res": _conv_init(ks[next(ki)], 1, d, cfg.asr_res_dim, dtype=dtype),
+        "generator": gen,
+    }
+
+    return {
+        "bert": init_albert_params(ks[next(ki)], cfg.albert, dtype),
+        "bert_encoder": init_linear(ks[next(ki)], cfg.albert.hidden_size, d, dtype=dtype),
+        "text_encoder": text_encoder,
+        "predictor": predictor,
+        "decoder": decoder,
+    }
 
 
-def _conv_t(x, p, stride):
-    y = jax.lax.conv_transpose(x, p["kernel"], (stride,), "SAME",
-                               dimension_numbers=("NHC", "HIO", "NHC"),
-                               preferred_element_type=jnp.float32)
-    return (y + p["bias"]).astype(x.dtype)
+# -- primitives --------------------------------------------------------------------
+
+def _lstm_scan(p, xs, reverse=False):
+    """xs: [T, B, in] → [T, B, h]; torch gate order i,f,g,o."""
+    h0 = jnp.zeros((xs.shape[1], p["wh"].shape[0]), jnp.float32)
+
+    def step(carry, x):
+        h, c = carry
+        gates = (x.astype(jnp.float32) @ p["wx"].astype(jnp.float32)
+                 + h @ p["wh"].astype(jnp.float32) + p["bias"].astype(jnp.float32))
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    _, ys = jax.lax.scan(step, (h0, h0), xs, reverse=reverse)
+    return ys.astype(xs.dtype)
 
 
-def _conv(x, p, pad):
-    y = jax.lax.conv_general_dilated(x, p["kernel"], (1,), ((pad, pad),),
-                                     dimension_numbers=("NHC", "HIO", "NHC"),
-                                     preferred_element_type=jnp.float32)
-    return (y + p["bias"]).astype(x.dtype)
+def _bilstm(p, x, n_valid):
+    """Masked bidirectional LSTM over [B, T, C]. The backward direction
+    starts at the last VALID step (torch packed-sequence semantics): the
+    valid region is reversed via gather, scanned forward, un-gathered."""
+    b, t, _ = x.shape
+    xs = x.transpose(1, 0, 2)                                   # [T, B, C]
+    fwd = _lstm_scan(p["fwd"], xs)
+    idx = jnp.clip(n_valid - 1 - jnp.arange(t), 0, t - 1)
+    bwd_in = xs[idx]
+    bwd = _lstm_scan(p["bwd"], bwd_in)
+    bwd = bwd[idx]                                              # involution: un-reverse
+    return jnp.concatenate([fwd, bwd], axis=-1).transpose(1, 0, 2)
 
 
-def kokoro_forward(params, cfg: KokoroConfig, ids, n_valid, style):
-    """ids: [MAX_PHONEMES] int32; n_valid scalar; style: [style_dim].
-    Returns (waveform [max_frames*HOP], n_frames scalar)."""
-    t = ids.shape[0]
-    x = jnp.take(params["embed"], ids, axis=0)[None]  # [1, T, D]
-    x = x + linear(style[None, None], params["style_proj"])
-    valid = jnp.arange(t) < n_valid
-    mask = jnp.where(valid, 0.0, NEG_INF)[None, None, None, :].astype(jnp.float32)
-
-    hd = cfg.d_model // cfg.num_heads
-    for p in params["layers"]:
-        h = layer_norm(x, p["ln1"]["weight"], p["ln1"]["bias"])
-        q = linear(h, p["q"]).reshape(1, t, cfg.num_heads, hd).transpose(0, 2, 1, 3)
-        k = linear(h, p["k"]).reshape(1, t, cfg.num_heads, hd).transpose(0, 2, 1, 3)
-        v = linear(h, p["v"]).reshape(1, t, cfg.num_heads, hd).transpose(0, 2, 1, 3)
-        a = sdpa(q, k, v, 1.0 / np.sqrt(hd), mask)
-        x = x + linear(a.transpose(0, 2, 1, 3).reshape(1, t, -1), p["o"])
-        h = layer_norm(x, p["ln2"]["weight"], p["ln2"]["bias"])
-        x = x + linear(jax.nn.gelu(linear(h, p["ff1"])), p["ff2"])
-
-    enc = x[0]  # [T, D]
-    # duration: classify 0..max_duration-1 frames per phoneme
-    dur_logits = linear(enc, params["dur_head"]).astype(jnp.float32)
-    durations = jnp.argmax(dur_logits, axis=-1) + 1  # ≥1 frame per phoneme
-    durations = jnp.where(valid, durations, 0)
-    ends = jnp.cumsum(durations)
-    n_frames = jnp.minimum(ends[-1], cfg.max_frames)
-
-    # monotonic alignment expansion: frame f ← phoneme with ends > f
-    frame_idx = jnp.arange(cfg.max_frames)
-    phoneme_of_frame = jnp.searchsorted(ends, frame_idx, side="right")
-    phoneme_of_frame = jnp.clip(phoneme_of_frame, 0, t - 1)
-    frames = enc[phoneme_of_frame]  # [max_frames, D]
-    frame_valid = frame_idx < n_frames
-
-    f0 = jax.nn.softplus(linear(frames, params["f0_head"]).astype(jnp.float32))[:, 0] * 100.0 + 50.0
-    energy = jax.nn.sigmoid(linear(frames, params["energy_head"]).astype(jnp.float32))[:, 0]
-
-    h = linear(frames, params["frame_proj"])[None]  # [1, F, C]
-    h = jnp.where(frame_valid[None, :, None], h, 0.0)
-    h = jax.nn.leaky_relu(_conv_t(h, params["gen_up1"], 10), 0.1)    # [1, F*10, C]
-    h = jax.nn.leaky_relu(_conv(h, params["gen_conv1"], 3), 0.1)     # [1, F*10, C/2]
-    h = jax.nn.leaky_relu(_conv_t(h, params["gen_up2"], 30), 0.1)    # [1, F*300, C/2]
-
-    # harmonic sine source conditioned on per-frame F0 (iSTFTNet-style)
-    sr = cfg.sample_rate
-    f0_up = jnp.repeat(f0, HOP)  # [F*300]
-    phase = jnp.cumsum(2 * np.pi * f0_up / sr)
-    source = jnp.sin(phase) * jnp.repeat(energy, HOP)
-    h = h + linear(source[None, :, None].astype(h.dtype), params["harmonic_proj"])
-
-    wav = jnp.tanh(_conv(h, params["gen_conv2"], 3))[0, :, 0]
-    wav = wav * jnp.repeat(frame_valid, HOP)
-    return wav.astype(jnp.float32), n_frames
+def _adain(x, p, s, eps=1e-5):
+    """Instance-norm over time then style scale/shift. x: [B, T, C],
+    s: [B, sty]."""
+    h = linear(s, p["fc"])
+    c = x.shape[-1]
+    gamma, beta = h[:, :c], h[:, c:]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.var(xf, axis=1, keepdims=True)
+    normed = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return ((1 + gamma[:, None].astype(jnp.float32)) * normed
+            + beta[:, None].astype(jnp.float32)).astype(x.dtype)
 
 
-def trim_and_fade(wav: np.ndarray, sr: int = SAMPLE_RATE, window_s: float = 0.02,
-                  threshold: float = 5e-3, fade_s: float = 0.05) -> np.ndarray:
-    """RMS-windowed trailing-silence/artifact trim + linear fade-out
-    (reference: KokoroTTS.swift postprocessing)."""
-    if len(wav) == 0:
+def _conv_same(x, p, dilation=1, stride=1):
+    k = p["kernel"].shape[0]
+    pad = (k - 1) * dilation // 2
+    y = jax.lax.conv_general_dilated(
+        x, p["kernel"], (stride,), ((pad, pad),), rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"), preferred_element_type=jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _conv_transpose_same(x, p, stride):
+    """torch ConvTranspose1d(k, s, padding=(k-s)//2): trim (k-s)//2 per side."""
+    k = p["kernel"].shape[0]
+    y = jax.lax.conv_transpose(
+        x, p["kernel"], (stride,), "VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    trim = (k - stride) // 2
+    if trim > 0:
+        y = y[:, trim:-trim]
+    return y.astype(x.dtype)
+
+
+def _depthwise_convt_pool(x, p, cin):
+    """The AdainResBlk1d 'pool' when upsampling: depthwise
+    ConvTranspose1d(k=3, s=2, padding=1, output_padding=1) — output 2T.
+    Expressed as an lhs-dilated grouped conv; convert.py stores the torch
+    weight tap-flipped so no flip is needed here."""
+    y = jax.lax.conv_general_dilated(
+        x, p["kernel"], (1,), ((1, 2),), lhs_dilation=(2,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=cin, preferred_element_type=jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _lrelu(x, slope=0.2):
+    return jnp.where(x > 0, x, slope * x)
+
+
+def _adain_resblk(x, p, s, upsample=False):
+    """StyleTTS2 AdainResBlk1d: (residual + shortcut)/√2. x: [B, T, C]."""
+    cin = x.shape[-1]
+    # residual
+    h = _adain(x, p["norm1"], s)
+    h = _lrelu(h)
+    if upsample:
+        h = _depthwise_convt_pool(h, p["pool"], cin)
+    h = _conv_same(h, p["conv1"])
+    h = _adain(h, p["norm2"], s)
+    h = _lrelu(h)
+    h = _conv_same(h, p["conv2"])
+    # shortcut
+    sc = x
+    if upsample:
+        sc = jnp.repeat(sc, 2, axis=1)  # nearest ×2
+    if "conv1x1" in p:
+        sc = _conv_same(sc, p["conv1x1"])
+    return (h + sc) / np.sqrt(2.0)
+
+
+def _snake(x, alpha):
+    a = alpha.astype(jnp.float32)[None, None, :]
+    xf = x.astype(jnp.float32)
+    sn = jnp.sin(a * xf)
+    return (xf + (1.0 / (a + 1e-9)) * sn * sn).astype(x.dtype)
+
+
+def _adain_resblock1(x, p, s, dilations):
+    """iSTFTNet AdaINResBlock1: AdaIN → Snake → dilated conv → AdaIN →
+    Snake → conv → residual, per dilation."""
+    h = x
+    for j, d in enumerate(dilations):
+        xt = _adain(h, p["adain1"][j], s)
+        xt = _snake(xt, p["alpha1"][j])
+        xt = _conv_same(xt, p["convs1"][j], dilation=d)
+        xt = _adain(xt, p["adain2"][j], s)
+        xt = _snake(xt, p["alpha2"][j])
+        xt = _conv_same(xt, p["convs2"][j], dilation=1)
+        h = h + xt
+    return h
+
+
+# -- sub-modules --------------------------------------------------------------------
+
+def text_encode(p, cfg: KokoroConfig, ids, n_valid, valid):
+    """ids [B, T] → [B, T, d]. Conv/LN blocks with masking + BiLSTM."""
+    x = jnp.take(p["embedding"], ids, axis=0)
+    m = valid[..., None]
+    x = jnp.where(m, x, 0.0)
+    for blk in p["cnn"]:
+        x = _conv_same(x, blk["conv"])
+        x = layer_norm(x, blk["ln"]["weight"], blk["ln"]["bias"])
+        x = _lrelu(x)
+        x = jnp.where(m, x, 0.0)
+    x = _bilstm(p["lstm"], x, n_valid)
+    return jnp.where(m, x, 0.0)
+
+
+def duration_encode(p, cfg: KokoroConfig, d_en, style, n_valid, valid):
+    """DurationEncoder: per layer BiLSTM(d+sty → d) then AdaLayerNorm(d) and
+    style re-append; returns [B, T, d+sty]."""
+    b, t, _ = d_en.shape
+    s_exp = jnp.broadcast_to(style[:, None, :], (b, t, style.shape[-1])).astype(d_en.dtype)
+    m = valid[..., None]
+    x = jnp.where(m, jnp.concatenate([d_en, s_exp], axis=-1), 0.0)
+    for layer in p["dur_encoder"]:
+        h = _bilstm(layer["lstm"], x, n_valid)                      # [B, T, d]
+        # AdaLayerNorm: non-affine LN over channels + style scale/shift
+        fc = linear(style, layer["ada_ln"]["fc"])
+        c = h.shape[-1]
+        gamma, beta = fc[:, :c], fc[:, c:]
+        hf = h.astype(jnp.float32)
+        mean = jnp.mean(hf, axis=-1, keepdims=True)
+        var = jnp.var(hf, axis=-1, keepdims=True)
+        h = ((1 + gamma[:, None]) * (hf - mean) * jax.lax.rsqrt(var + 1e-5)
+             + beta[:, None]).astype(x.dtype)
+        x = jnp.where(m, jnp.concatenate([h, s_exp], axis=-1), 0.0)
+    return x
+
+
+def prosody_f0n(p, cfg: KokoroConfig, en, style, n_frames=None):
+    """en [B, F, d+sty] → (F0 [B, 2F], N [B, 2F])."""
+    if n_frames is None:
+        n_frames = jnp.asarray(en.shape[1], jnp.int32)
+    x = _bilstm(p["shared"], en, n_frames)
+    f0 = x
+    for i, blk in enumerate(p["F0"]):
+        f0 = _adain_resblk(f0, blk, style, upsample=(i == 1))
+    f0 = _conv_same(f0, p["F0_proj"])[..., 0]
+    n = x
+    for i, blk in enumerate(p["N"]):
+        n = _adain_resblk(n, blk, style, upsample=(i == 1))
+    n = _conv_same(n, p["N_proj"])[..., 0]
+    return f0, n
+
+
+def _gen_istft(spec, phase, cfg: KokoroConfig):
+    """mag/phase [B, T', bins] → wav [B, S] (hann, hop 5, n_fft 20)."""
+    n, hop = cfg.gen_istft_n_fft, cfg.gen_istft_hop
+    n_bins = n // 2 + 1
+    b, t = spec.shape[0], spec.shape[1]
+    real = spec * jnp.cos(phase)
+    imag = spec * jnp.sin(phase)
+    mult = np.ones(n_bins)
+    mult[1:(n + 1) // 2] = 2.0
+    k_idx, n_idx = np.meshgrid(np.arange(n_bins), np.arange(n), indexing="ij")
+    ang = 2.0 * np.pi * k_idx * n_idx / n
+    a_mat = jnp.asarray(np.cos(ang) * mult[:, None] / n, jnp.float32)
+    b_mat = jnp.asarray(-np.sin(ang) * mult[:, None] / n, jnp.float32)
+    w = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(n) / n))
+    frames = real.astype(jnp.float32) @ a_mat + imag.astype(jnp.float32) @ b_mat
+    frames = frames * jnp.asarray(w, jnp.float32)[None, None, :]
+    seg = n // hop
+    out_len = (t + seg - 1) * hop
+    segments = frames.reshape(b, t, seg, hop)
+    acc = jnp.zeros((b, out_len), jnp.float32)
+    for si in range(seg):
+        acc = acc.at[:, si * hop: si * hop + t * hop].add(
+            segments[:, :, si, :].reshape(b, t * hop))
+    wsum = np.zeros(out_len, np.float32)
+    for f in range(t):
+        wsum[f * hop: f * hop + n] += (w * w).astype(np.float32)
+    wsum = np.maximum(wsum, 1e-8)
+    # torch.istft(center=True) trims n//2 from each end
+    c = n // 2
+    return (acc / jnp.asarray(wsum)[None, :])[:, c:-c] if out_len > 2 * c else acc
+
+
+def _stft_kernel(cfg: KokoroConfig):
+    n = cfg.gen_istft_n_fft
+    n_bins = n // 2 + 1
+    w = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(n) / n))
+    k_idx, n_idx = np.meshgrid(np.arange(n_bins), np.arange(n), indexing="ij")
+    ang = 2.0 * np.pi * k_idx * n_idx / n
+    real = (np.cos(ang) * w[None, :]).T
+    imag = (-np.sin(ang) * w[None, :]).T
+    return jnp.asarray(np.concatenate([real, imag], axis=1)[:, None, :], jnp.float32)
+
+
+def _harmonic_source(p, cfg: KokoroConfig, f0_frames, key):
+    """f0 [B, F] (frame rate) → (mag, phase) STFT of the NSF excitation,
+    each [B, F*spf/hop, bins] (reference harmonics recipe; StyleTTS2
+    SourceModuleHnNSF + TorchSTFT)."""
+    spf = cfg.samples_per_frame
+    f0_up = jnp.repeat(f0_frames, spf, axis=1)                     # [B, S]
+    k1, k2 = jax.random.split(key)
+    b, s = f0_up.shape
+    n_h = cfg.nb_harmonics + 1
+    harmonics = jnp.arange(1, n_h + 1, dtype=jnp.float32)[None, None, :]
+    rad = f0_up[..., None] * harmonics / cfg.sample_rate
+    uv = (f0_up > cfg.voiced_threshold).astype(jnp.float32)[..., None]
+    phase = jnp.cumsum(rad, axis=1) * (2.0 * np.pi)
+    sines = cfg.sine_amp * jnp.sin(phase)
+    noise_amp = uv * cfg.noise_std + (1.0 - uv) * cfg.sine_amp / 3.0
+    sines = sines * uv + noise_amp * jax.random.normal(k1, sines.shape)
+    har = jnp.tanh(linear(sines, p["m_source"]))[..., 0]           # [B, S]
+    # STFT via fused window·DFT conv (center reflect pad)
+    n, hop = cfg.gen_istft_n_fft, cfg.gen_istft_hop
+    c = n // 2
+    sig = jnp.concatenate([har[:, 1:c + 1][:, ::-1], har, har[:, -c - 1:-1][:, ::-1]], axis=1)
+    y = jax.lax.conv_general_dilated(
+        sig[..., None], _stft_kernel(cfg), (hop,), ((0, 0),),
+        dimension_numbers=("NHC", "HIO", "NHC"), preferred_element_type=jnp.float32)
+    n_bins = n // 2 + 1
+    re, im = y[..., :n_bins], y[..., n_bins:]
+    mag = jnp.sqrt(re * re + im * im + 1e-12)
+    ph = jnp.arctan2(im, re)
+    return jnp.concatenate([mag, ph], axis=-1)                     # [B, T', 2*bins]
+
+
+def generator(p, cfg: KokoroConfig, x, style, f0_frames, key):
+    """iSTFTNet generator: x [B, F, upsample_initial] + style + F0 → wav."""
+    har = _harmonic_source(p, cfg, f0_frames, key)
+    n_up = len(cfg.upsample_rates)
+    n_k = len(cfg.resblock_kernels)
+    for i in range(n_up):
+        x = jnp.where(x > 0, x, 0.1 * x)                           # LRELU_SLOPE
+        if i + 1 < n_up:
+            stride_f0 = int(np.prod(cfg.upsample_rates[i + 1:]))
+            pad = (stride_f0 + 1) // 2
+            xs_k = p["noise_convs"][i]["kernel"]
+            x_src = jax.lax.conv_general_dilated(
+                har, xs_k, (stride_f0,), ((pad, pad),),
+                dimension_numbers=("NHC", "HIO", "NHC"),
+                preferred_element_type=jnp.float32)
+            x_src = (x_src + p["noise_convs"][i]["bias"].astype(jnp.float32)).astype(x.dtype)
+        else:
+            x_src = _conv_same(har.astype(x.dtype), p["noise_convs"][i])
+        x_src = _adain_resblock1(x_src, p["noise_res"][i], style, cfg.resblock_dilations)
+        x = _conv_transpose_same(x, p["ups"][i], cfg.upsample_rates[i])
+        if i == n_up - 1:
+            x = jnp.concatenate([x[:, 1:2], x], axis=1)            # ReflectionPad1d((1,0))
+        m = min(x.shape[1], x_src.shape[1])
+        x = x[:, :m] + x_src[:, :m]
+        acc = _adain_resblock1(x, p["resblocks"][i * n_k], style, cfg.resblock_dilations)
+        for j in range(1, n_k):
+            acc = acc + _adain_resblock1(x, p["resblocks"][i * n_k + j], style,
+                                         cfg.resblock_dilations)
+        x = acc / n_k
+    x = jnp.where(x > 0, x, 0.01 * x)
+    x = _conv_same(x, p["conv_post"])
+    n_bins = cfg.gen_istft_n_fft // 2 + 1
+    spec = jnp.exp(x[..., :n_bins].astype(jnp.float32))
+    phase = jnp.sin(x[..., n_bins:2 * n_bins].astype(jnp.float32))
+    return _gen_istft(spec, phase, cfg)
+
+
+def decode(p, cfg: KokoroConfig, asr, f0_curve, n_curve, style, key):
+    """StyleTTS2 istftnet Decoder.forward: asr [B, F, d], F0/N [B, 2F]."""
+    f0 = _conv_same(f0_curve[..., None], p["F0_conv"], stride=2)    # [B, F, 1]
+    nn_ = _conv_same(n_curve[..., None], p["N_conv"], stride=2)
+    x = jnp.concatenate([asr, f0, nn_], axis=-1)
+    x = _adain_resblk(x, p["encode"], style)
+    asr_res = _conv_same(asr, p["asr_res"])
+    res = True
+    for i, blk in enumerate(p["decode"]):
+        up = (i == len(p["decode"]) - 1)
+        if res:
+            x = jnp.concatenate([x, asr_res, f0, nn_], axis=-1)
+        x = _adain_resblk(x, blk, style, upsample=up)
+        if up:
+            res = False
+    return generator(p["generator"], cfg, x, style, f0_curve, key)
+
+
+# -- full forward --------------------------------------------------------------------
+
+def kokoro_forward(params, cfg: KokoroConfig, ids, n_valid, ref_s, speed, key,
+                   max_frames: int):
+    """KModel.forward_with_tokens. ids [B=1, T] (0-padded), n_valid scalar,
+    ref_s [B, 2*sty], speed scalar → (wav [B, S], total_frames, pred_dur)."""
+    b, t = ids.shape
+    valid = jnp.arange(t)[None, :] < n_valid
+    s_pros = ref_s[:, cfg.style_dim:]
+    s_dec = ref_s[:, :cfg.style_dim]
+
+    bert_out = albert_forward(params["bert"], cfg.albert, ids, valid)
+    d_en = linear(bert_out, params["bert_encoder"])                # [B, T, d]
+
+    d = duration_encode(params["predictor"], cfg, d_en, s_pros, n_valid, valid)
+    x = _bilstm(params["predictor"]["lstm"], d, n_valid)
+    duration = linear(x, params["predictor"]["duration_proj"])    # [B, T, max_dur]
+    duration = jnp.sum(jax.nn.sigmoid(duration.astype(jnp.float32)), axis=-1) / speed
+    pred_dur = jnp.maximum(jnp.round(duration), 1.0).astype(jnp.int32)
+    pred_dur = jnp.where(valid, pred_dur, 0)
+
+    # alignment: frame f ← token searchsorted(cumsum(dur), f, 'right')
+    cum = jnp.cumsum(pred_dur, axis=1)                             # [B, T]
+    total = cum[:, -1]
+    frames = jnp.arange(max_frames)
+    tok_idx = jnp.searchsorted(cum[0], frames, side="right")
+    tok_idx = jnp.clip(tok_idx, 0, t - 1)
+    frame_valid = frames < total[0]
+
+    fmask = frame_valid[None, :, None]
+    en = jnp.where(fmask, d[:, tok_idx], 0.0)                      # [B, F, d+sty]
+    f0_pred, n_pred = prosody_f0n(params["predictor"], cfg, en, s_pros, total[0])
+
+    t_en = text_encode(params["text_encoder"], cfg, ids, n_valid, valid)
+    asr = jnp.where(fmask, t_en[:, tok_idx], 0.0)
+    wav = decode(params["decoder"], cfg, asr, f0_pred, n_pred, s_dec, key)
+    return wav, total[0], pred_dur[0]
+
+
+def trim_and_fade(wav: np.ndarray, sr: int = SAMPLE_RATE, window_s: float = 0.05,
+                  silence_rms: float = 0.030, fade_s: float = 0.010) -> np.ndarray:
+    """RMS-windowed trailing-artifact trim + fade
+    (reference: KokoroTTS.swift:88-126 — 50 ms sustained-energy windows
+    walked backwards, silenced tail, 10 ms linear fade)."""
+    n = len(wav)
+    if n == 0:
         return wav
+    wav = wav.copy()
     win = max(1, int(window_s * sr))
-    n_win = len(wav) // win
-    if n_win == 0:
-        return wav
-    rms = np.sqrt(np.mean(wav[: n_win * win].reshape(n_win, win) ** 2, axis=1))
-    last = n_win
-    while last > 1 and rms[last - 1] < threshold:
-        last -= 1
-    end = min(len(wav), last * win)
-    out = wav[:end].copy()
-    fade = min(len(out), int(fade_s * sr))
-    if fade > 0:
-        out[-fade:] *= np.linspace(1.0, 0.0, fade, dtype=np.float32)
-    return out
+    speech_end = n
+    i = n - win
+    while i > 0:
+        rms = float(np.sqrt(np.mean(np.square(wav[i:i + win]))))
+        if rms > silence_rms:
+            speech_end = i + win
+            break
+        i -= win // 2
+    if speech_end < n:
+        wav[speech_end:] = 0.0
+    fade = min(speech_end, int(fade_s * sr))
+    if fade >= 2:
+        wav[speech_end - fade:speech_end] *= np.linspace(1.0, 0.0, fade, dtype=np.float32)
+    return wav
 
 
 class KokoroTTS(SpeechGenerationModel):
-    def __init__(self, cfg: KokoroConfig, params, voices: Optional[Dict[str, np.ndarray]] = None,
-                 dtype=jnp.float32):
+    """Public surface mirrors the reference KokoroTTSModel
+    (synthesize(text, voice, language, speed), available_voices, warm_up)."""
+
+    def __init__(self, cfg: KokoroConfig, params,
+                 voices: Optional[Dict[str, np.ndarray]] = None, dtype=jnp.float32):
         self.cfg = cfg
         self.params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
-        # voice packs: name → [MAX_PHONEMES, style_dim] (style row picked by
-        # phoneme count — the published voices' convention)
-        self.voices = voices or {"af_default": np.zeros((MAX_PHONEMES, cfg.style_dim), np.float32)}
+        self.voices = voices or {"af_heart": np.zeros((cfg.style_dim * 2,), np.float32)}
         self._loaded = True
-        self._jit = jax.jit(functools.partial(kokoro_forward, cfg=cfg))
+        self._fwd = jax.jit(functools.partial(kokoro_forward, cfg=cfg),
+                            static_argnames=("max_frames",))
 
     @classmethod
     def init_random(cls, cfg: Optional[KokoroConfig] = None, seed: int = 0, **kw) -> "KokoroTTS":
         cfg = cfg or config_tiny()
-        rng = np.random.default_rng(seed)
-        voices = {
-            "af_default": (0.1 * rng.standard_normal((MAX_PHONEMES, cfg.style_dim))).astype(np.float32),
-            "am_default": (0.1 * rng.standard_normal((MAX_PHONEMES, cfg.style_dim))).astype(np.float32),
-        }
-        return cls(cfg, init_kokoro_params(jax.random.PRNGKey(seed), cfg), voices, **kw)
+        return cls(cfg, init_kokoro_params(jax.random.PRNGKey(seed), cfg), **kw)
 
     @classmethod
     def from_pretrained(cls, model_id: str = "hexgrad/Kokoro-82M", cache_dir=None,
-                        offline_mode: bool = False, **kw) -> "KokoroTTS":
+                        offline_mode: bool = False, dtype=jnp.float32, **kw) -> "KokoroTTS":
         from ...core.hub import download_weights
-        from ...core.weights import load_safetensors, unflatten
+        from .convert import convert_checkpoint, load_voices
 
-        model_dir = download_weights(model_id, cache_dir=cache_dir, offline_mode=offline_mode,
-                                     patterns=("*.safetensors", "*.json", "*.npy", "voices/*"))
-        flat = load_safetensors(model_dir)
-        voices = {}
-        from pathlib import Path
-
-        for npy in Path(model_dir).glob("voices/*.npy"):
-            voices[npy.stem] = np.load(npy).reshape(-1, STYLE_DIM)[:MAX_PHONEMES]
-        return cls(CONFIG_82M, unflatten(flat), voices or None, **kw)
+        model_dir = download_weights(
+            model_id, cache_dir=cache_dir, offline_mode=offline_mode,
+            additional_patterns=["*.pth", "voices/*"])
+        params = convert_checkpoint(model_dir)
+        voices = load_voices(model_dir)
+        return cls(CONFIG_82M, params, voices=voices or None, dtype=dtype, **kw)
 
     @property
     def available_voices(self):
         return sorted(self.voices)
 
-    def synthesize(self, text: str, voice: Optional[str] = None, language: str = "en",
-                   speed: float = 1.0, **kwargs) -> AudioChunk:
-        phonemes = phonemize(text, language)
-        ids = phonemes_to_ids(phonemes)[:MAX_PHONEMES]
-        n = len(ids)
-        if n == 0:
-            return AudioChunk(np.zeros(0, np.float32), self.cfg.sample_rate)
-        arr = np.zeros(MAX_PHONEMES, np.int32)
-        arr[:n] = ids
-        pack = self.voices.get(voice or "", next(iter(self.voices.values())))
-        style = pack[min(n, len(pack) - 1)]
-        wav, n_frames = self._jit(self.params, ids=jnp.asarray(arr),
-                                  n_valid=jnp.asarray(n, jnp.int32),
-                                  style=jnp.asarray(style, jnp.float32))
-        wav = np.asarray(wav)[: int(n_frames) * HOP]
-        if speed != 1.0 and len(wav):
-            from ...audio.resample import resample
+    def _ref_s(self, voice: str, n_tokens: int) -> np.ndarray:
+        v = self.voices.get(voice)
+        if v is None:
+            raise KeyError(f"voice {voice!r} not found; available: {self.available_voices[:5]}")
+        v = np.asarray(v, np.float32)
+        if v.ndim >= 2:  # [510, 1, 256] published packs: index by token count
+            v = v.reshape(v.shape[0], -1)[min(n_tokens - 1, v.shape[0] - 1)]
+        return v[: self.cfg.style_dim * 2]
 
-            wav = resample(wav, int(self.cfg.sample_rate * speed), self.cfg.sample_rate)
-        return AudioChunk(trim_and_fade(wav, self.cfg.sample_rate), self.cfg.sample_rate)
+    def synthesize(self, text: str, voice: Optional[str] = None, language: str = "en",
+                   speed: float = 1.0, seed: int = 0, **kwargs) -> AudioChunk:
+        voice = voice or self.available_voices[0]
+        ids = phonemes_to_ids(phonemize(text, language))[: self.cfg.max_phonemes - 2]
+        ids = [0, *ids, 0]  # pad tokens bracket the sequence (kokoro convention)
+        n = len(ids)
+        bucket = max(16, int(2 ** np.ceil(np.log2(n))))
+        arr = np.zeros(bucket, np.int32)
+        arr[:n] = ids
+        ref_s = self._ref_s(voice, n)
+        max_frames = bucket * min(self.cfg.max_dur, 24)
+        wav, total, _ = self._fwd(self.params, ids=jnp.asarray(arr)[None],
+                                  n_valid=jnp.asarray(n, jnp.int32),
+                                  ref_s=jnp.asarray(ref_s)[None],
+                                  speed=jnp.asarray(speed, jnp.float32),
+                                  key=jax.random.PRNGKey(seed),
+                                  max_frames=max_frames)
+        n_samples = int(total) * self.cfg.samples_per_frame
+        samples = np.asarray(wav[0][:n_samples], np.float32)
+        return AudioChunk(trim_and_fade(samples, self.cfg.sample_rate), self.cfg.sample_rate)
 
     def warm_up(self) -> None:
-        self.synthesize("hi")
+        self.synthesize("hello")
 
     def unload(self) -> None:
         self.params = None
