@@ -1,19 +1,27 @@
-"""VibeVoice TTS: LM + diffusion head over acoustic VAE latents.
+"""VibeVoice Realtime TTS — split Qwen2 LM + diffusion head + σ-VAE.
 
-TPU-native analog of the reference's VibeVoice module
-(reference: Sources/VibeVoiceTTS/VibeVoiceTTSModel.swift:155,392,
-Models/VibeVoiceStreamModel.swift, Models/DiffusionHead.swift,
-Inference/DPMSolver.swift, Layers/StreamingConv1d.swift): a Qwen2-style
-LM runs over text + acoustic-latent positions; each audio step the LM
-hidden state conditions (a) a binary EOS classifier and (b) a diffusion
-head that denoises the next acoustic latent with a DPM-Solver schedule;
-latents decode to 24 kHz audio through a causal-conv σ-VAE decoder.
-Voice cloning mints a cache of latents from reference audio + transcript
-(reference ``vibevoice-encode-voice``).
+The published Realtime-0.5B topology (reference:
+Sources/VibeVoiceTTS/Models/VibeVoiceStreamModel.swift:90-300,
+VibeVoiceTTSModel.swift, Constants.swift:13-19):
 
-The step loop (LM step → EOS check → K DPM-Solver denoise iterations)
-runs inside ``lax.while_loop``; the VAE decoder is a jitted causal conv
-stack (streaming = chunked causal decode).
+- A 24-layer Qwen2 backbone split into ``language_model`` (bottom 4
+  layers, no final norm) and ``tts_language_model`` (top 20 layers +
+  norm); text flows bottom→top with a per-position input-type embedding
+  (1 = text, 0 = speech).
+- Per frame the TTS LM hidden state conditions (a) the AdaLN diffusion
+  head sampled with DPM-Solver++ 2M + CFG against a parallel NEGATIVE
+  stream (prompt = the single negative-text token 151655) and (b) a
+  binary EOS classifier (fc1→ReLU→fc2→σ > 0.5).
+- Latents map to the σ-VAE decoder space via
+  ``latent / speech_scaling_factor − speech_bias_factor`` and decode to
+  24 kHz audio (tokenizer.py).
+- Voice cloning mints REAL σ-VAE encoder latents from reference audio
+  (reference ``vibevoice-encode-voice``); long-form carries true tail
+  latents in memory across text chunks.
+
+TPU shape: prefill (both streams) + the whole frame loop (LM step →
+unrolled K-step DPM solve → EOS check) is ONE jitted program over a
+``lax.while_loop``; audio decodes afterwards in bucketed causal chunks.
 """
 
 from __future__ import annotations
@@ -29,16 +37,23 @@ import numpy as np
 
 from ...core import AudioChunk, SpeechGenerationModel
 from ...ops.attention import NEG_INF, sdpa
-from ...ops.kv_cache import init_cache, after_prefill, after_token, write_prompt, write_token
 from ...ops.nn import init_linear, linear, rms_norm, swiglu_mlp
 from ...ops.rope import apply_rope, rope_angles
-from ..qwen3_tts.codec import causal_conv1d, causal_transpose_conv1d, _conv_init
+from .diffusion import (DiffusionConfig, diffusion_config_tiny, dpm_solve,
+                        init_diffusion_params)
+from .tokenizer import (TokenizerConfig, decode_chunked, encode, init_tokenizer_params,
+                        sample_latents, tokenizer_config_tiny)
+
+NEGATIVE_TEXT_ID = 151655
+SPEECH_START_ID = 151652
+SPEECH_END_ID = 151653
 
 
 @dataclasses.dataclass(frozen=True)
 class VibeVoiceConfig:
     hidden_size: int = 896          # Realtime-0.5B Qwen2 backbone
     num_layers: int = 24
+    tts_backbone_layers: int = 20   # top layers form the TTS LM
     num_heads: int = 14
     num_kv_heads: int = 2
     head_dim: int = 64
@@ -46,194 +61,281 @@ class VibeVoiceConfig:
     vocab_size: int = 151936
     rope_theta: float = 1e6
     rms_norm_eps: float = 1e-6
-    latent_dim: int = 64            # acoustic σ-VAE latent per 0.04 s frame
-    diffusion_hidden: int = 512
-    diffusion_steps: int = 8        # DPM-Solver iterations at inference
-    vae_upsample: int = 960         # samples per latent frame (24 kHz / 25 Hz)
-    vae_strides: tuple = (24, 40)   # two transpose-conv stages; product = vae_upsample
+    diffusion: DiffusionConfig = dataclasses.field(default_factory=DiffusionConfig)
+    tokenizer: TokenizerConfig = dataclasses.field(default_factory=TokenizerConfig)
     sample_rate: int = 24000
-    max_frames: int = 750           # 30 s realtime cap
+    max_frames: int = 750
+    negative_text_id: int = NEGATIVE_TEXT_ID
+
+    @property
+    def lm_layers(self) -> int:
+        return self.num_layers - self.tts_backbone_layers
+
+    @property
+    def latent_dim(self) -> int:
+        return self.diffusion.latent_size
+
+    @property
+    def vae_upsample(self) -> int:
+        return self.tokenizer.total_ratio
 
 
 CONFIG_05B = VibeVoiceConfig()
 
 
 def config_tiny() -> VibeVoiceConfig:
-    return VibeVoiceConfig(hidden_size=32, num_layers=2, num_heads=2, num_kv_heads=1,
-                           head_dim=16, intermediate_size=64, vocab_size=300,
-                           latent_dim=8, diffusion_hidden=16, diffusion_steps=2,
-                           vae_upsample=64, vae_strides=(8, 8), max_frames=8)
+    tok = tokenizer_config_tiny()
+    diff = dataclasses.replace(diffusion_config_tiny(), latent_size=tok.vae_dim,
+                               hidden_size=32)
+    return VibeVoiceConfig(
+        hidden_size=32, num_layers=3, tts_backbone_layers=2, num_heads=2,
+        num_kv_heads=1, head_dim=16, intermediate_size=64, vocab_size=300,
+        diffusion=diff, tokenizer=tok, max_frames=8, negative_text_id=299)
+
+
+def _qwen2_layer_init(key, cfg: VibeVoiceConfig, dtype):
+    k = jax.random.split(key, 7)
+    h, hd = cfg.hidden_size, cfg.head_dim
+    return {
+        "input_layernorm": {"weight": jnp.ones((h,), dtype)},
+        "post_attention_layernorm": {"weight": jnp.ones((h,), dtype)},
+        "q_proj": init_linear(k[0], h, cfg.num_heads * hd, dtype=dtype),
+        "k_proj": init_linear(k[1], h, cfg.num_kv_heads * hd, dtype=dtype),
+        "v_proj": init_linear(k[2], h, cfg.num_kv_heads * hd, dtype=dtype),
+        "o_proj": init_linear(k[3], cfg.num_heads * hd, h, bias=False, dtype=dtype),
+        "mlp": {
+            "gate_proj": init_linear(k[4], h, cfg.intermediate_size, bias=False, dtype=dtype),
+            "up_proj": init_linear(k[5], h, cfg.intermediate_size, bias=False, dtype=dtype),
+            "down_proj": init_linear(k[6], cfg.intermediate_size, h, bias=False, dtype=dtype),
+        },
+    }
 
 
 def init_vibevoice_params(key, cfg: VibeVoiceConfig, dtype=jnp.float32) -> dict:
-    ks = jax.random.split(key, 12 + cfg.num_layers)
+    ks = jax.random.split(key, 10 + cfg.num_layers)
     h = cfg.hidden_size
     params = {
         "embed_tokens": (jax.random.normal(ks[0], (cfg.vocab_size, h)) * 0.02).astype(dtype),
-        "latent_in": init_linear(ks[1], cfg.latent_dim, h, dtype=dtype),
-        "norm": {"weight": jnp.ones((h,), dtype)},
-        "eos_head": init_linear(ks[2], h, 1, dtype=dtype),
-        "layers": [],
-        "diffusion": {
-            "cond": init_linear(ks[3], h + cfg.latent_dim + 1, cfg.diffusion_hidden, dtype=dtype),
-            "mid": init_linear(ks[4], cfg.diffusion_hidden, cfg.diffusion_hidden, dtype=dtype),
-            "out": init_linear(ks[5], cfg.diffusion_hidden, cfg.latent_dim, dtype=dtype),
+        "tts_input_types": (jax.random.normal(ks[1], (2, h)) * 0.02).astype(dtype),
+        "lm_layers": [_qwen2_layer_init(ks[10 + i], cfg, dtype)
+                      for i in range(cfg.lm_layers)],
+        "tts_layers": [_qwen2_layer_init(ks[10 + cfg.lm_layers + i], cfg, dtype)
+                       for i in range(cfg.tts_backbone_layers)],
+        "tts_norm": {"weight": jnp.ones((h,), dtype)},
+        "acoustic_connector": {
+            "fc1": init_linear(ks[2], cfg.latent_dim, h, dtype=dtype),
+            "norm": {"weight": jnp.ones((h,), dtype)},
+            "fc2": init_linear(ks[3], h, h, dtype=dtype),
         },
-        "vae_dec": {
-            "up1": _conv_init(ks[6], cfg.vae_strides[0] * 2, cfg.latent_dim, 64, dtype=dtype),
-            "conv1": _conv_init(ks[7], 7, 64, 64, dtype=dtype),
-            "up2": _conv_init(ks[8], cfg.vae_strides[1] * 2, 64, 32, dtype=dtype),
-            "conv2": _conv_init(ks[9], 7, 32, 1, dtype=dtype),
+        "eos_classifier": {
+            "fc1": init_linear(ks[4], h, h, dtype=dtype),
+            "fc2": init_linear(ks[5], h, 1, dtype=dtype),
         },
+        "prediction_head": init_diffusion_params(ks[6], cfg.diffusion, dtype),
+        "acoustic_tokenizer": init_tokenizer_params(ks[7], cfg.tokenizer, dtype),
+        "speech_scaling_factor": jnp.asarray(1.0, jnp.float32),
+        "speech_bias_factor": jnp.asarray(0.0, jnp.float32),
     }
-    hd = cfg.head_dim
-    for i in range(cfg.num_layers):
-        k = jax.random.split(ks[12 + i], 7)
-        params["layers"].append({
-            "input_layernorm": {"weight": jnp.ones((h,), dtype)},
-            "post_attention_layernorm": {"weight": jnp.ones((h,), dtype)},
-            "q_proj": init_linear(k[0], h, cfg.num_heads * hd, dtype=dtype),
-            "k_proj": init_linear(k[1], h, cfg.num_kv_heads * hd, dtype=dtype),
-            "v_proj": init_linear(k[2], h, cfg.num_kv_heads * hd, dtype=dtype),
-            "o_proj": init_linear(k[3], cfg.num_heads * hd, h, bias=False, dtype=dtype),
-            "mlp": {
-                "gate_proj": init_linear(k[4], h, cfg.intermediate_size, bias=False, dtype=dtype),
-                "up_proj": init_linear(k[5], h, cfg.intermediate_size, bias=False, dtype=dtype),
-                "down_proj": init_linear(k[6], cfg.intermediate_size, h, bias=False, dtype=dtype),
-            },
-        })
     return params
 
 
-def _lm_layer(p, x, positions, mask, cache_layer, cfg, decode, cursor=None):
+def acoustic_connect(p, latent):
+    """SpeechConnector: fc1 → RMSNorm → fc2 (reference:
+    VibeVoiceStreamModel.swift:7-25)."""
+    x = linear(latent, p["fc1"])
+    x = rms_norm(x, p["norm"]["weight"], 1e-6)
+    return linear(x, p["fc2"])
+
+
+def eos_probability(p, hidden):
+    h = jax.nn.relu(linear(hidden, p["fc1"]))
+    return jax.nn.sigmoid(linear(h, p["fc2"]).astype(jnp.float32))
+
+
+def _layer_forward(lp, x, positions, mask, cfg, kc=None, vc=None, start=None):
+    """One Qwen2 layer; if kc/vc given, write K/V at ``start`` and attend
+    over the cache, else self-attend within x."""
     b, t, _ = x.shape
     hd = cfg.head_dim
-    h = rms_norm(x, p["input_layernorm"]["weight"], cfg.rms_norm_eps)
-    q = linear(h, p["q_proj"]).reshape(b, t, cfg.num_heads, hd)
-    k = linear(h, p["k_proj"]).reshape(b, t, cfg.num_kv_heads, hd)
-    v = linear(h, p["v_proj"]).reshape(b, t, cfg.num_kv_heads, hd)
+    h = rms_norm(x, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
+    q = linear(h, lp["q_proj"]).reshape(b, t, cfg.num_heads, hd)
+    k = linear(h, lp["k_proj"]).reshape(b, t, cfg.num_kv_heads, hd)
+    v = linear(h, lp["v_proj"]).reshape(b, t, cfg.num_kv_heads, hd)
     cos, sin = rope_angles(positions, hd, cfg.rope_theta)
     cos, sin = cos[:, None], sin[:, None]
     q = apply_rope(q.transpose(0, 2, 1, 3), cos, sin)
     k = apply_rope(k.transpose(0, 2, 1, 3), cos, sin)
     v = v.transpose(0, 2, 1, 3)
-    if decode:
-        upd = write_token(cache_layer, k, v, cursor)
-        a = sdpa(q, upd.k, upd.v, 1.0 / np.sqrt(hd), mask)
+    if kc is not None:
+        kc = jax.lax.dynamic_update_slice_in_dim(kc, k.astype(kc.dtype), start, axis=2)
+        vc = jax.lax.dynamic_update_slice_in_dim(vc, v.astype(vc.dtype), start, axis=2)
+        a = sdpa(q, kc, vc, 1.0 / np.sqrt(hd), mask)
     else:
-        upd = write_prompt(cache_layer, k, v)
         a = sdpa(q, k, v, 1.0 / np.sqrt(hd), mask)
-    x = x + linear(a.transpose(0, 2, 1, 3).reshape(b, t, -1), p["o_proj"])
-    h2 = rms_norm(x, p["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
-    return x + swiglu_mlp(h2, p["mlp"]), upd
+    x = x + linear(a.transpose(0, 2, 1, 3).reshape(b, t, -1), lp["o_proj"])
+    h2 = rms_norm(x, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
+    return x + swiglu_mlp(h2, lp["mlp"]), kc, vc
 
 
-def diffusion_denoise(p, cond_hidden, key, cfg: VibeVoiceConfig):
-    """DPM-Solver-style iterative denoise of one latent conditioned on the
-    LM hidden state (reference: DiffusionHead + DPMSolver). Returns [B, latent]."""
-    b = cond_hidden.shape[0]
-    x = jax.random.normal(key, (b, cfg.latent_dim), jnp.float32)
-    # descending sigma schedule
-    sigmas = jnp.exp(jnp.linspace(np.log(1.0), np.log(0.02), cfg.diffusion_steps))
-
-    def step(x, sigma):
-        inp = jnp.concatenate([cond_hidden.astype(jnp.float32), x,
-                               jnp.full((b, 1), sigma, jnp.float32)], axis=-1)
-        h = jax.nn.silu(linear(inp, p["cond"]))
-        h = jax.nn.silu(linear(h, p["mid"]))
-        eps = linear(h, p["out"])          # predicted noise
-        x0 = x - sigma * eps               # denoised estimate
-        return x0, None
-
-    def body(carry, sigma):
-        x = carry
-        x0, _ = step(x, sigma)
-        # DPM-Solver first-order update toward x0
-        x = x0 + sigma * 0.5 * (x - x0)
-        return x, None
-
-    x, _ = jax.lax.scan(body, x, sigmas)
-    return x
+def lm_forward(p, cfg: VibeVoiceConfig, embeds, valid):
+    """Bottom ``lm_layers`` over a self-contained prompt (no cache kept —
+    text is processed once; reference forwardLM, applyFinalNorm=false)."""
+    b, t, _ = embeds.shape
+    positions = (jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1) * valid
+    rows = jnp.arange(t)[None, :, None]
+    cols = jnp.arange(t)[None, None, :]
+    mask = jnp.where((cols <= rows) & valid[:, None, :], 0.0, NEG_INF).astype(jnp.float32)[:, None]
+    x = embeds
+    for lp in p["lm_layers"]:
+        x, _, _ = _layer_forward(lp, x, positions, mask, cfg)
+    return x  # NO final norm
 
 
-def vae_decode(p, latents, strides):
-    """latents [B, F, latent_dim] → audio [B, F*upsample]."""
-    h = causal_transpose_conv1d(latents, p["up1"], strides[0])
-    h = jax.nn.gelu(causal_conv1d(h, p["conv1"]))
-    h = causal_transpose_conv1d(h, p["up2"], strides[1])
-    wav = jnp.tanh(causal_conv1d(h, p["conv2"]))
-    return wav[..., 0]
+def generate_frames(p, cfg: VibeVoiceConfig, ids, n_valid, voice_latents, n_voice,
+                    key, max_frames: int, num_inference_steps: int, cfg_scale: float):
+    """Full jitted generation: dual-stream prefill + frame while_loop.
+
+    ids: [T_bucket] right-padded text; voice_latents: [V_bucket, latent]
+    LM-space voice-prompt latents (n_voice valid; V_bucket may be 0).
+    Returns (latents [max_frames, latent], n_frames).
+    """
+    b = 1
+    t_bucket = ids.shape[0]
+    v_bucket = voice_latents.shape[0]
+    prefix_len = t_bucket + v_bucket
+    max_len = prefix_len + max_frames
+    dtype = p["embed_tokens"].dtype
+
+    # ---- positive stream prefill ----
+    text_valid = (jnp.arange(t_bucket) < n_valid)[None]
+    text_embeds = jnp.take(p["embed_tokens"], ids, axis=0)[None]
+    lm_hidden = lm_forward(p, cfg, text_embeds, text_valid)
+
+    voice_embeds = acoustic_connect(p["acoustic_connector"],
+                                    voice_latents.astype(dtype))[None]
+    embeds = jnp.concatenate([lm_hidden, voice_embeds], axis=1)
+    valid = jnp.concatenate(
+        [text_valid, (jnp.arange(v_bucket) < n_voice)[None]], axis=1)
+    # input-type embedding: text = 1, speech = 0
+    type_ids = jnp.concatenate([jnp.ones((t_bucket,), jnp.int32),
+                                jnp.zeros((v_bucket,), jnp.int32)])[None]
+    embeds = embeds + jnp.take(p["tts_input_types"], type_ids, axis=0)
+
+    positions = (jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1) * valid
+    n_prefix = jnp.sum(valid.astype(jnp.int32))
+
+    caches = [
+        (jnp.zeros((b, cfg.num_kv_heads, max_len, cfg.head_dim), jnp.float32),
+         jnp.zeros((b, cfg.num_kv_heads, max_len, cfg.head_dim), jnp.float32))
+        for _ in range(cfg.tts_backbone_layers)
+    ]
+    rows = positions[:, None, :, None]
+    cols_pos = jnp.concatenate([positions[0], jnp.zeros((max_frames,), jnp.int32)])
+    prefix_valid = jnp.concatenate([valid[0], jnp.zeros((max_frames,), bool)])
+    mask = jnp.where((cols_pos[None, None, None, :] <= rows) &
+                     prefix_valid[None, None, None, :], 0.0, NEG_INF).astype(jnp.float32)
+    x = embeds
+    new_caches = []
+    for lp, (kc, vc) in zip(p["tts_layers"], caches):
+        x, kc, vc = _layer_forward(lp, x, positions, mask, cfg, kc, vc,
+                                   jnp.asarray(0, jnp.int32))
+        new_caches.append((kc, vc))
+    caches = new_caches
+    x = rms_norm(x, p["tts_norm"]["weight"], cfg.rms_norm_eps)
+    # last valid position (padding sits inside the prefix; gather explicitly)
+    last_idx = jnp.argmax(positions[0] * valid[0].astype(jnp.int32))
+    hidden = x[:, last_idx]
+
+    # ---- negative stream prefill (single negative-text token) ----
+    neg_ids = jnp.asarray([[cfg.negative_text_id]], jnp.int32)
+    neg_embeds = jnp.take(p["embed_tokens"], neg_ids[0], axis=0)[None]
+    neg_valid = jnp.ones((1, 1), bool)
+    neg_lm_hidden = lm_forward(p, cfg, neg_embeds, neg_valid)
+    neg_embeds = neg_lm_hidden + p["tts_input_types"][1][None, None]
+    neg_max = 1 + max_frames
+    neg_caches = [
+        (jnp.zeros((b, cfg.num_kv_heads, neg_max, cfg.head_dim), jnp.float32),
+         jnp.zeros((b, cfg.num_kv_heads, neg_max, cfg.head_dim), jnp.float32))
+        for _ in range(cfg.tts_backbone_layers)
+    ]
+    neg_mask = jnp.where(jnp.arange(neg_max)[None, None, None, :] < 1, 0.0,
+                         NEG_INF).astype(jnp.float32)
+    xn = neg_embeds
+    new_neg = []
+    for lp, (kc, vc) in zip(p["tts_layers"], neg_caches):
+        xn, kc, vc = _layer_forward(lp, xn, jnp.zeros((1, 1), jnp.int32), neg_mask,
+                                    cfg, kc, vc, jnp.asarray(0, jnp.int32))
+        new_neg.append((kc, vc))
+    neg_caches = new_neg
+    neg_hidden = rms_norm(xn, p["tts_norm"]["weight"], cfg.rms_norm_eps)[:, 0]
+
+    latents_out = jnp.zeros((max_frames, cfg.latent_dim), jnp.float32)
+    type0 = p["tts_input_types"][0][None, None]
+
+    def cond_fn(s):
+        step, _, _, _, _, _, done, _ = s
+        return (step < max_frames) & ~done
+
+    def body(s):
+        step, latents_out, caches, neg_caches, hidden, neg_hidden, done, key = s
+        key, kd = jax.random.split(key)
+        latent = dpm_solve(p["prediction_head"], cfg.diffusion, hidden, kd,
+                           neg_condition=neg_hidden,
+                           num_inference_steps=num_inference_steps,
+                           cfg_scale=cfg_scale)                       # [1, D]
+        latents_out = latents_out.at[step].set(latent[0])
+        emb = acoustic_connect(p["acoustic_connector"], latent.astype(dtype))[:, None] + type0
+
+        # positive stream step
+        pos = (n_prefix + step)[None, None]
+        idx = jnp.arange(max_len)
+        kv_valid = prefix_valid | ((idx >= prefix_len) & (idx < prefix_len + step + 1))
+        m = jnp.where(kv_valid, 0.0, NEG_INF).astype(jnp.float32)[None, None, None, :]
+        xs = emb
+        nc = []
+        for lp, (kc, vc) in zip(p["tts_layers"], caches):
+            xs, kc, vc = _layer_forward(lp, xs, pos, m, cfg, kc, vc, prefix_len + step)
+            nc.append((kc, vc))
+        hidden = rms_norm(xs, p["tts_norm"]["weight"], cfg.rms_norm_eps)[:, 0]
+
+        # negative stream step
+        npos = (1 + step)[None, None]
+        nidx = jnp.arange(neg_max)
+        nm = jnp.where(nidx < 2 + step, 0.0, NEG_INF).astype(jnp.float32)[None, None, None, :]
+        xn = emb
+        nnc = []
+        for lp, (kc, vc) in zip(p["tts_layers"], neg_caches):
+            xn, kc, vc = _layer_forward(lp, xn, npos, nm, cfg, kc, vc, 1 + step)
+            nnc.append((kc, vc))
+        neg_hidden = rms_norm(xn, p["tts_norm"]["weight"], cfg.rms_norm_eps)[:, 0]
+
+        done = eos_probability(p["eos_classifier"], hidden)[0, 0] > 0.5
+        return step + 1, latents_out, nc, nnc, hidden, neg_hidden, done, key
+
+    state = (jnp.asarray(0, jnp.int32), latents_out, caches, neg_caches,
+             hidden, neg_hidden, jnp.asarray(False), key)
+    n_f, latents_out, *_ = jax.lax.while_loop(cond_fn, body, state)
+    return latents_out, n_f
 
 
 class VibeVoiceTTS(SpeechGenerationModel):
-    def __init__(self, cfg: VibeVoiceConfig, params, tokenizer=None, dtype=jnp.float32):
+    def __init__(self, cfg: VibeVoiceConfig, params, tokenizer=None, dtype=jnp.float32,
+                 num_inference_steps: Optional[int] = None, cfg_scale: Optional[float] = None):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
         self.dtype = dtype
+        self.num_inference_steps = num_inference_steps or cfg.diffusion.ddpm_num_inference_steps
+        self.cfg_scale = cfg.diffusion.cfg_scale if cfg_scale is None else cfg_scale
         self._loaded = True
-
-        @functools.partial(jax.jit, static_argnames=("t_bucket", "max_frames"))
-        def _generate(p, ids, n_valid, voice_latents, n_voice, key, *, t_bucket, max_frames):
-            b = 1
-            cache = init_cache(cfg.num_layers, b, cfg.num_kv_heads,
-                               t_bucket + max_frames, cfg.head_dim, dtype)
-            v_bucket = voice_latents.shape[0]
-            text_embeds = jnp.take(p["embed_tokens"], ids, axis=0)[None]
-            voice_embeds = linear(voice_latents, p["latent_in"])[None].astype(text_embeds.dtype)
-            embeds = jnp.concatenate([text_embeds, voice_embeds], axis=1)
-            valid = jnp.concatenate([jnp.arange(t_bucket - v_bucket) < n_valid,
-                                     jnp.arange(v_bucket) < n_voice])[None]
-
-            positions = (jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1) * valid
-            rows = jnp.arange(t_bucket)[None, :, None]
-            cols = jnp.arange(t_bucket)[None, None, :]
-            mask = jnp.where((cols <= rows) & valid[:, None, :], 0.0, NEG_INF).astype(jnp.float32)[:, None]
-            x = embeds
-            new_layers = []
-            for lp in p["layers"]:
-                x, upd = _lm_layer(lp, x, positions, mask, cache.layers[len(new_layers)], cfg, False)
-                new_layers.append(upd)
-            x = rms_norm(x, p["norm"]["weight"], cfg.rms_norm_eps)
-            cache = after_prefill(cache, new_layers, valid, t_bucket)
-            last_idx = jnp.sum(valid[0].astype(jnp.int32)) - 1
-            hidden = x[:, last_idx]
-
-            latents_out = jnp.zeros((max_frames, cfg.latent_dim), jnp.float32)
-
-            def cond_fn(s):
-                step, _, _, _, done, _ = s
-                return (step < max_frames) & ~done
-
-            def body(s):
-                step, latents_out, cache, hidden, done, key = s
-                key, kd = jax.random.split(key)
-                latent = diffusion_denoise(p["diffusion"], hidden, kd, cfg)  # [1, D]
-                latents_out = latents_out.at[step].set(latent[0])
-                emb = linear(latent.astype(dtype), p["latent_in"])[:, None]
-                pos = cache.positions[:, None]
-                written = jnp.arange(cache.max_len)[None, :] == cache.cursor
-                mask = jnp.where(cache.valid | written, 0.0, NEG_INF).astype(jnp.float32)[:, None, None, :]
-                x = emb
-                new_layers = []
-                for lp in p["layers"]:
-                    x, upd = _lm_layer(lp, x, pos, mask, cache.layers[len(new_layers)], cfg,
-                                       True, cache.cursor)
-                    new_layers.append(upd)
-                x = rms_norm(x, p["norm"]["weight"], cfg.rms_norm_eps)
-                cache = after_token(cache, new_layers)
-                hidden = x[:, 0]
-                eos_p = jax.nn.sigmoid(linear(hidden, p["eos_head"]).astype(jnp.float32))[0, 0]
-                done = eos_p > 0.5
-                return step + 1, latents_out, cache, hidden, done, key
-
-            state = (jnp.asarray(0, jnp.int32), latents_out, cache, hidden,
-                     jnp.asarray(False), key)
-            n_f, latents_out, _, _, _, _ = jax.lax.while_loop(cond_fn, body, state)
-            return latents_out, n_f
-
-        self._generate = _generate
-        self._vae_decode = jax.jit(functools.partial(vae_decode, strides=cfg.vae_strides))
+        self._generate = jax.jit(
+            functools.partial(generate_frames, cfg=cfg,
+                              num_inference_steps=self.num_inference_steps,
+                              cfg_scale=self.cfg_scale),
+            static_argnames=("max_frames",))
+        self._decode = jax.jit(functools.partial(decode_chunked, cfg=cfg.tokenizer),
+                               static_argnames=("chunk", "left_context"))
+        self._encode = jax.jit(functools.partial(encode, cfg=cfg.tokenizer))
 
     @classmethod
     def init_random(cls, cfg: Optional[VibeVoiceConfig] = None, seed: int = 0, **kw) -> "VibeVoiceTTS":
@@ -242,101 +344,113 @@ class VibeVoiceTTS(SpeechGenerationModel):
 
     @classmethod
     def from_pretrained(cls, model_id: str = "microsoft/VibeVoice-Realtime-0.5B",
-                        cache_dir=None, offline_mode: bool = False, dtype=jnp.bfloat16,
+                        cache_dir=None, offline_mode: bool = False, dtype=jnp.float32,
                         **kw) -> "VibeVoiceTTS":
         from ...core.hub import download_weights
-        from ...core.weights import load_safetensors, unflatten
         from ...tokenizers.bpe import BPETokenizer
+        from .convert import convert_checkpoint
 
         model_dir = download_weights(model_id, cache_dir=cache_dir, offline_mode=offline_mode)
+        params = convert_checkpoint(model_dir, CONFIG_05B)
         tokenizer = None
         try:
             tokenizer = BPETokenizer.from_pretrained_dir(model_dir)
         except FileNotFoundError:
             pass
-        return cls(CONFIG_05B, unflatten(load_safetensors(model_dir)),
-                   tokenizer=tokenizer, dtype=dtype, **kw)
+        return cls(CONFIG_05B, params, tokenizer=tokenizer, dtype=dtype, **kw)
 
-    def synthesize(self, text: str, voice: Optional[str] = None, max_frames: Optional[int] = None,
-                   seed: int = 0, **kwargs) -> AudioChunk:
+    # -- internals ---------------------------------------------------------------
+
+    def _encode_text(self, text: str) -> np.ndarray:
         ids = (self.tokenizer.encode(text) if self.tokenizer
                else [3 + (ord(c) % 64) for c in text])[:256]
-        n = len(ids)
+        return np.asarray(ids, np.int32)
+
+    def _load_voice(self, voice: Optional[str]) -> np.ndarray:
         if voice and Path(voice).exists():
-            voice_latents = np.load(voice)["latents"].astype(np.float32)
-        else:
-            voice_latents = np.zeros((4, self.cfg.latent_dim), np.float32)
-        v = len(voice_latents)
-        text_block = max(16, ((n + 15) // 16) * 16)
-        arr = np.zeros(text_block, np.int32)
+            return np.load(voice)["latents"].astype(np.float32)
+        return np.zeros((0, self.cfg.latent_dim), np.float32)
+
+    def _run(self, text: str, voice_latents: np.ndarray, max_frames: int, seed: int):
+        ids = self._encode_text(text)
+        n = len(ids)
+        bucket = max(16, ((n + 15) // 16) * 16)
+        arr = np.zeros(bucket, np.int32)
         arr[:n] = ids
+        v = len(voice_latents)
+        v_bucket = 0 if v == 0 else max(8, ((v + 7) // 8) * 8)
+        vl = np.zeros((v_bucket, self.cfg.latent_dim), np.float32)
+        vl[:v] = voice_latents[:v_bucket]
         latents, n_f = self._generate(
-            self.params, jnp.asarray(arr), jnp.asarray(n, jnp.int32),
-            jnp.asarray(voice_latents), jnp.asarray(v, jnp.int32),
-            jax.random.PRNGKey(seed),
-            t_bucket=text_block + v, max_frames=max_frames or self.cfg.max_frames,
-        )
-        n_f = int(n_f)
+            self.params, ids=jnp.asarray(arr), n_valid=jnp.asarray(n, jnp.int32),
+            voice_latents=jnp.asarray(vl), n_voice=jnp.asarray(v, jnp.int32),
+            key=jax.random.PRNGKey(seed), max_frames=max_frames)
+        return np.asarray(latents), int(n_f)
+
+    def _latents_to_audio(self, lm_latents: np.ndarray) -> np.ndarray:
+        """LM-space latents → decoder space → waveform
+        (scaled = latent / scale − bias; reference stream loop)."""
+        scale = float(self.params["speech_scaling_factor"])
+        bias = float(self.params["speech_bias_factor"])
+        dec_latents = lm_latents / scale - bias
+        n = len(dec_latents)
+        bucket = max(8, ((n + 7) // 8) * 8)
+        padded = np.zeros((bucket, self.cfg.latent_dim), np.float32)
+        padded[:n] = dec_latents
+        wav = self._decode(self.params["acoustic_tokenizer"],
+                           latents=jnp.asarray(padded)[None])
+        return np.asarray(wav[0][: n * self.cfg.vae_upsample], np.float32)
+
+    # -- public API ----------------------------------------------------------------
+
+    def synthesize(self, text: str, voice: Optional[str] = None,
+                   max_frames: Optional[int] = None, seed: int = 0, **kwargs) -> AudioChunk:
+        voice_latents = self._load_voice(voice)
+        latents, n_f = self._run(text, voice_latents, max_frames or self.cfg.max_frames, seed)
         if n_f == 0:
             return AudioChunk(np.zeros(0, np.float32), self.cfg.sample_rate)
-        wav = self._vae_decode(self.params["vae_dec"], latents[None, :n_f])
-        return AudioChunk(np.asarray(wav[0], np.float32), self.cfg.sample_rate)
+        return AudioChunk(self._latents_to_audio(latents[:n_f]), self.cfg.sample_rate)
 
     def generate_long(self, text: str, voice: Optional[str] = None,
                       max_chars_per_chunk: int = 300, seed: int = 0,
-                      **kwargs) -> AudioChunk:
-        """Long-form synthesis up to the reference's 90-minute regime
-        (reference: VibeVoiceTTSModel long-form path,
-        VibeVoiceTTSModel.swift:368-660): the text is chunked on sentence
-        boundaries and each chunk is conditioned on the tail latents of
-        the previous chunk so prosody carries across boundaries."""
+                      carry_frames: int = 8, **kwargs) -> AudioChunk:
+        """Long-form synthesis: text chunked on sentence boundaries, each
+        chunk conditioned on the TRUE tail latents of the previous chunk
+        (in memory — no proxy features, no temp files; reference:
+        VibeVoiceTTSModel.swift long-form path)."""
         from ...core.text_chunker import chunk_text
 
         pieces = chunk_text(text, max_chars=max_chars_per_chunk)
         if not pieces:
             return AudioChunk(np.zeros(0, np.float32), self.cfg.sample_rate)
         waves = []
-        carry_latents: Optional[np.ndarray] = None
-        carry_path = None
+        carry = self._load_voice(voice)
+        max_frames = kwargs.pop("max_frames", None) or self.cfg.max_frames
         for i, piece in enumerate(pieces):
-            use_voice = voice if (voice and i == 0) else carry_path
-            if carry_latents is not None:
-                import tempfile
-
-                tmp = tempfile.NamedTemporaryFile(suffix=".npz", delete=False)
-                np.savez(tmp.name, latents=carry_latents, transcript="")
-                carry_path = tmp.name
-                use_voice = carry_path if i > 0 or not voice else voice
-            chunk = self.synthesize(piece, voice=use_voice, seed=seed + i, **kwargs)
-            waves.append(chunk.samples)
-            n_lat = len(chunk.samples) // self.cfg.vae_upsample
-            if n_lat > 0:
-                # re-derive coarse tail latents from the emitted audio
-                tail = chunk.samples[-min(4, n_lat) * self.cfg.vae_upsample:]
-                lat = tail.reshape(-1, self.cfg.vae_upsample)
-                feats = np.stack([lat.mean(1), lat.std(1), np.abs(lat).max(1),
-                                  (lat ** 2).mean(1)], axis=1)
-                reps = int(np.ceil(self.cfg.latent_dim / feats.shape[1]))
-                carry_latents = np.tile(feats, (1, reps))[:, : self.cfg.latent_dim] \
-                    .astype(np.float32)
+            latents, n_f = self._run(piece, carry, max_frames, seed + i)
+            if n_f == 0:
+                continue
+            lm_latents = latents[:n_f]
+            waves.append(self._latents_to_audio(lm_latents))
+            carry = lm_latents[-carry_frames:]
         return AudioChunk(np.concatenate(waves) if waves else np.zeros(0, np.float32),
                           self.cfg.sample_rate)
 
     def encode_voice(self, audio: np.ndarray, transcript: str, output: str) -> Path:
-        """Mint a voice cache from reference audio (+ transcript) — stores
-        coarse acoustic latents (reference: vibevoice-encode-voice)."""
-        frames = max(1, len(audio) // self.cfg.vae_upsample)
-        lat = audio[: frames * self.cfg.vae_upsample].reshape(frames, self.cfg.vae_upsample)
-        # coarse energy/shape features as latent proxy until the σ-VAE
-        # encoder checkpoint is loaded
-        feats = np.stack([
-            lat.mean(axis=1), lat.std(axis=1),
-            np.abs(lat).max(axis=1), (lat ** 2).mean(axis=1),
-        ], axis=1)
-        reps = int(np.ceil(self.cfg.latent_dim / feats.shape[1]))
-        latents = np.tile(feats, (1, reps))[:, : self.cfg.latent_dim].astype(np.float32)
+        """Mint a voice cache from reference audio through the REAL σ-VAE
+        encoder; stores LM-space latents
+        ((mean + bias) · scale — the inverse of the decode mapping)."""
+        spf = self.cfg.vae_upsample
+        n = max(1, len(audio) // spf) * spf
+        padded = np.zeros(n, np.float32)
+        padded[: min(len(audio), n)] = audio[:n]
+        mean = np.asarray(self._encode(self.params["acoustic_tokenizer"],
+                                       audio=jnp.asarray(padded)[None])[0])
+        scale = float(self.params["speech_scaling_factor"])
+        bias = float(self.params["speech_bias_factor"])
+        lm_latents = (mean + bias) * scale
         out = Path(output)
-        np.savez(out, latents=latents[:16], transcript=transcript)
+        np.savez(out, latents=lm_latents[:64].astype(np.float32), transcript=transcript)
         return out
 
     def warm_up(self) -> None:
