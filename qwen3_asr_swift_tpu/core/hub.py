@@ -78,6 +78,7 @@ def download_weights(
     cache_dir: Optional[str] = None,
     patterns: Sequence[str] = DEFAULT_WEIGHT_PATTERNS,
     additional_files: Sequence[str] = (),
+    additional_patterns: Sequence[str] = (),
     offline_mode: bool = False,
     progress_handler: Optional[Callable[[float], None]] = None,
 ) -> Path:
@@ -85,7 +86,10 @@ def download_weights(
 
     Local directories pass through untouched (``model_id`` that exists on
     disk is used as-is), enabling fully offline operation with pre-staged
-    weights."""
+    weights. ``additional_patterns`` extend the default weight globs (e.g.
+    ``*.pth``, ``voices/*`` for checkpoints that are not safetensors)."""
+    if additional_patterns:
+        patterns = list(patterns) + list(additional_patterns)
     as_path = Path(model_id)
     if as_path.is_dir():
         return as_path

@@ -65,6 +65,17 @@ def unflatten(flat: Dict[str, np.ndarray], sep: str = ".") -> dict:
     return tree
 
 
+def relist(tree):
+    """Recursively turn dicts whose keys are all digit strings ("0","1",…)
+    back into lists — the inverse of flattening a tree that contains
+    lists of layer params."""
+    if isinstance(tree, dict):
+        if tree and all(isinstance(k, str) and k.isdigit() for k in tree):
+            return [relist(tree[str(i)]) for i in range(len(tree))]
+        return {k: relist(v) for k, v in tree.items()}
+    return tree
+
+
 def flatten(tree: dict, prefix: str = "", sep: str = ".") -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     for key, value in tree.items():

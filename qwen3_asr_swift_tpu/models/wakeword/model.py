@@ -1,16 +1,21 @@
-"""Keyword spotting: streaming encoder + context-graph decoder.
+"""Wake-word / keyword spotting: streaming Zipformer transducer.
 
 TPU-native analog of the reference's KWS module
-(reference: Sources/SpeechWakeWord/SpeechWakeWord.swift:14-258 — a 3M-param
-Zipformer streaming encoder on ANE feeding an Aho-Corasick keyword
-decoder). Here the encoder is a compact streaming transformer over Kaldi
-fbank chunks with carried state, run as one ``lax.scan`` per utterance for
-batch mode; the decoder is the ContextGraph (context_graph.py).
+(reference: Sources/SpeechWakeWord/SpeechWakeWord.swift:14-320 — icefall's
+KWS Zipformer, gigaspeech, 3.49M params, as CoreML encoder/decoder/joiner
+units driven by a modified beam search with an Aho-Corasick context
+graph). Here the encoder is the real Zipformer2 topology (zipformer.py)
+run as one jitted streaming step per 320 ms chunk — batch mode is a
+``lax.scan`` over chunk windows so a whole utterance is a single device
+program — and the stateless-decoder/joiner beam search runs host-side over
+the returned joiner-space frames (kws_decoder.py), mirroring the
+reference's host-driven CoreML loop (StreamingSession.swift:130-144).
 """
 
 from __future__ import annotations
 
 import functools
+import json
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -19,117 +24,113 @@ import numpy as np
 
 from ...core import WakeWordModel
 from ...ops.fbank import kaldi_fbank
-from ...ops.nn import init_linear, layer_norm, linear
-from .context_graph import ContextGraph, Keyword, StreamingKeywordDecoder
+from .context_graph import ContextGraph, Keyword
+from .kws_decoder import KeywordDetection, StreamingKwsDecoder
+from .zipformer import (ZipformerConfig, decoder_out, encode_chunk,
+                        encode_windows, init_states, init_zipformer_params,
+                        joiner_logits, param_count)
 
-CHUNK_FRAMES = 16   # fbank frames per streaming step
-LEFT_CONTEXT = 32   # carried frames of left context
-N_MELS = 80
-
-
-def init_kws_params(key, d_model: int = 128, num_layers: int = 2, num_heads: int = 4,
-                    vocab_size: int = 500, dtype=jnp.float32) -> dict:
-    ks = jax.random.split(key, 3 + num_layers)
-    params = {
-        "proj_in": init_linear(ks[0], N_MELS * 2, d_model, dtype=dtype),  # pairwise frame concat (2× subsample)
-        "out": init_linear(ks[1], d_model, vocab_size, dtype=dtype),
-        "layers": [],
-    }
-    for i in range(num_layers):
-        k = jax.random.split(ks[3 + i], 6)
-        params["layers"].append({
-            "ln1": {"weight": jnp.ones((d_model,), dtype), "bias": jnp.zeros((d_model,), dtype)},
-            "q": init_linear(k[0], d_model, d_model, dtype=dtype),
-            "k": init_linear(k[1], d_model, d_model, dtype=dtype),
-            "v": init_linear(k[2], d_model, d_model, dtype=dtype),
-            "o": init_linear(k[3], d_model, d_model, dtype=dtype),
-            "ln2": {"weight": jnp.ones((d_model,), dtype), "bias": jnp.zeros((d_model,), dtype)},
-            "ff1": init_linear(k[4], d_model, d_model * 4, dtype=dtype),
-            "ff2": init_linear(k[5], d_model * 4, d_model, dtype=dtype),
-        })
-    params["num_heads"] = num_heads
-    return params
-
-
-def kws_encode(params, fbank, n_heads: int):
-    """fbank: [T, 80] → log-softmax posteriors [T//2, vocab]. Causal
-    attention limited to LEFT_CONTEXT frames (streaming-equivalent)."""
-    t = fbank.shape[0] // 2 * 2
-    x = fbank[:t].reshape(t // 2, N_MELS * 2)  # 2× temporal subsample
-    x = linear(x, params["proj_in"])[None]  # [1, T2, D]
-    b, t2, d = x.shape
-    hd = d // n_heads
-
-    rows = jnp.arange(t2)[:, None]
-    cols = jnp.arange(t2)[None, :]
-    mask = jnp.where((cols <= rows) & (cols > rows - LEFT_CONTEXT), 0.0, -1e9)[None, None]
-
-    from ...ops.attention import sdpa
-
-    for p in params["layers"]:
-        h = layer_norm(x, p["ln1"]["weight"], p["ln1"]["bias"])
-        q = linear(h, p["q"]).reshape(b, t2, n_heads, hd).transpose(0, 2, 1, 3)
-        k = linear(h, p["k"]).reshape(b, t2, n_heads, hd).transpose(0, 2, 1, 3)
-        v = linear(h, p["v"]).reshape(b, t2, n_heads, hd).transpose(0, 2, 1, 3)
-        a = sdpa(q, k, v, 1.0 / np.sqrt(hd), mask.astype(jnp.float32))
-        x = x + linear(a.transpose(0, 2, 1, 3).reshape(b, t2, d), p["o"])
-        h = layer_norm(x, p["ln2"]["weight"], p["ln2"]["bias"])
-        x = x + linear(jax.nn.relu(linear(h, p["ff1"])), p["ff2"])
-
-    logits = linear(x[0], params["out"])
-    return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+# mel frames fed per chunk window / consumed per step (Configuration.swift:77)
+_PAD_MEL = -15.0  # ~kaldi log-energy of silence (StreamingSession.swift:110)
 
 
 class WakeWordDetector(WakeWordModel):
-    def __init__(self, params, keywords: Sequence[Keyword], blank_id: int = 0, dtype=jnp.float32):
-        self.num_heads = int(params.pop("num_heads", 4)) if isinstance(params.get("num_heads", None), (int, np.integer)) else 4
+    """Batch + streaming keyword detection (SpeechWakeWord.swift:14-89)."""
+
+    def __init__(self, params: dict, keywords: Sequence[Keyword],
+                 config: Optional[ZipformerConfig] = None,
+                 context_score: float = 0.5, ac_threshold: float = 0.15,
+                 num_trailing_blanks: int = 1, auto_reset_seconds: float = 1.5,
+                 dtype=jnp.float32):
+        self.config = config or ZipformerConfig()
         self.params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
-        self.graph = ContextGraph(keywords)
-        self.blank_id = blank_id
+        self.graph = ContextGraph(keywords, context_score=context_score,
+                                  ac_threshold=ac_threshold)
+        self.keywords = list(keywords)
+        self.num_trailing_blanks = num_trailing_blanks
+        self.auto_reset_seconds = auto_reset_seconds
         self._loaded = True
-        self._encode = jax.jit(functools.partial(kws_encode, n_heads=self.num_heads))
+        cfg = self.config
+        self._encode_chunk = jax.jit(functools.partial(encode_chunk, cfg=cfg))
+        self._encode_windows = jax.jit(functools.partial(encode_windows, cfg=cfg))
+
+    # -- loading ----------------------------------------------------------
 
     @classmethod
-    def init_random(cls, keywords: Sequence[Keyword], seed: int = 0, **kw) -> "WakeWordDetector":
-        return cls(init_kws_params(jax.random.PRNGKey(seed)), keywords, **kw)
+    def init_random(cls, keywords: Sequence[Keyword], seed: int = 0,
+                    config: Optional[ZipformerConfig] = None, **kw) -> "WakeWordDetector":
+        cfg = config or ZipformerConfig()
+        params = init_zipformer_params(jax.random.PRNGKey(seed), cfg)
+        return cls(params, keywords, config=cfg, **kw)
 
     @classmethod
-    def from_pretrained(cls, model_id: str = "kws-zipformer", keywords: Sequence[Keyword] = (),
+    def from_pretrained(cls, model_id: str = "kws-zipformer",
+                        keywords: Sequence[Keyword] = (),
                         cache_dir=None, offline_mode: bool = False,
                         progress_handler=None, **kw) -> "WakeWordDetector":
-        from ...core.hub import download_weights
-        from ...core.weights import load_safetensors, unflatten
+        """Load a converted checkpoint directory: ``model.safetensors`` in
+        the canonical tree (see convert.py for the icefall mapping) plus
+        ``config.json`` hyperparameters."""
+        from pathlib import Path
 
-        model_dir = download_weights(model_id, cache_dir=cache_dir, offline_mode=offline_mode)
-        params = unflatten(load_safetensors(model_dir))
-        return cls(params, keywords, **kw)
+        from ...core.hub import download_weights
+        from ...core.weights import load_safetensors, relist, unflatten
+
+        model_dir = Path(download_weights(model_id, cache_dir=cache_dir,
+                                          offline_mode=offline_mode,
+                                          progress_handler=progress_handler))
+        cfg = ZipformerConfig()
+        cfg_path = model_dir / "config.json"
+        if cfg_path.exists():
+            raw = json.loads(cfg_path.read_text())
+            fields = {f.name for f in __import__("dataclasses").fields(ZipformerConfig)}
+            cfg = ZipformerConfig(**{k: (tuple(v) if isinstance(v, list) else v)
+                                     for k, v in raw.items() if k in fields})
+        flat = load_safetensors(model_dir)
+        if any(k.startswith("encoder_embed.") or k.startswith("encoder.encoders.")
+               for k in flat):
+            from .convert import convert_icefall_tree
+            params = convert_icefall_tree(flat, cfg)
+        else:
+            params = relist(unflatten(flat))
+        return cls(params, keywords, config=cfg, **kw)
+
+    # -- inference --------------------------------------------------------
 
     def detect(self, audio: np.ndarray, sample_rate: int = 16000
                ) -> Sequence[Tuple[str, float, float]]:
-        if sample_rate != 16000:
-            from ...audio.resample import resample
+        """Batch detection: (keyword, time_s, mean_token_prob) tuples
+        (protocol surface); the richer KeywordDetection list is available
+        via ``detect_keywords``."""
+        hits = self.detect_keywords(audio, sample_rate)
+        return [(h.phrase, h.time(), 1.0) for h in hits]
 
-            audio = resample(audio.astype(np.float32), sample_rate, 16000)
-        fb = kaldi_fbank(jnp.asarray(audio * 32768.0, jnp.float32))
-        if fb.shape[0] < 2:
-            return []
-        logp = np.asarray(self._encode(self.params, fb))
-        tokens = logp.argmax(axis=-1)
-        probs = np.exp(logp.max(axis=-1))
-        decoder = StreamingKeywordDecoder(self.graph, self.blank_id)
-        hits = []
-        frame_s = 0.02  # 2× subsampled 10 ms frames
-        for t, (tok, p) in enumerate(zip(tokens, probs)):
-            hit = decoder.step(int(tok), float(p), t * frame_s)
-            if hit:
-                hits.append(hit)
+    def detect_keywords(self, audio: np.ndarray, sample_rate: int = 16000
+                        ) -> List[KeywordDetection]:
+        session = self.new_session()
+        hits = session.push(audio if sample_rate == 16000 else _resample(audio, sample_rate))
+        hits += session.finalize()
         return hits
 
     def new_session(self) -> "WakeWordSession":
-        """Streaming detection: push audio chunks, keyword hits emit as
-        they fire (reference: StreamingKwsDecoder — the streaming encoder
-        + incremental context-graph decode)."""
         return WakeWordSession(self)
+
+    def make_kws_decoder(self, beam: int = 4) -> StreamingKwsDecoder:
+        """Beam-search decoder wired to this model's transducer head
+        (SpeechWakeWord.swift:95-147 — used by parity tests to drive the
+        search with external encoder frames)."""
+        cfg = self.config
+        host_params = jax.tree_util.tree_map(np.asarray, self.params)
+        return StreamingKwsDecoder(
+            decoder_fn=lambda ctx: decoder_out(host_params, ctx, cfg),
+            joiner_fn=lambda enc, dec: joiner_logits(host_params, enc, dec),
+            context_graph=self.graph, blank_id=cfg.blank_id,
+            context_size=cfg.context_size, beam=beam,
+            num_trailing_blanks=self.num_trailing_blanks,
+            auto_reset_seconds=self.auto_reset_seconds)
+
+    def num_params(self) -> int:
+        return param_count(self.params)
 
     def warm_up(self) -> None:
         self.detect(np.zeros(16000, np.float32))
@@ -144,46 +145,75 @@ class WakeWordDetector(WakeWordModel):
 
 
 class WakeWordSession:
-    """Incremental keyword spotting over pushed audio.
+    """Streaming detection over pushed audio (StreamingSession.swift:9-144).
 
-    Frames are Kaldi fbank (25 ms / 10 ms, snip-edges): a chunk of audio
-    yields exactly the frames whose windows it completes; a 400-sample
-    tail carries to the next push, and the context-graph decoder state
-    persists across pushes — a keyword spanning a chunk boundary still
-    fires (reference: Sources/SpeechWakeWord streaming path)."""
+    Raw samples accrue in a buffer; whenever a full encoder window's worth
+    is available — 45 kaldi-fbank frames = 7440 samples at the 25 ms/10 ms
+    framing — one jitted encoder chunk consumes it (advancing 5120
+    samples = 32 frames of stride) and emits 8 joiner-space frames at
+    25 Hz into the beam search. The fbank always runs on this one fixed
+    window shape, so streaming output is bit-identical no matter how the
+    audio is partitioned across pushes. Encoder caches and the beam
+    persist across pushes: keywords spanning chunk boundaries fire."""
 
     HOP = 160
     FRAME = 400
 
-    def __init__(self, model: WakeWordDetector):
+    def __init__(self, model: WakeWordDetector, collect_encoder: bool = False):
         self.model = model
-        self._tail = np.zeros(0, np.float32)
-        self._decoder = StreamingKeywordDecoder(model.graph, model.blank_id)
-        self._frames_done = 0
+        cfg = model.config
+        self.window_samples = (cfg.mel_window - 1) * self.HOP + self.FRAME
+        self.stride_samples = cfg.mel_stride * self.HOP
+        self._buf = np.zeros(0, np.float32)
+        self._states = init_states(cfg)
+        self._decoder = model.make_kws_decoder()
+        # parity hook: retain joiner-space encoder frames (tests only)
+        self.collect_encoder = collect_encoder
+        self.encoder_frames: List[np.ndarray] = []
 
-    def push(self, samples: np.ndarray) -> List[Tuple[str, float, float]]:
-        audio = np.concatenate([self._tail, np.asarray(samples, np.float32)])
-        n_frames = max(0, 1 + (len(audio) - self.FRAME) // self.HOP)
-        if n_frames < 2:  # encoder subsamples by 2 — need ≥2 new frames
-            self._tail = audio
-            return []
-        consumed = n_frames * self.HOP
-        piece, self._tail = audio[: consumed + (self.FRAME - self.HOP)], audio[consumed:]
-        fb = kaldi_fbank(jnp.asarray(piece * 32768.0, jnp.float32))
-        logp = np.asarray(self.model._encode(self.model.params, fb))
-        tokens = logp.argmax(axis=-1)
-        probs = np.exp(logp.max(axis=-1))
-        hits = []
-        frame_s = 0.02
-        for t, (tok, p) in enumerate(zip(tokens, probs)):
-            hit = self._decoder.step(int(tok), float(p),
-                                     (self._frames_done + t) * frame_s)
-            if hit:
-                hits.append(hit)
-        self._frames_done += len(tokens)
+    def push(self, samples: np.ndarray) -> List[KeywordDetection]:
+        self._buf = np.concatenate([self._buf, np.asarray(samples, np.float32)])
+        return self._drain()
+
+    def finalize(self) -> List[KeywordDetection]:
+        """Encode the remaining tail: compute its mel frames and pad up to
+        a full window with kaldi-silence frames
+        (StreamingSession.swift:101-117)."""
+        cfg = self.model.config
+        hits: List[KeywordDetection] = self._drain()
+        if len(self._buf) >= self.FRAME:
+            fb = np.asarray(kaldi_fbank(jnp.asarray(self._buf * 32768.0, jnp.float32)))
+            pad = np.full((cfg.mel_window - fb.shape[0], cfg.num_mel_bins),
+                          _PAD_MEL, np.float32)
+            window = np.concatenate([fb, pad]) if pad.shape[0] > 0 else fb[: cfg.mel_window]
+            hits.extend(self._encode_window(jnp.asarray(window)[None]))
+            self._buf = np.zeros(0, np.float32)
         return hits
 
+    def _drain(self) -> List[KeywordDetection]:
+        hits: List[KeywordDetection] = []
+        while len(self._buf) >= self.window_samples:
+            piece = self._buf[: self.window_samples]
+            window = kaldi_fbank(jnp.asarray(piece * 32768.0, jnp.float32))[None]
+            hits.extend(self._encode_window(window))
+            self._buf = self._buf[self.stride_samples:]
+        return hits
+
+    def _encode_window(self, window) -> List[KeywordDetection]:
+        out, self._states = self.model._encode_chunk(
+            self.model.params, mel_window=window, states=self._states)
+        frames = np.asarray(out[0])
+        if self.collect_encoder:
+            self.encoder_frames.append(frames)
+        return self._decoder.step_chunk(frames)
+
     def reset(self) -> None:
-        self._tail = np.zeros(0, np.float32)
-        self._decoder = StreamingKeywordDecoder(self.model.graph, self.model.blank_id)
-        self._frames_done = 0
+        self._buf = np.zeros(0, np.float32)
+        self._states = init_states(self.model.config)
+        self._decoder.reset()
+
+
+def _resample(audio: np.ndarray, sample_rate: int) -> np.ndarray:
+    from ...audio.resample import resample
+
+    return resample(np.asarray(audio, np.float32), sample_rate, 16000)

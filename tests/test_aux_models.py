@@ -11,7 +11,7 @@ from qwen3_asr_swift_tpu.models.separation.model import istft, stft
 from qwen3_asr_swift_tpu.models.wakeword import (
     ContextGraph,
     Keyword,
-    StreamingKeywordDecoder,
+    StreamingKwsDecoder,
     WakeWordDetector,
 )
 
@@ -67,44 +67,94 @@ class TestEnhancer:
         assert np.allclose(fb.sum(axis=0), 1.0, atol=1e-3)
 
 
-class TestContextGraph:
-    def test_simple_match(self):
-        graph = ContextGraph([Keyword("hey", [5, 6, 7], threshold=0.5)])
-        dec = StreamingKeywordDecoder(graph)
-        hits = [dec.step(t, 0.9, i * 0.02) for i, t in enumerate([0, 5, 6, 7, 0])]
-        found = [h for h in hits if h]
-        assert len(found) == 1
-        assert found[0][0] == "hey"
+def _stub_decoder(ctx):
+    """Stub stateless-decoder backend: context embeds as zeros."""
+    return np.zeros(8, np.float32)
 
-    def test_below_threshold_rejected(self):
-        graph = ContextGraph([Keyword("hey", [5, 6, 7], threshold=0.95)])
-        dec = StreamingKeywordDecoder(graph)
-        hits = [dec.step(t, 0.5, 0.0) for t in [5, 6, 7]]
-        assert not any(hits)
+
+def _make_joiner(vocab=16):
+    """Stub joiner: logits read the scripted token off enc_frame[0]."""
+
+    def joiner(enc, dec):
+        logits = np.full(vocab, -5.0, np.float32)
+        logits[int(enc[0])] = 5.0
+        return logits
+
+    return joiner
+
+
+def _frames(tokens):
+    return np.asarray([[t] + [0.0] * 7 for t in tokens], np.float32)
+
+
+def _decoder_for(keywords, **kw):
+    graph = ContextGraph(keywords, context_score=0.5, ac_threshold=0.15)
+    return StreamingKwsDecoder(_stub_decoder, _make_joiner(), graph, **kw)
+
+
+class TestContextGraph:
+    """Beam search + context graph semantics via stubbed closure backends,
+    the reference's own test strategy (SpeechWakeWord.swift:91-95)."""
+
+    def test_simple_match_fires_after_trailing_blank(self):
+        dec = _decoder_for([Keyword("hey", [5, 6, 7])])
+        hits = dec.step_chunk(_frames([0, 5, 6, 7, 0, 0]))
+        assert len(hits) == 1
+        assert hits[0].phrase == "hey"
+        assert hits[0].token_ids == [5, 6, 7]
+        assert len(hits[0].timestamps) == 3
+
+    def test_no_fire_without_trailing_blanks(self):
+        # keyword at the very end with no blank after it: debounce holds it
+        dec = _decoder_for([Keyword("hey", [5, 6, 7])], num_trailing_blanks=2)
+        hits = dec.step_chunk(_frames([5, 6, 7]))
+        assert hits == []
+
+    def test_threshold_rejects_low_acoustic_prob(self):
+        graph = ContextGraph([Keyword("hey", [5, 6, 7], threshold=0.999999)])
+
+        def weak_joiner(enc, dec):
+            logits = np.zeros(16, np.float32)
+            logits[int(enc[0])] = 0.5  # nearly-flat → low token prob
+            return logits
+
+        dec = StreamingKwsDecoder(_stub_decoder, weak_joiner, graph)
+        hits = dec.step_chunk(_frames([5, 6, 7, 0, 0]))
+        assert hits == []
 
     def test_overlapping_keywords_fail_links(self):
-        # "ab" and "babc": feeding b a b c must fire both via fail links
-        graph = ContextGraph([Keyword("ab", [1, 2], threshold=0.0),
-                              Keyword("babc", [2, 1, 2, 3], threshold=0.0)])
-        dec = StreamingKeywordDecoder(graph)
-        names = []
-        for i, t in enumerate([2, 1, 2, 3]):
-            h = dec.step(t, 0.9, i * 0.02)
-            if h:
-                names.append(h[0])
-        assert "ab" in names  # completed at step 3 via the trie path inside "babc"
+        # "ab" completes via the trie path inside "babc" through fail links
+        dec = _decoder_for([Keyword("ab", [1, 2]), Keyword("babc", [2, 1, 2, 3])])
+        hits = dec.step_chunk(_frames([2, 1, 2, 0, 0]))
+        assert any(h.phrase == "ab" for h in hits)
 
-    def test_repeated_token_collapsed(self):
-        graph = ContextGraph([Keyword("aa", [4, 4], threshold=0.0)])
-        dec = StreamingKeywordDecoder(graph)
-        # consecutive identical frames collapse (CTC-style); need a blank between
-        hits = [dec.step(t, 0.9, 0.0) for t in [4, 4, 4]]
-        assert not any(hits)
-        hits = [dec.step(t, 0.9, 0.0) for t in [0, 4, 0, 4]]
-        assert any(hits)
+    def test_graph_scores(self):
+        g = ContextGraph([Keyword("kw", [3, 7])], context_score=0.5)
+        s1, n1, m1 = g.forward_one_step(g.root, 3)
+        assert s1 == pytest.approx(0.5) and m1 is None
+        s2, n2, m2 = g.forward_one_step(n1, 7)
+        assert m2 is not None and m2.phrase == "kw"
+        assert n2.is_end and n2.level == 2
+        # falling off the path refunds the accumulated boost
+        s3, n3, _ = g.forward_one_step(n1, 9)
+        assert s3 == pytest.approx(-0.5) and n3.token == -1
+        # finalize refunds everything
+        refund, root = g.finalize(n2)
+        assert refund == pytest.approx(-n2.node_score) and root is g.root
+
+    def test_auto_reset_clears_partial_match(self):
+        dec = _decoder_for([Keyword("hey", [5, 6, 7])], auto_reset_seconds=0.08)
+        # prefix, then silence past the auto-reset horizon, then the rest
+        hits = dec.step_chunk(_frames([5, 6] + [0] * 4 + [7, 0, 0]))
+        assert hits == []
+
+    def test_detection_resets_beam(self):
+        dec = _decoder_for([Keyword("go", [4, 9])])
+        hits = dec.step_chunk(_frames([4, 9, 0, 0, 4, 9, 0, 0]))
+        assert [h.phrase for h in hits] == ["go", "go"]
 
     def test_detector_runs(self):
-        det = WakeWordDetector.init_random([Keyword("kw", [3, 7], threshold=0.0)])
+        det = WakeWordDetector.init_random([Keyword("kw", [3, 7])])
         audio = (0.2 * np.random.default_rng(0).standard_normal(16000)).astype(np.float32)
         hits = det.detect(audio)
         assert isinstance(hits, list)
@@ -114,39 +164,45 @@ class TestContextGraph:
 
 class TestWakeWordSession:
     def _model(self):
-        from qwen3_asr_swift_tpu.models.wakeword import Keyword, WakeWordDetector
-
-        kws = [Keyword("hey tpu", [7, 9, 11], threshold=0.0)]
+        kws = [Keyword("hey tpu", [7, 9, 11])]
         return WakeWordDetector.init_random(kws)
 
-    def test_single_push_matches_batch_detect(self):
+    def test_streaming_encoder_equals_single_push(self):
+        from qwen3_asr_swift_tpu.models.wakeword.model import WakeWordSession
+
         m = self._model()
         rng = np.random.default_rng(0)
-        audio = (0.1 * rng.standard_normal(16000)).astype(np.float32)
-        batch_hits = list(m.detect(audio))
-        s = m.new_session()
-        stream_hits = s.push(audio)
-        assert [h[0] for h in stream_hits] == [h[0] for h in batch_hits]
+        audio = (0.1 * rng.standard_normal(32000)).astype(np.float32)
+        s1 = WakeWordSession(m, collect_encoder=True)
+        s1.push(audio)
+        e1 = np.concatenate(s1.encoder_frames)
+        s2 = WakeWordSession(m, collect_encoder=True)
+        for off in range(0, len(audio), 3211):
+            s2.push(audio[off:off + 3211])
+        e2 = np.concatenate(s2.encoder_frames)
+        n = min(len(e1), len(e2))
+        assert n > 0
+        np.testing.assert_array_equal(e1[:n], e2[:n])
 
-    def test_chunked_pushes_carry_state(self):
+    def test_finalize_flushes_tail_window(self):
         m = self._model()
-        rng = np.random.default_rng(1)
-        audio = (0.1 * rng.standard_normal(16000)).astype(np.float32)
-        s = m.new_session()
-        total = []
-        for off in range(0, len(audio), 1111):
-            total += s.push(audio[off:off + 1111])
-        # frames progressed across pushes, tail stayed below one frame+hop
-        assert s._frames_done > 0
-        assert len(s._tail) < s.FRAME + s.HOP
+        from qwen3_asr_swift_tpu.models.wakeword.model import WakeWordSession
+
+        s = WakeWordSession(m, collect_encoder=True)
+        s.push((0.1 * np.random.default_rng(1).standard_normal(12000)).astype(np.float32))
+        before = sum(f.shape[0] for f in s.encoder_frames)
+        s.finalize()
+        after = sum(f.shape[0] for f in s.encoder_frames)
+        assert after > before  # the padded final window was encoded
+        assert len(s._buf) == 0
         s.reset()
-        assert s._frames_done == 0
+        assert len(s._buf) == 0
 
     def test_tiny_pushes_buffer(self):
         m = self._model()
         s = m.new_session()
         assert s.push(np.zeros(100, np.float32)) == []
-        assert len(s._tail) == 100
+        assert len(s._buf) == 100
 
 
 class TestStreamingEnhancer:
