@@ -1,29 +1,41 @@
 """Mimi neural audio codec: 24 kHz ⇄ 16 codebooks @ 12.5 Hz.
 
 TPU-native analog of the reference's Mimi implementation
-(reference: Sources/PersonaPlex/MimiCodec.swift:10-212, Seanet.swift):
-SEANet conv encoder (strides 4,5,6,8 → 960× with the 2× frame resample)
-→ small transformer → split RVQ (1 semantic + 15 acoustic, dim 256) →
-mirrored decoder. All convolutions causal (streaming decode = chunked
-causal decode, reference MimiStreamingDecoder).
+(reference: Sources/PersonaPlex/MimiCodec.swift:10-212, Seanet.swift,
+MimiTransformer.swift, Quantization.swift) — the full published topology,
+matching ``transformers.MimiModel`` operation-for-operation so real
+checkpoints load via convert.py and golden parity holds (see
+tests/test_personaplex_convert.py):
 
-Compact faithful structure; exact channel plan follows the published Mimi
-config (base 512 channels, ratios [8, 6, 5, 4], frame 1920 samples).
+- SEANet encoder: conv-in k7 → per stage (ratios applied reversed:
+  4,5,6,8) a dilated residual unit (ELU→k3→ELU→k1, identity shortcut) and
+  a stride-``r`` downsample conv k=2r, channel-doubling → ELU → conv k3 to
+  ``hidden`` (512). All convs causal (left pad = kernel−stride, ceil-based
+  extra right pad).
+- 8-layer transformer bottlenecks on each side: LayerNorm(+bias), GQA
+  attention with RoPE θ=10 4, sliding-window-250 causal mask, LayerScale
+  residual gains, gelu MLP (fc1/fc2, no bias).
+- learnt 2× down/upsample convs (k4 s2; upsample grouped per-channel).
+- split residual VQ: 1 semantic + 15 acoustic codebooks (size 2048,
+  dim 256) behind shared 1×1 in/out projections; codebooks stored as
+  ``embed_sum``/``cluster_usage`` EMA stats (embedding = sum/usage).
+- mirrored SEANet decoder with causal transpose convs (trim right).
+
+Frame size = 2·(8·6·5·4) = 1920 samples (12.5 Hz at 24 kHz).
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
+import math
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..qwen3_tts.codec import causal_conv1d, causal_transpose_conv1d, _conv_init
 from ...ops.attention import NEG_INF, sdpa
-from ...ops.nn import init_linear, linear, rms_norm
+from ...ops.nn import init_linear, layer_norm, linear
 from ...ops.rope import apply_rope, rope_angles
 
 
@@ -31,179 +43,328 @@ from ...ops.rope import apply_rope, rope_angles
 class MimiConfig:
     sample_rate: int = 24000
     frame_rate: float = 12.5
-    channels: int = 512
-    latent_dim: int = 512
-    ratios: Tuple[int, ...] = (8, 6, 5, 4)  # encoder downsample per stage (×2 resample → 1920)
+    hidden: int = 512                  # SEANet output / transformer width
+    num_filters: int = 64
+    ratios: Tuple[int, ...] = (8, 6, 5, 4)  # decoder order; encoder reversed
+    kernel_size: int = 7
+    last_kernel_size: int = 3
+    residual_kernel_size: int = 3
+    compress: int = 2
     num_quantizers: int = 16
     codebook_size: int = 2048
     codebook_dim: int = 256
-    transformer_layers: int = 4
-    transformer_heads: int = 8
+    transformer_layers: int = 8
+    num_heads: int = 8
+    num_kv_heads: int = 8
+    head_dim: int = 64
+    intermediate: int = 2048
+    sliding_window: int = 250
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-5
+
+    @property
+    def latent_dim(self) -> int:
+        return self.hidden
 
     @property
     def samples_per_frame(self) -> int:
-        out = 2  # extra 2× conv resample stage
+        out = 2  # learnt 2x resample stage
         for r in self.ratios:
             out *= r
         return out  # 1920
 
+    @property
+    def num_stages(self) -> int:
+        return len(self.ratios)
+
 
 def config_tiny() -> MimiConfig:
-    return MimiConfig(channels=16, latent_dim=16, ratios=(4, 4, 2, 2),
-                      codebook_dim=8, transformer_layers=1, transformer_heads=2)
+    return MimiConfig(hidden=32, num_filters=8, ratios=(4, 4, 2, 2),
+                      codebook_size=64, codebook_dim=16,
+                      transformer_layers=1, num_heads=2, num_kv_heads=2,
+                      head_dim=16, intermediate=64)
+
+
+# ---------------------------------------------------------------------------
+# causal conv helpers (MimiConv1d / MimiConvTranspose1d semantics)
+# ---------------------------------------------------------------------------
+
+def _causal_pad(length: int, kernel: int, stride: int, dilation: int = 1) -> Tuple[int, int]:
+    """(left, right) padding: left = effective_kernel - stride; right =
+    ceil-based extra so every sample is consumed (MimiConv1d
+    _get_extra_padding_for_conv1d)."""
+    eff_k = (kernel - 1) * dilation + 1
+    pad_total = eff_k - stride
+    n_frames = (length - eff_k + pad_total) / stride + 1
+    ideal = (math.ceil(n_frames) - 1) * stride + eff_k - pad_total
+    return pad_total, max(ideal - length, 0)
+
+
+def causal_conv(x, p, stride: int = 1, dilation: int = 1, groups: int = 1,
+                pad_mode: str = "constant"):
+    """x: [B, T, C]; p["w"]: [K, in/groups, out]. ``pad_mode`` "edge" for
+    the learnt 2x downsample (HF Mimi uses replicate padding there)."""
+    k = p["w"].shape[0]
+    left, right = _causal_pad(x.shape[1], k, stride, dilation)
+    y = jax.lax.conv_general_dilated(
+        jnp.pad(x, ((0, 0), (left, right), (0, 0)), mode=pad_mode), p["w"],
+        window_strides=(stride,), padding=((0, 0),),
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=groups)
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def causal_conv_transpose(x, p, stride: int, groups: int = 1):
+    """Causal transpose conv: full ("VALID") output then trim kernel-stride
+    samples from the right (MimiConvTranspose1d, trim_right_ratio=1).
+    p["w"]: [K, in/groups, out]."""
+    k = p["w"].shape[0]
+    if groups == 1:
+        y = jax.lax.conv_transpose(
+            x, p["w"], (stride,), "VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"))
+    else:
+        y = _grouped_conv_transpose(x, p, stride)
+    if "b" in p:
+        y = y + p["b"]
+    trim = k - stride
+    return y[:, :-trim] if trim > 0 else y
+
+
+def _grouped_conv_transpose(x, p, stride: int):
+    """Grouped transpose conv via per-group vmap (the 2x upsample is fully
+    depthwise: groups == channels). Returns the untrimmed full output."""
+    k, in_per, out_total = p["w"].shape
+    b, t, c = x.shape
+    groups = c // in_per
+    out_per = out_total // groups
+    w = p["w"].reshape(k, in_per, groups, out_per).transpose(2, 0, 1, 3)  # [G,K,in,out]
+    xg = x.reshape(b, t, groups, in_per).transpose(2, 0, 1, 3)            # [G,B,T,in]
+
+    def one(xi, wi):
+        return jax.lax.conv_transpose(
+            xi, wi, (stride,), "VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"))
+
+    yg = jax.vmap(one)(xg, w)                                             # [G,B,T',out]
+    return yg.transpose(1, 2, 0, 3).reshape(b, -1, groups * out_per)
+
+
+# ---------------------------------------------------------------------------
+# parameter init (canonical tree; convert.py maps HF MimiModel names)
+# ---------------------------------------------------------------------------
+
+def _conv_p(key, k, cin, cout, dtype, bias=True):
+    w = jax.random.normal(key, (k, cin, cout), dtype) / np.sqrt(k * cin)
+    p = {"w": w}
+    if bias:
+        p["b"] = jnp.zeros((cout,), dtype)
+    return p
+
+
+def _init_seanet_encoder(key, cfg: MimiConfig, dtype):
+    ks = jax.random.split(key, 2 + 2 * cfg.num_stages)
+    f = cfg.num_filters
+    stages = []
+    ch = f
+    for i, ratio in enumerate(reversed(cfg.ratios)):
+        k1, k2, k3 = jax.random.split(ks[2 + i], 3)
+        stages.append({
+            "res": {"conv1": _conv_p(k1, cfg.residual_kernel_size, ch, ch // cfg.compress, dtype),
+                    "conv2": _conv_p(k2, 1, ch // cfg.compress, ch, dtype)},
+            "down": _conv_p(k3, ratio * 2, ch, ch * 2, dtype),
+        })
+        ch *= 2
+    return {
+        "conv_in": _conv_p(ks[0], cfg.kernel_size, 1, f, dtype),
+        "stages": stages,
+        "conv_out": _conv_p(ks[1], cfg.last_kernel_size, ch, cfg.hidden, dtype),
+    }
+
+
+def _init_seanet_decoder(key, cfg: MimiConfig, dtype):
+    ks = jax.random.split(key, 2 + 2 * cfg.num_stages)
+    ch = cfg.num_filters * (2 ** cfg.num_stages)
+    stages = []
+    for i, ratio in enumerate(cfg.ratios):
+        k1, k2, k3 = jax.random.split(ks[2 + i], 3)
+        stages.append({
+            "up": _conv_p(k1, ratio * 2, ch, ch // 2, dtype),
+            "res": {"conv1": _conv_p(k2, cfg.residual_kernel_size, ch // 2, ch // (2 * cfg.compress), dtype),
+                    "conv2": _conv_p(k3, 1, ch // (2 * cfg.compress), ch // 2, dtype)},
+        })
+        ch //= 2
+    return {
+        "conv_in": _conv_p(ks[0], cfg.kernel_size, cfg.hidden, cfg.num_filters * (2 ** cfg.num_stages), dtype),
+        "stages": stages,
+        "conv_out": _conv_p(ks[1], cfg.last_kernel_size, cfg.num_filters, 1, dtype),
+    }
+
+
+def _init_transformer(key, cfg: MimiConfig, dtype):
+    layers = []
+    d = cfg.hidden
+    for i in range(cfg.transformer_layers):
+        k = jax.random.split(jax.random.fold_in(key, i), 6)
+        layers.append({
+            "ln1": {"weight": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+            "q": init_linear(k[0], d, cfg.num_heads * cfg.head_dim, bias=False, dtype=dtype),
+            "k": init_linear(k[1], d, cfg.num_kv_heads * cfg.head_dim, bias=False, dtype=dtype),
+            "v": init_linear(k[2], d, cfg.num_kv_heads * cfg.head_dim, bias=False, dtype=dtype),
+            "o": init_linear(k[3], cfg.num_heads * cfg.head_dim, d, bias=False, dtype=dtype),
+            "attn_scale": jnp.full((d,), 0.01, dtype),
+            "ln2": {"weight": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+            "fc1": init_linear(k[4], d, cfg.intermediate, bias=False, dtype=dtype),
+            "fc2": init_linear(k[5], cfg.intermediate, d, bias=False, dtype=dtype),
+            "mlp_scale": jnp.full((d,), 0.01, dtype),
+        })
+    return layers
+
+
+def _init_rvq(key, cfg: MimiConfig, n: int, dtype):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "input_proj": _conv_p(k1, 1, cfg.hidden, cfg.codebook_dim, dtype, bias=False),
+        "output_proj": _conv_p(k2, 1, cfg.codebook_dim, cfg.hidden, dtype, bias=False),
+        # EMA codebook stats, embedding = embed_sum / max(cluster_usage, eps)
+        "embed_sum": jax.random.normal(k3, (n, cfg.codebook_size, cfg.codebook_dim), dtype) * 0.05,
+        "cluster_usage": jnp.ones((n, cfg.codebook_size), dtype),
+    }
 
 
 def init_mimi_params(key, cfg: MimiConfig, dtype=jnp.float32) -> dict:
-    ks = jax.random.split(key, 32)
-    c = cfg.channels
-    params = {
-        "enc_in": _conv_init(ks[0], 7, 1, max(1, c >> len(cfg.ratios)), dtype=dtype),
-        "enc_stages": [],
-        "enc_out": _conv_init(ks[1], 3, c, cfg.latent_dim, dtype=dtype),
-        "dec_in": _conv_init(ks[2], 7, cfg.latent_dim, c, dtype=dtype),
-        "dec_stages": [],
-        "dec_out": _conv_init(ks[3], 7, max(1, c >> len(cfg.ratios)), 1, dtype=dtype),
-        "downsample": _conv_init(ks[4], 4, cfg.latent_dim, cfg.latent_dim, dtype=dtype),  # extra 2×
-        "upsample": _conv_init(ks[5], 4, cfg.latent_dim, cfg.latent_dim, dtype=dtype),
-        "rvq_first": {
-            "codebook": (jax.random.normal(ks[6], (1, cfg.codebook_size, cfg.codebook_dim)) * 0.05).astype(dtype),
-            "in_proj": init_linear(ks[7], cfg.latent_dim, cfg.codebook_dim, bias=False, dtype=dtype),
-            "out_proj": init_linear(ks[8], cfg.codebook_dim, cfg.latent_dim, bias=False, dtype=dtype),
+    ks = jax.random.split(key, 8)
+    return {
+        "encoder": _init_seanet_encoder(ks[0], cfg, dtype),
+        "encoder_transformer": _init_transformer(ks[1], cfg, dtype),
+        "downsample": _conv_p(ks[2], 4, cfg.hidden, cfg.hidden, dtype, bias=False),
+        "quantizer": {
+            "semantic": _init_rvq(ks[3], cfg, 1, dtype),
+            "acoustic": _init_rvq(ks[4], cfg, cfg.num_quantizers - 1, dtype),
         },
-        "rvq_rest": {
-            "codebook": (jax.random.normal(ks[9], (cfg.num_quantizers - 1, cfg.codebook_size, cfg.codebook_dim)) * 0.05).astype(dtype),
-            "in_proj": init_linear(ks[10], cfg.latent_dim, cfg.codebook_dim, bias=False, dtype=dtype),
-            "out_proj": init_linear(ks[11], cfg.codebook_dim, cfg.latent_dim, bias=False, dtype=dtype),
-        },
-        "transformer": [],
+        "upsample": _conv_p(ks[5], 4, 1, cfg.hidden, dtype, bias=False),  # depthwise: [K, in/groups=1, out=C]
+        "decoder_transformer": _init_transformer(ks[6], cfg, dtype),
+        "decoder": _init_seanet_decoder(ks[7], cfg, dtype),
     }
-    ch = max(1, c >> len(cfg.ratios))
-    for i, ratio in enumerate(cfg.ratios):
-        k = jax.random.split(ks[12 + i], 3)
-        mid = max(1, ch // 2)  # bottleneck floor for tiny test configs
-        params["enc_stages"].append({
-            "res_conv1": _conv_init(k[0], 3, ch, mid, dtype=dtype),
-            "res_conv2": _conv_init(k[1], 1, mid, ch, dtype=dtype),
-            "down": _conv_init(k[2], ratio * 2, ch, ch * 2, dtype=dtype),
-        })
-        ch *= 2
-    for i, ratio in enumerate(reversed(cfg.ratios)):
-        k = jax.random.split(ks[16 + i], 3)
-        half = max(1, ch // 2)
-        quarter = max(1, ch // 4)
-        params["dec_stages"].append({
-            "up": _conv_init(k[0], ratio * 2, ch, half, dtype=dtype),
-            "res_conv1": _conv_init(k[1], 3, half, quarter, dtype=dtype),
-            "res_conv2": _conv_init(k[2], 1, quarter, half, dtype=dtype),
-        })
-        ch //= 2
-    hd = cfg.latent_dim // cfg.transformer_heads
-    for i in range(cfg.transformer_layers):
-        k = jax.random.split(ks[20 + i], 6)
-        d = cfg.latent_dim
-        params["transformer"].append({
-            "norm1": {"weight": jnp.ones((d,), dtype)},
-            "q": init_linear(k[0], d, d, bias=False, dtype=dtype),
-            "k": init_linear(k[1], d, d, bias=False, dtype=dtype),
-            "v": init_linear(k[2], d, d, bias=False, dtype=dtype),
-            "o": init_linear(k[3], d, d, bias=False, dtype=dtype),
-            "norm2": {"weight": jnp.ones((d,), dtype)},
-            "ff1": init_linear(k[4], d, d * 4, bias=False, dtype=dtype),
-            "ff2": init_linear(k[5], d * 4, d, bias=False, dtype=dtype),
-        })
-    return params
 
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
 
 def _elu(x):
     return jax.nn.elu(x)
 
 
-def _transformer(params, cfg: MimiConfig, x):
+def _resblock(p, x, cfg: MimiConfig, dilation: int = 1):
+    h = causal_conv(_elu(x), p["conv1"], dilation=dilation)
+    h = causal_conv(_elu(h), p["conv2"])
+    return x + h
+
+
+def seanet_encode(p, cfg: MimiConfig, audio):
+    """audio [B, T] → [B, T/960, hidden]."""
+    h = causal_conv(audio[:, :, None], p["conv_in"])
+    for stage, ratio in zip(p["stages"], reversed(cfg.ratios)):
+        h = _resblock(stage["res"], h, cfg)
+        h = causal_conv(_elu(h), stage["down"], stride=ratio)
+    return causal_conv(_elu(h), p["conv_out"])
+
+
+def seanet_decode(p, cfg: MimiConfig, h):
+    """[B, F', hidden] → audio [B, T]."""
+    h = causal_conv(h, p["conv_in"])
+    for stage, ratio in zip(p["stages"], cfg.ratios):
+        h = causal_conv_transpose(_elu(h), stage["up"], ratio)
+        h = _resblock(stage["res"], h, cfg)
+    return causal_conv(_elu(h), p["conv_out"])[..., 0]
+
+
+def mimi_transformer(layers, cfg: MimiConfig, x):
+    """Sliding-window causal transformer with LayerScale residuals."""
     b, t, d = x.shape
-    hd = d // cfg.transformer_heads
     rows = jnp.arange(t)[:, None]
     cols = jnp.arange(t)[None, :]
-    mask = jnp.where(cols <= rows, 0.0, NEG_INF)[None, None].astype(jnp.float32)
+    mask = jnp.where((cols <= rows) & (cols > rows - cfg.sliding_window),
+                     0.0, NEG_INF)[None, None].astype(jnp.float32)
     positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
-    for p in params["transformer"]:
-        h = rms_norm(x, p["norm1"]["weight"])
-        q = linear(h, p["q"]).reshape(b, t, cfg.transformer_heads, hd).transpose(0, 2, 1, 3)
-        k = linear(h, p["k"]).reshape(b, t, cfg.transformer_heads, hd).transpose(0, 2, 1, 3)
-        v = linear(h, p["v"]).reshape(b, t, cfg.transformer_heads, hd).transpose(0, 2, 1, 3)
-        cos, sin = rope_angles(positions, hd, 10000.0)
-        cos, sin = cos[:, None], sin[:, None]
+    cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_theta)
+    cos, sin = cos[:, None], sin[:, None]
+    rep = cfg.num_heads // cfg.num_kv_heads
+    for p in layers:
+        h = layer_norm(x, p["ln1"]["weight"], p["ln1"]["bias"], eps=cfg.norm_eps)
+        q = linear(h, p["q"]).reshape(b, t, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        k = linear(h, p["k"]).reshape(b, t, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        v = linear(h, p["v"]).reshape(b, t, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
         q, k = apply_rope(q, cos, sin), apply_rope(k, cos, sin)
-        a = sdpa(q, k, v, 1.0 / np.sqrt(hd), mask)
-        x = x + linear(a.transpose(0, 2, 1, 3).reshape(b, t, d), p["o"])
-        h = rms_norm(x, p["norm2"]["weight"])
-        x = x + linear(jax.nn.gelu(linear(h, p["ff1"])), p["ff2"])
+        if rep > 1:
+            k = jnp.repeat(k, rep, axis=1)
+            v = jnp.repeat(v, rep, axis=1)
+        a = sdpa(q, k, v, 1.0 / np.sqrt(cfg.head_dim), mask)
+        a = a.transpose(0, 2, 1, 3).reshape(b, t, -1)
+        x = x + linear(a, p["o"]) * p["attn_scale"]
+        h = layer_norm(x, p["ln2"]["weight"], p["ln2"]["bias"], eps=cfg.norm_eps)
+        x = x + linear(jax.nn.gelu(linear(h, p["fc1"]), approximate=False), p["fc2"]) * p["mlp_scale"]
     return x
 
 
+def _codebooks(rvq):
+    """EMA stats → embeddings [n, size, dim]."""
+    usage = jnp.maximum(rvq["cluster_usage"], 1e-5)
+    return rvq["embed_sum"] / usage[..., None]
+
+
+def _rvq_encode(rvq, x, n: int):
+    """x [B, F, hidden] → codes [B, n, F]."""
+    resid = causal_conv(x, rvq["input_proj"])
+    books = _codebooks(rvq)
+    codes = []
+    for i in range(n):
+        book = books[i]
+        d2 = ((resid ** 2).sum(-1, keepdims=True)
+              - 2 * resid @ book.T
+              + (book ** 2).sum(-1)[None, None])
+        idx = jnp.argmin(d2, axis=-1)
+        codes.append(idx)
+        resid = resid - jnp.take(book, idx, axis=0)
+    return jnp.stack(codes, axis=1)
+
+
+def _rvq_decode(rvq, codes):
+    """codes [B, n, F] → [B, F, hidden]."""
+    books = _codebooks(rvq)
+    summed = jax.vmap(lambda book, c: jnp.take(book, c, axis=0),
+                      in_axes=(0, 1), out_axes=1)(books, codes).sum(axis=1)
+    return causal_conv(summed, rvq["output_proj"])
+
+
 def mimi_encode_latent(params, cfg: MimiConfig, audio):
-    """audio: [B, T] → latent [B, F, latent_dim]."""
-    h = audio[:, :, None]
-    h = causal_conv1d(h, params["enc_in"])
-    for stage, ratio in zip(params["enc_stages"], cfg.ratios):
-        r = h
-        u = causal_conv1d(_elu(h), stage["res_conv1"])
-        u = causal_conv1d(_elu(u), stage["res_conv2"])
-        h = r + u
-        h = causal_conv1d(_elu(h), stage["down"], stride=ratio)
-    h = causal_conv1d(_elu(h), params["enc_out"])
-    h = causal_conv1d(h, params["downsample"], stride=2)
-    return _transformer(params, cfg, h)
-
-
-def rvq_encode(params, cfg: MimiConfig, latent):
-    """latent [B, F, D] → codes [B, 16, F]."""
-    def quantize(books, x, in_proj, out_proj, n):
-        resid = linear(x, in_proj)
-        codes = []
-        for i in range(n):
-            book = books[i]
-            d2 = (resid ** 2).sum(-1, keepdims=True) - 2 * resid @ book.T + (book ** 2).sum(-1)[None, None]
-            idx = jnp.argmin(d2, axis=-1)
-            codes.append(idx)
-            resid = resid - jnp.take(book, idx, axis=0)
-        return jnp.stack(codes, axis=1), resid
-
-    first_codes, _ = quantize(params["rvq_first"]["codebook"], latent,
-                              params["rvq_first"]["in_proj"], params["rvq_first"]["out_proj"], 1)
-    first_q = jnp.take(params["rvq_first"]["codebook"][0], first_codes[:, 0], axis=0)
-    first_dec = linear(first_q, params["rvq_first"]["out_proj"])
-    rest_codes, _ = quantize(params["rvq_rest"]["codebook"], latent - first_dec,
-                             params["rvq_rest"]["in_proj"], params["rvq_rest"]["out_proj"],
-                             cfg.num_quantizers - 1)
-    return jnp.concatenate([first_codes, rest_codes], axis=1)
-
-
-def rvq_decode(params, cfg: MimiConfig, codes):
-    """codes [B, 16, F] → latent [B, F, D]."""
-    first = jnp.take(params["rvq_first"]["codebook"][0], codes[:, 0], axis=0)
-    out = linear(first, params["rvq_first"]["out_proj"])
-    rest = jax.vmap(lambda book, c: jnp.take(book, c, axis=0), in_axes=(0, 1))(
-        params["rvq_rest"]["codebook"], codes[:, 1:]
-    ).sum(axis=0)
-    return out + linear(rest, params["rvq_rest"]["out_proj"])
-
-
-def mimi_decode(params, cfg: MimiConfig, codes):
-    """codes [B, 16, F] → audio [B, F*1920]."""
-    h = rvq_decode(params, cfg, codes)
-    h = _transformer(params, cfg, h)
-    h = causal_transpose_conv1d(h, params["upsample"], 2)
-    h = causal_conv1d(h, params["dec_in"])
-    for stage, ratio in zip(params["dec_stages"], tuple(reversed(cfg.ratios))):
-        h = causal_transpose_conv1d(_elu(h), stage["up"], ratio)
-        r = h
-        u = causal_conv1d(_elu(h), stage["res_conv1"])
-        u = causal_conv1d(_elu(u), stage["res_conv2"])
-        h = r + u
-    h = causal_conv1d(_elu(h), params["dec_out"])
-    return jnp.clip(h[..., 0], -1.0, 1.0)
+    h = seanet_encode(params["encoder"], cfg, audio)
+    h = mimi_transformer(params["encoder_transformer"], cfg, h)
+    return causal_conv(h, params["downsample"], stride=2, pad_mode="edge")
 
 
 def mimi_encode(params, cfg: MimiConfig, audio):
-    """audio [B, T] → codes [B, 16, F]."""
-    return rvq_encode(params, cfg, mimi_encode_latent(params, cfg, audio))
+    """audio [B, T] → codes [B, num_quantizers, F] (semantic first)."""
+    latent = mimi_encode_latent(params, cfg, audio)
+    sem = _rvq_encode(params["quantizer"]["semantic"], latent, 1)
+    aco = _rvq_encode(params["quantizer"]["acoustic"], latent, cfg.num_quantizers - 1)
+    return jnp.concatenate([sem, aco], axis=1)
+
+
+def rvq_decode(params, cfg: MimiConfig, codes):
+    """codes [B, K, F] → latent [B, F, hidden]."""
+    out = _rvq_decode(params["quantizer"]["semantic"], codes[:, :1])
+    if codes.shape[1] > 1:
+        out = out + _rvq_decode(params["quantizer"]["acoustic"], codes[:, 1:])
+    return out
+
+
+def mimi_decode(params, cfg: MimiConfig, codes):
+    """codes [B, K, F] → audio [B, F*1920]."""
+    h = rvq_decode(params, cfg, codes)
+    h = causal_conv_transpose(h, params["upsample"], 2, groups=cfg.hidden)
+    h = mimi_transformer(params["decoder_transformer"], cfg, h)
+    return jnp.clip(seanet_decode(params["decoder"], cfg, h), -1.0, 1.0)

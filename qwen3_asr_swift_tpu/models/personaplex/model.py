@@ -58,7 +58,9 @@ class PersonaPlexConfig:
     dep_d_model: int = 1024
     dep_layers: int = 6
     dep_heads: int = 16
-    rms_norm_eps: float = 1e-5
+    dep_ff: int = 2816        # depformer gating feed-forward width
+    dep_context: int = 8      # depformer attention context (Configuration.swift:154)
+    rms_norm_eps: float = 1e-8
     text_pad: int = 3         # silence/pad text token
     audio_pad: int = 2048     # initial audio token
     mimi: MimiConfig = MimiConfig()
@@ -66,6 +68,12 @@ class PersonaPlexConfig:
     @property
     def num_streams(self) -> int:
         return 1 + 2 * self.temporal_codebooks  # 17
+
+    @property
+    def audio_card(self) -> int:
+        """Audio head output size: card (2048); the +1 initial token exists
+        only in embeddings (Depformer.swift:231)."""
+        return self.audio_vocab - 1
 
 
 CONFIG_7B = PersonaPlexConfig()
@@ -76,7 +84,7 @@ def config_tiny() -> PersonaPlexConfig:
         d_model=32, num_layers=2, num_heads=2, head_dim=16, intermediate_size=64,
         context=64, text_vocab=64, audio_vocab=2049, num_codebooks=16,
         temporal_codebooks=8, dep_d_model=32, dep_layers=2, dep_heads=2,
-        mimi=mimi_tiny(),
+        dep_ff=48, mimi=mimi_tiny(),
     )
 
 
@@ -102,11 +110,12 @@ def init_personaplex_params(key, cfg: PersonaPlexConfig, dtype=jnp.float32) -> d
         "text_head": init_linear(ks[2], d, cfg.text_vocab, bias=False, dtype=dtype),
         "norm": {"weight": jnp.ones((d,), dtype)},
         "layers": [],
-        # depformer
-        "dep_in_proj": init_linear(ks[3], d, cfg.dep_d_model, bias=False, dtype=dtype),
-        "dep_embed": (jax.random.normal(ks[4], (cfg.num_codebooks, cfg.audio_vocab, cfg.dep_d_model)) * 0.02).astype(dtype),
-        "dep_heads_bank": (jax.random.normal(ks[5], (cfg.num_codebooks, cfg.dep_d_model, cfg.audio_vocab)) * 0.02).astype(dtype),
-        "dep_norm": {"weight": jnp.ones((cfg.dep_d_model,), dtype)},
+        # depformer (reference: Depformer.swift:187-237 — every projection
+        # is a per-step MultiLinear weight bank, stored here [steps, in, out])
+        "dep_in": (jax.random.normal(ks[3], (cfg.num_codebooks, d, cfg.dep_d_model)) * 0.02).astype(dtype),
+        "dep_text_emb": (jax.random.normal(ks[6], (cfg.text_vocab, cfg.dep_d_model)) * 0.02).astype(dtype),
+        "dep_embed": (jax.random.normal(ks[4], (cfg.num_codebooks - 1, cfg.audio_vocab, cfg.dep_d_model)) * 0.02).astype(dtype),
+        "dep_heads_bank": (jax.random.normal(ks[5], (cfg.num_codebooks, cfg.dep_d_model, cfg.audio_card)) * 0.02).astype(dtype),
         "dep_layers": [],
     }
     hd = cfg.head_dim
@@ -126,21 +135,19 @@ def init_personaplex_params(key, cfg: PersonaPlexConfig, dtype=jnp.float32) -> d
             },
         })
     dd = cfg.dep_d_model
-    dhd = dd // cfg.dep_heads
+    s = cfg.num_codebooks
     for i in range(cfg.dep_layers):
-        k = jax.random.split(ks[12 + cfg.num_layers + i], 7)
+        k = jax.random.split(ks[12 + cfg.num_layers + i], 4)
+        scale = 0.02
         params["dep_layers"].append({
-            "input_layernorm": {"weight": jnp.ones((dd,), dtype)},
-            "post_attention_layernorm": {"weight": jnp.ones((dd,), dtype)},
-            "q_proj": init_linear(k[0], dd, dd, bias=False, dtype=dtype),
-            "k_proj": init_linear(k[1], dd, dd, bias=False, dtype=dtype),
-            "v_proj": init_linear(k[2], dd, dd, bias=False, dtype=dtype),
-            "o_proj": init_linear(k[3], dd, dd, bias=False, dtype=dtype),
-            "mlp": {
-                "gate_proj": init_linear(k[4], dd, dd * 3, bias=False, dtype=dtype),
-                "up_proj": init_linear(k[5], dd, dd * 3, bias=False, dtype=dtype),
-                "down_proj": init_linear(k[6], dd * 3, dd, bias=False, dtype=dtype),
-            },
+            "norm1": {"weight": jnp.ones((dd,), dtype)},
+            "norm2": {"weight": jnp.ones((dd,), dtype)},
+            # per-step banks: QKV packed [S, dd, 3dd], out [S, dd, dd],
+            # gated FFN in [S, dd, 2ff] (gate | value halves), out [S, ff, dd]
+            "in_proj": (jax.random.normal(k[0], (s, dd, 3 * dd)) * scale).astype(dtype),
+            "out_proj": (jax.random.normal(k[1], (s, dd, dd)) * scale).astype(dtype),
+            "gating_in": (jax.random.normal(k[2], (s, dd, 2 * cfg.dep_ff)) * scale).astype(dtype),
+            "gating_out": (jax.random.normal(k[3], (s, cfg.dep_ff, dd)) * scale).astype(dtype),
         })
     return params
 
@@ -212,73 +219,87 @@ def temporal_step(params, cfg, embeds, cache: KVCache):
     return x[:, 0], after_token(cache, new_layers)
 
 
-def depformer_generate(params, cfg: PersonaPlexConfig, temporal_hidden, key, sampling: PersonaSampling):
-    """Generate 16 agent codebooks for one frame.
-    temporal_hidden: [B, d_model] → codes [B, 16]."""
-    b = temporal_hidden.shape[0]
-    dd = cfg.dep_d_model
-    nl = cfg.dep_layers
-    dh = dd // cfg.dep_heads
-    max_len = cfg.num_codebooks + 1
-    cond = linear(temporal_hidden[:, None], params["dep_in_proj"])  # [B,1,dd]
+def _sample_topk(logits, key, top_k: int, temperature: float):
+    lg = logits.astype(jnp.float32)
+    if top_k > 0:
+        top = min(top_k, lg.shape[-1])
+        kth = jnp.sort(lg, axis=-1)[..., -top][..., None]
+        lg = jnp.where(lg < kth, NEG_INF, lg)
+    if temperature > 0:
+        lg = lg / temperature + jax.random.gumbel(key, lg.shape, dtype=jnp.float32)
+    return jnp.argmax(lg, axis=-1).astype(jnp.int32)
 
-    k_caches = jnp.zeros((nl, b, cfg.dep_heads, max_len, dh), cond.dtype)
+
+def depformer_generate(params, cfg: PersonaPlexConfig, temporal_hidden, text_token,
+                       key, sampling: PersonaSampling):
+    """Generate 16 agent codebooks for one frame
+    (reference: Depformer.swift:249-296). Step k input =
+    ``dep_in[k](temporal_hidden) + emb(prev_token)`` where prev is the
+    sampled TEXT token at k=0 (dep_text_emb) and the previous audio code
+    after; every layer projection is a per-step weight bank; attention has
+    no positional encoding and a ``dep_context``-step window; heads apply
+    directly on the hidden state (no final norm).
+
+    temporal_hidden: [B, d_model]; text_token: [B] → codes [B, 16]."""
+    b = temporal_hidden.shape[0]
+    dd, nl, nh = cfg.dep_d_model, cfg.dep_layers, cfg.dep_heads
+    dh = dd // nh
+    s_total = cfg.num_codebooks
+    dtype = temporal_hidden.dtype
+
+    k_caches = jnp.zeros((nl, b, nh, s_total, dh), dtype)
     v_caches = jnp.zeros_like(k_caches)
 
-    def forward(x, pos, k_caches, v_caches, start, kv_len):
-        t = x.shape[1]
-        cols = jnp.arange(max_len)[None, None, None, :]
-        rows = pos[:, None, :, None]
-        mask = jnp.where((cols <= rows) & (cols < kv_len), 0.0, NEG_INF).astype(jnp.float32)
+    def forward(x, step, k_caches, v_caches):
+        """One depformer step (t=1) at codebook position ``step``."""
+        cols = jnp.arange(s_total)[None, None, None, :]
+        mask = jnp.where((cols <= step) & (cols > step - cfg.dep_context),
+                         0.0, NEG_INF).astype(jnp.float32)
         for li, p in enumerate(params["dep_layers"]):
-            h = rms_norm(x, p["input_layernorm"]["weight"], cfg.rms_norm_eps)
-            q = linear(h, p["q_proj"]).reshape(b, t, cfg.dep_heads, dh)
-            kk = linear(h, p["k_proj"]).reshape(b, t, cfg.dep_heads, dh)
-            vv = linear(h, p["v_proj"]).reshape(b, t, cfg.dep_heads, dh)
-            cos, sin = rope_angles(pos, dh, cfg.rope_theta)
-            cos, sin = cos[:, None], sin[:, None]
-            q = apply_rope(q.transpose(0, 2, 1, 3), cos, sin)
-            kk = apply_rope(kk.transpose(0, 2, 1, 3), cos, sin)
-            vv = vv.transpose(0, 2, 1, 3)
-            k_caches = k_caches.at[li].set(
-                jax.lax.dynamic_update_slice_in_dim(k_caches[li], kk.astype(k_caches.dtype), start, axis=2))
-            v_caches = v_caches.at[li].set(
-                jax.lax.dynamic_update_slice_in_dim(v_caches[li], vv.astype(v_caches.dtype), start, axis=2))
+            h = rms_norm(x, p["norm1"]["weight"], cfg.rms_norm_eps)
+            qkv = jnp.einsum("bti,io->bto", h, p["in_proj"][step]).reshape(b, 1, 3, nh, dh)
+            q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+            kk = qkv[:, :, 1].transpose(0, 2, 1, 3)
+            vv = qkv[:, :, 2].transpose(0, 2, 1, 3)
+            k_caches = k_caches.at[li].set(jax.lax.dynamic_update_slice_in_dim(
+                k_caches[li], kk.astype(k_caches.dtype), step, axis=2))
+            v_caches = v_caches.at[li].set(jax.lax.dynamic_update_slice_in_dim(
+                v_caches[li], vv.astype(v_caches.dtype), step, axis=2))
             attn = sdpa(q, k_caches[li], v_caches[li], 1.0 / np.sqrt(dh), mask)
-            x = x + linear(attn.transpose(0, 2, 1, 3).reshape(b, t, -1), p["o_proj"])
-            h2 = rms_norm(x, p["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
-            x = x + swiglu_mlp(h2, p["mlp"])
-        return rms_norm(x, params["dep_norm"]["weight"], cfg.rms_norm_eps), k_caches, v_caches
+            attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, dd)
+            x = x + jnp.einsum("bti,io->bto", attn, p["out_proj"][step])
+            h2 = rms_norm(x, p["norm2"]["weight"], cfg.rms_norm_eps)
+            gv = jnp.einsum("bti,io->bto", h2, p["gating_in"][step])
+            gate, value = jnp.split(gv, 2, axis=-1)
+            x = x + jnp.einsum("bti,io->bto", jax.nn.silu(gate) * value,
+                               p["gating_out"][step])
+        return x, k_caches, v_caches
 
-    pos0 = jnp.zeros((b, 1), jnp.int32)
-    normed, k_caches, v_caches = forward(cond, pos0, k_caches, v_caches,
-                                         jnp.asarray(0, jnp.int32), jnp.asarray(1, jnp.int32))
+    def step_input(step, prev_emb):
+        cond = jnp.einsum("bi,io->bo", temporal_hidden, params["dep_in"][step])
+        return (cond + prev_emb)[:, None].astype(dtype)
 
-    def sample(logits, k):
-        lg = logits.astype(jnp.float32)
-        if sampling.audio_top_k > 0:
-            top = min(sampling.audio_top_k, lg.shape[-1])
-            kth = jnp.sort(lg, axis=-1)[..., -top][..., None]
-            lg = jnp.where(lg < kth, NEG_INF, lg)
-        if sampling.audio_temperature > 0:
-            lg = lg / sampling.audio_temperature + jax.random.gumbel(k, lg.shape, dtype=jnp.float32)
-        return jnp.argmax(lg, axis=-1).astype(jnp.int32)
-
+    # step 0: conditioned on the sampled text token
+    zero = jnp.asarray(0, jnp.int32)
+    x0 = step_input(zero, jnp.take(params["dep_text_emb"], text_token, axis=0))
+    h0, k_caches, v_caches = forward(x0, zero, k_caches, v_caches)
     key, k0 = jax.random.split(key)
-    code = sample(normed[:, 0] @ params["dep_heads_bank"][0], k0)
+    code = _sample_topk(h0[:, 0] @ params["dep_heads_bank"][0], k0,
+                        sampling.audio_top_k, sampling.audio_temperature)
 
     def body(carry, cb_idx):
         code_prev, k_caches, v_caches, key = carry
-        emb = jnp.take(params["dep_embed"][cb_idx - 1], code_prev, axis=0)[:, None]
-        pos = jnp.broadcast_to(cb_idx[None, None], (b, 1))
-        normed, k_caches, v_caches = forward(emb.astype(cond.dtype), pos, k_caches, v_caches,
-                                             cb_idx, cb_idx + 1)
+        emb = jnp.take(params["dep_embed"][cb_idx - 1], code_prev, axis=0)
+        x, k_caches, v_caches = forward(step_input(cb_idx, emb), cb_idx,
+                                        k_caches, v_caches)
         key, kk = jax.random.split(key)
-        code_next = sample(normed[:, 0] @ params["dep_heads_bank"][cb_idx], kk)
+        code_next = _sample_topk(x[:, 0] @ params["dep_heads_bank"][cb_idx], kk,
+                                 sampling.audio_top_k, sampling.audio_temperature)
         return (code_next, k_caches, v_caches, key), code_prev
 
     (last, _, _, _), prev = jax.lax.scan(
-        body, (code, k_caches, v_caches, key), jnp.arange(1, cfg.num_codebooks, dtype=jnp.int32))
+        body, (code, k_caches, v_caches, key),
+        jnp.arange(1, cfg.num_codebooks, dtype=jnp.int32))
     return jnp.concatenate([prev.T, last[:, None]], axis=1)  # [B, 16]
 
 
@@ -296,23 +317,41 @@ class PersonaPlex(SpeechToSpeechModel):
         self._mimi_encode = jax.jit(functools.partial(mimi_encode, cfg=cfg.mimi))
         self._mimi_decode = jax.jit(functools.partial(mimi_decode, cfg=cfg.mimi))
 
+        @jax.jit
+        def _embed_voice_codes(p, codes):
+            """agent-stream code prefix [1, 16, T] → temporal-input
+            embeddings [1, T, d] (text/user streams padded)."""
+            k = cfg.temporal_codebooks
+
+            def one(t):
+                return embed_frame(p, cfg, jnp.full((1,), cfg.text_pad, jnp.int32),
+                                   jnp.full((1, k), cfg.audio_pad, jnp.int32),
+                                   codes[:, :k, t])
+
+            return jax.vmap(one, out_axes=1)(jnp.arange(codes.shape[2]))
+
+        self._embed_voice_codes = _embed_voice_codes
+
         @functools.partial(jax.jit, static_argnames=("user_frames", "max_steps", "sampling"))
-        def _converse(p, user_codes, voice_codes, n_voice, key, *,
+        def _converse(p, user_codes, voice_embeds, n_voice, agent_init, key, *,
                       user_frames, max_steps, sampling: PersonaSampling):
-            """user_codes: [1, 16, user_frames]; voice_codes [1, 16, V_cap]
-            agent-stream voice-prompt prefix (reference: voice .safetensors
-            embeddings prefilled before the turn, PersonaPlex.swift:131-223,
-            289-342) with n_voice valid frames. Returns agent codes
+            """user_codes: [1, 16, user_frames]; voice_embeds [1, V_cap, d]
+            precomputed temporal-input embeddings for the voice-prompt
+            prefix with n_voice valid frames, and agent_init [1, 16] the
+            delay-ring snapshot's newest agent codes (reference: voice
+            .safetensors ``embeddings`` + ``cache``,
+            PersonaPlex.swift:131-223, 289-342). Returns agent codes
             [1, 16, max_steps]."""
             b = 1
             k = cfg.temporal_codebooks
             cache = init_cache(cfg.num_layers, b, cfg.num_heads, cfg.context, cfg.head_dim, self.dtype)
 
             agent_out = jnp.full((b, cfg.num_codebooks, max_steps), cfg.audio_pad, jnp.int32)
-            agent_prev = jnp.full((b, cfg.num_codebooks), cfg.audio_pad, jnp.int32)
+            agent_prev = agent_init
+            text_prev = jnp.full((b,), cfg.text_pad, jnp.int32)
 
             def body(s):
-                step, cache, agent_prev, agent_out, key = s
+                step, cache, agent_prev, text_prev, agent_out, key = s
                 user_frame = jnp.where(
                     step < user_frames,
                     user_codes[:, :k, jnp.clip(step, 0, user_frames - 1)],
@@ -321,37 +360,32 @@ class PersonaPlex(SpeechToSpeechModel):
                 # delay pattern: agent semantic (cb0) from current frame,
                 # acoustic (1..7) delayed one frame — both read from agent_prev
                 # which holds last frame's codes (1-frame ring).
-                embeds = embed_frame(p, cfg, jnp.full((b,), cfg.text_pad, jnp.int32),
-                                     user_frame, agent_prev[:, :k])[:, None].astype(self.dtype)
+                embeds = embed_frame(p, cfg, text_prev, user_frame,
+                                     agent_prev[:, :k])[:, None].astype(self.dtype)
                 hidden, cache = temporal_step(p, cfg, embeds, cache)
-                key, kd = jax.random.split(key)
-                codes = depformer_generate(p, cfg, hidden, kd, sampling)  # [B,16]
+                key, kt, kd = jax.random.split(key, 3)
+                text_tok = _sample_topk(linear(hidden, p["text_head"]), kt,
+                                        sampling.text_top_k, sampling.text_temperature)
+                codes = depformer_generate(p, cfg, hidden, text_tok, kd, sampling)
                 agent_out = agent_out.at[:, :, step].set(codes)
-                return step + 1, cache, codes, agent_out, key
+                return step + 1, cache, codes, text_tok, agent_out, key
 
             def cond(s):
                 step, *_ = s
                 return step < max_steps
 
-            # prefill: voice-prompt frames (agent stream) then one pad frame
-            v_cap = voice_codes.shape[2]
-
-            def embed_voice_frame(t):
-                return embed_frame(p, cfg, jnp.full((b,), cfg.text_pad, jnp.int32),
-                                   jnp.full((b, k), cfg.audio_pad, jnp.int32),
-                                   voice_codes[:, :k, t])
-
-            voice_embeds = jax.vmap(embed_voice_frame, out_axes=1)(jnp.arange(v_cap))  # [B,V,H]
+            # prefill: voice-prompt embeddings then one pad frame
+            v_cap = voice_embeds.shape[1]
             pad0 = embed_frame(p, cfg, jnp.full((b,), cfg.text_pad, jnp.int32),
                                jnp.full((b, k), cfg.audio_pad, jnp.int32),
                                jnp.full((b, k), cfg.audio_pad, jnp.int32))[:, None]
-            embeds0 = jnp.concatenate([voice_embeds, pad0], axis=1)
+            embeds0 = jnp.concatenate([voice_embeds.astype(self.dtype), pad0.astype(self.dtype)], axis=1)
             valid0 = jnp.concatenate([jnp.arange(v_cap)[None] < n_voice,
                                       jnp.ones((b, 1), bool)], axis=1)
-            _, cache = temporal_prefill(p, cfg, embeds0.astype(self.dtype), valid0, cache)
+            _, cache = temporal_prefill(p, cfg, embeds0, valid0, cache)
 
-            state = (jnp.asarray(0, jnp.int32), cache, agent_prev, agent_out, key)
-            _, _, _, agent_out, _ = jax.lax.while_loop(cond, body, state)
+            state = (jnp.asarray(0, jnp.int32), cache, agent_prev, text_prev, agent_out, key)
+            _, _, _, _, agent_out, _ = jax.lax.while_loop(cond, body, state)
             return agent_out
 
         self._converse = _converse
@@ -366,42 +400,115 @@ class PersonaPlex(SpeechToSpeechModel):
 
     @classmethod
     def from_pretrained(cls, model_id: str = "nvidia/personaplex-7b-v1", cache_dir=None,
-                        offline_mode: bool = False, dtype=jnp.bfloat16, **kw) -> "PersonaPlex":
-        from ...core.hub import download_weights
-        from ...core.weights import load_safetensors, unflatten
+                        offline_mode: bool = False, dtype=jnp.bfloat16,
+                        cfg: Optional[PersonaPlexConfig] = None, **kw) -> "PersonaPlex":
+        """Load the upstream split-safetensors layout: ``temporal.safetensors``
+        (4-bit MLX-quantized), ``embeddings.safetensors``,
+        ``depformer.safetensors``, ``mimi.safetensors``
+        (reference: Sources/PersonaPlex/WeightLoading.swift:12-90)."""
+        from pathlib import Path
 
-        model_dir = download_weights(model_id, cache_dir=cache_dir, offline_mode=offline_mode)
-        flat = load_safetensors(model_dir)
-        # checkpoint-specific key mapping lands with the real weights; the
-        # canonical tree shape is documented by init_personaplex_params.
-        tree = unflatten(flat)
-        return cls(CONFIG_7B, tree.get("temporal", tree), tree.get("mimi", {}), dtype=dtype, **kw)
+        from safetensors import safe_open
+
+        from ...core.hub import download_weights
+        from .convert import convert_mimi_tree, convert_moshi_tree, dequantize_state_dict
+
+        cfg = cfg or CONFIG_7B
+        model_dir = Path(download_weights(
+            model_id, cache_dir=cache_dir, offline_mode=offline_mode,
+            additional_patterns=["voices/*"]))
+
+        def read(name):
+            path = model_dir / name
+            if not path.exists():
+                raise FileNotFoundError(f"missing {name} in {model_dir}")
+            with safe_open(str(path), framework="np") as f:
+                return {k: f.get_tensor(k) for k in f.keys()}
+
+        lm_sd = dequantize_state_dict({**read("temporal.safetensors"),
+                                       **read("embeddings.safetensors"),
+                                       **read("depformer.safetensors")})
+        params = convert_moshi_tree(lm_sd, cfg)
+        mimi_params = convert_mimi_tree(read("mimi.safetensors"), cfg.mimi)
+        return cls(cfg, params, mimi_params, dtype=dtype, **kw)
 
     VOICE_PROMPT_CAP = 32  # frames; fixed so one compiled program serves all prompts
+    DELAY_RING = 4         # maxDelay + 3 (PersonaPlex.swift:210)
 
     def make_voice_prompt(self, audio: np.ndarray, sample_rate: int = 24000,
-                          path: Optional[str] = None) -> np.ndarray:
-        """Reference audio → agent-stream code prefix (reference: voice
-        .safetensors with embeddings + delay-ring snapshot,
-        PersonaPlex.swift:131-223). Optionally persisted as .npz."""
-        sr = self.cfg.mimi.sample_rate
+                          path: Optional[str] = None) -> dict:
+        """Reference audio → voice prompt in the upstream format
+        (reference: voice .safetensors with ``embeddings`` [T, 1, 1, d]
+        temporal-input embeddings + ``cache`` [1, 17, 4] delay-ring token
+        snapshot, PersonaPlex.swift:131-223). The embeddings carry the
+        voice audio on the agent stream (text/user streams padded)."""
+        cfg = self.cfg
+        sr = cfg.mimi.sample_rate
         if sample_rate != sr:
             from ...audio.resample import resample
 
             audio = resample(np.asarray(audio, np.float32), sample_rate, sr)
-        spf = self.cfg.mimi.samples_per_frame
-        n = max(1, len(audio) // spf)
+        spf = cfg.mimi.samples_per_frame
+        n = max(1, -(-len(audio) // spf))  # ceil: pad the tail to a whole frame
         audio = np.pad(audio, (0, n * spf - len(audio)))[: n * spf]
         codes = np.asarray(self._mimi_encode(self.mimi_params,
                                              audio=jnp.asarray(audio, jnp.float32)[None]))
         codes = codes[:, :, : self.VOICE_PROMPT_CAP]
+        embeds = np.asarray(self._embed_voice_codes(self.params, jnp.asarray(codes)))  # [1,T,d]
+        t = embeds.shape[1]
+        ring = np.full((1, cfg.num_streams, self.DELAY_RING), cfg.text_pad, np.float32)
+        for j in range(self.DELAY_RING):
+            src = max(0, codes.shape[2] - self.DELAY_RING + j)
+            ring[0, 1: 1 + cfg.num_codebooks, j] = codes[0, :, min(src, codes.shape[2] - 1)]
+        out = {"embeddings": embeds.transpose(1, 0, 2)[:, :, None].astype(np.float32),
+               "cache": ring}
         if path:
-            np.savez(path, codes=codes)
-        return codes
+            from safetensors.numpy import save_file
+
+            save_file(out, path)
+        return out
 
     @staticmethod
-    def load_voice_prompt(path: str) -> np.ndarray:
-        return np.load(path)["codes"]
+    def load_voice_prompt(path: str) -> dict:
+        """Load an upstream-format voice .safetensors (or a legacy .npz code
+        prefix, converted lazily at use)."""
+        if str(path).endswith(".npz"):
+            return {"codes": np.load(path)["codes"]}
+        from safetensors import safe_open
+
+        with safe_open(str(path), framework="np") as f:
+            return {k: f.get_tensor(k) for k in f.keys()}
+
+    def _voice_inputs(self, voice_prompt):
+        """voice_prompt (dict with 'embeddings'+'cache', dict with 'codes',
+        raw code array, or None) → (voice_embeds [1, CAP, d], n_voice,
+        agent_init [1, 16])."""
+        cfg = self.cfg
+        cap = self.VOICE_PROMPT_CAP
+        d = cfg.d_model
+        embeds = np.zeros((1, cap, d), np.float32)
+        agent_init = np.full((1, cfg.num_codebooks), cfg.audio_pad, np.int32)
+        n_voice = 0
+        if voice_prompt is None:
+            return jnp.asarray(embeds), jnp.asarray(0, jnp.int32), jnp.asarray(agent_init)
+        vp = voice_prompt if isinstance(voice_prompt, dict) else {"codes": np.asarray(voice_prompt)}
+        if "embeddings" in vp:
+            e = np.asarray(vp["embeddings"], np.float32)   # [T, 1, 1, d]
+            e = e.reshape(e.shape[0], -1)[:, -d:]
+            n_voice = min(e.shape[0], cap)
+            embeds[0, :n_voice] = e[:n_voice]
+            ring = vp.get("cache")
+            if ring is not None:
+                agent_init[0] = np.asarray(ring, np.float32)[0, 1: 1 + cfg.num_codebooks, -1].astype(np.int32)
+        else:
+            codes = np.asarray(vp["codes"], np.int32)
+            n_voice = min(codes.shape[2], cap)
+            e = np.asarray(self._embed_voice_codes(self.params,
+                                                   jnp.asarray(codes[:, :, :n_voice])))
+            embeds[0, :n_voice] = e[0]
+            agent_init[0, : codes.shape[1]] = codes[0, :, n_voice - 1]
+        agent_init = np.clip(agent_init, 0, cfg.audio_vocab - 1)
+        return jnp.asarray(embeds), jnp.asarray(n_voice, jnp.int32), jnp.asarray(agent_init)
 
     def _run_converse(self, audio, sample_rate, sampling, max_extra_s, voice_prompt):
         sr = self.cfg.mimi.sample_rate
@@ -410,21 +517,15 @@ class PersonaPlex(SpeechToSpeechModel):
 
             audio = resample(audio.astype(np.float32), sample_rate, sr)
         spf = self.cfg.mimi.samples_per_frame
-        n_frames = max(1, len(audio) // spf)
+        n_frames = max(1, -(-len(audio) // spf))  # ceil: whole frames
         audio = np.pad(audio, (0, n_frames * spf - len(audio)))[: n_frames * spf]
 
         user_codes = self._mimi_encode(self.mimi_params, audio=jnp.asarray(audio)[None])
-        cap = self.VOICE_PROMPT_CAP
-        voice = np.zeros((1, self.cfg.num_codebooks, cap), np.int32)
-        n_voice = 0
-        if voice_prompt is not None:
-            vp = np.asarray(voice_prompt, np.int32)
-            n_voice = min(vp.shape[2], cap)
-            voice[:, : vp.shape[1], :n_voice] = vp[:, :, :n_voice]
+        voice_embeds, n_voice, agent_init = self._voice_inputs(voice_prompt)
         max_steps = min(sampling.max_steps,
                         n_frames + int(max_extra_s * self.cfg.mimi.frame_rate))
-        agent = self._converse(self.params, user_codes, jnp.asarray(voice),
-                               jnp.asarray(n_voice, jnp.int32), jax.random.PRNGKey(0),
+        agent = self._converse(self.params, user_codes, voice_embeds, n_voice,
+                               agent_init, jax.random.PRNGKey(0),
                                user_frames=n_frames, max_steps=max_steps, sampling=sampling)
         return jnp.clip(agent, 0, self.cfg.mimi.codebook_size - 1), n_frames, max_steps
 
@@ -524,12 +625,15 @@ class RealtimeSession:
             return codes[:, :, -1]  # [1, 16] — the newest frame
 
         @functools.partial(jax.jit, static_argnames=("sampling",))
-        def _frame_step(p, cache, user_codes, agent_prev, key, *, sampling):
-            embeds = embed_frame(p, cfg, jnp.full((1,), cfg.text_pad, jnp.int32),
+        def _frame_step(p, cache, user_codes, agent_prev, text_prev, key, *, sampling):
+            embeds = embed_frame(p, cfg, text_prev,
                                  user_codes[:, :k], agent_prev[:, :k])[:, None]
             hidden, cache = temporal_step(p, cfg, embeds.astype(model.dtype), cache)
-            codes = depformer_generate(p, cfg, hidden, key, sampling)
-            return codes, cache
+            key, kt, kd = jax.random.split(key, 3)
+            text_tok = _sample_topk(linear(hidden, p["text_head"]), kt,
+                                    sampling.text_top_k, sampling.text_temperature)
+            codes = depformer_generate(p, cfg, hidden, text_tok, kd, sampling)
+            return codes, text_tok, cache
 
         @jax.jit
         def _decode_window(mimi_p, codes):
@@ -540,42 +644,28 @@ class RealtimeSession:
         self._frame_step = _frame_step
         self._decode_window = _decode_window
 
-        # prefill: voice prompt + one pad frame — same layout as respond()
-        cap = PersonaPlex.VOICE_PROMPT_CAP
-        voice = np.zeros((1, cfg.num_codebooks, cap), np.int32)
-        n_voice = 0
-        if voice_prompt is not None:
-            vp = np.asarray(voice_prompt, np.int32)
-            n_voice = min(vp.shape[2], cap)
-            voice[:, : vp.shape[1], :n_voice] = vp[:, :, :n_voice]
-        # reuse the offline prefill path by running _converse for 0 steps is
-        # not expressible; build the cache directly:
+        # prefill: voice prompt (embeddings + ring) + one pad frame — the
+        # same layout as respond()
         cache = init_cache(cfg.num_layers, 1, cfg.num_heads, cfg.context,
                            cfg.head_dim, model.dtype)
 
         @jax.jit
-        def _prefill(p, voice_codes, n_voice):
-            v_cap = voice_codes.shape[2]
-
-            def embed_voice_frame(t):
-                return embed_frame(p, cfg, jnp.full((1,), cfg.text_pad, jnp.int32),
-                                   jnp.full((1, k), cfg.audio_pad, jnp.int32),
-                                   voice_codes[:, :k, t])
-
-            voice_embeds = jax.vmap(embed_voice_frame, out_axes=1)(jnp.arange(v_cap))
+        def _prefill(p, voice_embeds, n_voice):
+            v_cap = voice_embeds.shape[1]
             pad0 = embed_frame(p, cfg, jnp.full((1,), cfg.text_pad, jnp.int32),
                                jnp.full((1, k), cfg.audio_pad, jnp.int32),
                                jnp.full((1, k), cfg.audio_pad, jnp.int32))[:, None]
-            embeds = jnp.concatenate([voice_embeds, pad0], axis=1)
+            embeds = jnp.concatenate([voice_embeds.astype(model.dtype),
+                                      pad0.astype(model.dtype)], axis=1)
             valid = jnp.concatenate([jnp.arange(v_cap)[None] < n_voice,
                                      jnp.ones((1, 1), bool)], axis=1)
-            _, new_cache = temporal_prefill(p, cfg, embeds.astype(model.dtype),
-                                            valid, cache)
+            _, new_cache = temporal_prefill(p, cfg, embeds, valid, cache)
             return new_cache
 
-        self._cache = _prefill(model.params, jnp.asarray(voice),
-                               jnp.asarray(n_voice, jnp.int32))
-        self._agent_prev = jnp.full((1, cfg.num_codebooks), cfg.audio_pad, jnp.int32)
+        voice_embeds, n_voice, agent_init = model._voice_inputs(voice_prompt)
+        self._cache = _prefill(model.params, voice_embeds, n_voice)
+        self._agent_prev = agent_init
+        self._text_prev = jnp.full((1,), cfg.text_pad, jnp.int32)
 
     def push_frame(self, samples: np.ndarray) -> np.ndarray:
         """One 80 ms user frame (samples_per_frame samples @24 kHz) in →
@@ -588,9 +678,9 @@ class RealtimeSession:
         user_codes = self._encode_window(self.model.mimi_params,
                                          jnp.asarray(self._in_buf))
         self._key, kf = jax.random.split(self._key)
-        codes, self._cache = self._frame_step(
-            self.model.params, self._cache, user_codes, self._agent_prev, kf,
-            sampling=self.sampling)
+        codes, self._text_prev, self._cache = self._frame_step(
+            self.model.params, self._cache, user_codes, self._agent_prev,
+            self._text_prev, kf, sampling=self.sampling)
         self._agent_prev = codes
 
         codes_np = np.clip(np.asarray(codes), 0, self.cfg.mimi.codebook_size - 1)

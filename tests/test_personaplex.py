@@ -69,21 +69,57 @@ class TestTemporal:
 
 
 class TestDepformer:
+    def _text(self, b):
+        return jnp.full((b,), 1, jnp.int32)
+
     def test_generates_16_codebooks(self):
         params = init_personaplex_params(jax.random.PRNGKey(0), CFG)
         hidden = jnp.asarray(np.random.default_rng(0).standard_normal((2, CFG.d_model)), jnp.float32)
-        codes = depformer_generate(params, CFG, hidden, jax.random.PRNGKey(0),
+        codes = depformer_generate(params, CFG, hidden, self._text(2), jax.random.PRNGKey(0),
                                    PersonaSampling(audio_temperature=0.0))
         assert codes.shape == (2, 16)
-        assert (np.asarray(codes) >= 0).all() and (np.asarray(codes) < CFG.audio_vocab).all()
+        # heads emit card (2048) classes — the +1 initial token never decodes
+        assert (np.asarray(codes) >= 0).all() and (np.asarray(codes) < CFG.audio_card).all()
 
     def test_greedy_deterministic(self):
         params = init_personaplex_params(jax.random.PRNGKey(0), CFG)
         hidden = jnp.asarray(np.random.default_rng(1).standard_normal((1, CFG.d_model)), jnp.float32)
         s = PersonaSampling(audio_temperature=0.0)
-        c1 = depformer_generate(params, CFG, hidden, jax.random.PRNGKey(0), s)
-        c2 = depformer_generate(params, CFG, hidden, jax.random.PRNGKey(1), s)
+        c1 = depformer_generate(params, CFG, hidden, self._text(1), jax.random.PRNGKey(0), s)
+        c2 = depformer_generate(params, CFG, hidden, self._text(1), jax.random.PRNGKey(1), s)
         assert (np.asarray(c1) == np.asarray(c2)).all()
+
+    def test_text_token_conditions_codes(self):
+        """Step 0 embeds the sampled text token (Depformer.swift:267-268):
+        different text → generally different first codebook."""
+        params = init_personaplex_params(jax.random.PRNGKey(0), CFG)
+        hidden = jnp.asarray(np.random.default_rng(2).standard_normal((1, CFG.d_model)), jnp.float32)
+        s = PersonaSampling(audio_temperature=0.0)
+        c1 = depformer_generate(params, CFG, hidden, jnp.asarray([1], jnp.int32),
+                                jax.random.PRNGKey(0), s)
+        c2 = depformer_generate(params, CFG, hidden, jnp.asarray([5], jnp.int32),
+                                jax.random.PRNGKey(0), s)
+        assert not np.array_equal(np.asarray(c1), np.asarray(c2))
+
+    def test_moshi_convert_roundtrip(self):
+        """Canonical tree → upstream kyutai state dict → convert back:
+        exact leaf equality proves every split/transpose/permutation in
+        convert_moshi_tree (incl. the traditional→split-half RoPE row
+        permutation and the per-step MultiLinear bank packing)."""
+        from qwen3_asr_swift_tpu.models.personaplex.convert import (
+            convert_moshi_tree, export_moshi_state_dict)
+
+        params = jax.tree_util.tree_map(
+            np.asarray, init_personaplex_params(jax.random.PRNGKey(3), CFG))
+        sd = export_moshi_state_dict(params, CFG)
+        assert "layers.0.self_attn.in_proj_weight" in sd
+        assert "depformer.layers.0.gating.0.linear_in.weight" in sd
+        assert "depformer_in.0.weight" in sd
+        back = convert_moshi_tree(sd, CFG)
+        la, lb = jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(back)
+        assert len(la) == len(lb)
+        for a, b in zip(la, lb):
+            np.testing.assert_allclose(a, b, atol=1e-6)
 
 
 class TestRespond:
@@ -106,13 +142,18 @@ class TestVoicePromptAndStreaming:
         return PersonaPlex.init_random(config_tiny())
 
     def test_voice_prompt_roundtrip(self, model, tmp_path):
+        """Voice prompts mint and reload in the upstream safetensors
+        format: embeddings [T, 1, 1, d] + delay-ring cache [1, 17, 4]
+        (PersonaPlex.swift:131-223)."""
         spf = model.cfg.mimi.samples_per_frame
         ref = np.sin(np.linspace(0, 50, spf * 5)).astype(np.float32)
-        path = str(tmp_path / "voice.npz")
-        codes = model.make_voice_prompt(ref, model.cfg.mimi.sample_rate, path=path)
+        path = str(tmp_path / "voice.safetensors")
+        vp = model.make_voice_prompt(ref, model.cfg.mimi.sample_rate, path=path)
+        assert vp["embeddings"].shape[1:] == (1, 1, model.cfg.d_model)
+        assert vp["cache"].shape == (1, model.cfg.num_streams, model.DELAY_RING)
         loaded = model.load_voice_prompt(path)
-        assert np.array_equal(codes, loaded)
-        assert codes.shape[1] == model.cfg.num_codebooks
+        np.testing.assert_array_equal(vp["embeddings"], loaded["embeddings"])
+        np.testing.assert_array_equal(vp["cache"], loaded["cache"])
 
     def test_voice_prompt_conditions_response(self, model):
         from qwen3_asr_swift_tpu.models.personaplex import PersonaSampling
