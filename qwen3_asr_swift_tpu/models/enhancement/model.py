@@ -1,44 +1,71 @@
-"""Speech enhancement: DeepFilterNet3-style denoiser at 48 kHz.
+"""Speech enhancement: DeepFilterNet3 denoiser at 48 kHz.
 
-TPU-native analog of the reference's enhancement module
+TPU-native implementation of the reference's enhancement module
 (reference: Sources/SpeechEnhancement/SpeechEnhancement.swift:79-212,
-DeepFilterNet3Model.swift, AudioProcessing.swift): 960-point STFT with
-480 hop → ERB(32) energy features + raw complex spectrum for the lowest
-96 bins, both normalized by exponential running mean/unit-norm → conv +
-GRU network → (a) 32 sigmoid ERB gains applied across the full band and
-(b) order-5 complex deep-filter coefficients applied over the low 96 bins
-→ iSTFT overlap-add.
+AudioProcessing.swift, Configuration.swift:53-73).  The DSP follows the
+reference bit-for-bit in structure:
 
-The whole utterance runs as one jitted program (GRU as ``lax.scan``,
-running normalization as part of the scan carry — the reference keeps
-these as explicit streaming memories, SpeechEnhancement.swift:61-94).
+  * Vorbis window ``sin(pi/2 · sin²(pi(n+0.5)/N))`` (AudioProcessing.swift:10-19)
+    — satisfies the Princen-Bradley condition at 50% overlap, so the iSTFT
+    overlap-add needs no window-power normalization,
+  * rectangular ERB filterbank with per-band widths, min 2 bins, forward
+    1/width / inverse 1.0 (AudioProcessing.swift:27-106),
+  * ERB features in dB ``10·log10(x+1e-10)`` with exponential mean-norm
+    ``(x−state)/40`` and complex-spec unit-norm ``x/sqrt(state)`` where the
+    state tracks magnitude, alpha = exp(−hop/sr/τ), τ=1 s
+    (AudioProcessing.swift:285-371, Configuration.swift:48-50),
+  * order-5 deep filtering over the lowest 96 bins with 2-frame lookahead
+    and clamped frame indexing; DF output REPLACES the low bins, the ERB
+    mask covers the rest (AudioProcessing.swift:393-435,
+    SpeechEnhancement.swift:176-199),
+  * STFT framing with a 480-sample zero analysis memory and a trailing hop
+    of zero padding; output trimmed by one hop (SpeechEnhancement.swift:87-208).
+
+The network itself is the published DeepFilterNet3 topology in ``dfn3.py``
+(the reference consumes it as an opaque CoreML artifact).  The whole
+utterance runs as one jitted program per frame-count bucket.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ...core import AudioChunk, SpeechEnhancementModel
+from .dfn3 import (
+    DF_ORDER,
+    LOOKAHEAD,
+    NB_DF,
+    NB_ERB,
+    DfnState,
+    dfn3_forward,
+    dfn3_step,
+    init_dfn3_params,
+    init_state,
+)
 
 SR = 48000
 N_FFT = 960
 HOP = 480
 N_BINS = N_FFT // 2 + 1  # 481
-N_ERB = 32
-N_DF_BINS = 96
-DF_ORDER = 5
-NORM_ALPHA = 0.99
+N_ERB = NB_ERB
+N_DF_BINS = NB_DF
+NORM_TAU = 1.0
+NORM_ALPHA = float(np.exp(-HOP / SR / NORM_TAU))  # ≈0.99005
+
+
+def vorbis_window(n: int = N_FFT) -> np.ndarray:
+    i = np.arange(n, dtype=np.float64)
+    return np.sin(np.pi / 2 * np.sin(np.pi * (i + 0.5) / n) ** 2).astype(np.float32)
 
 
 @functools.lru_cache(maxsize=1)
 def _dft():
     n = np.arange(N_FFT)
-    window = np.hanning(N_FFT + 1)[:-1].astype(np.float64)
+    window = vorbis_window().astype(np.float64)
     k = np.arange(N_BINS)
     phase = 2 * np.pi * np.outer(n, k) / N_FFT
     return (
@@ -49,154 +76,199 @@ def _dft():
 
 
 @functools.lru_cache(maxsize=1)
-def erb_filterbank() -> np.ndarray:
-    """[N_BINS, N_ERB] triangular bands on the ERB-rate scale."""
-    def hz_to_erb(f):
-        return 9.265 * np.log(1 + np.asarray(f, np.float64) / (24.7 * 9.16))
-
-    def erb_to_hz(e):
-        return (np.exp(np.asarray(e, np.float64) / 9.265) - 1) * 24.7 * 9.16
-
-    freqs = np.arange(N_BINS) * SR / N_FFT
-    pts = erb_to_hz(np.linspace(hz_to_erb(20.0), hz_to_erb(SR / 2), N_ERB + 2))
-    fb = np.zeros((N_BINS, N_ERB))
-    for m in range(N_ERB):
-        l_, c_, r_ = pts[m], pts[m + 1], pts[m + 2]
-        up = (freqs - l_) / max(c_ - l_, 1e-9)
-        down = (r_ - freqs) / max(r_ - c_, 1e-9)
-        fb[:, m] = np.maximum(0, np.minimum(up, down))
-    fb /= np.maximum(fb.sum(axis=0, keepdims=True), 1e-9)
-    return fb.astype(np.float32)
-
-
-def init_dfn_params(key, hidden: int = 256, dtype=jnp.float32) -> dict:
-    ks = jax.random.split(key, 8)
-
-    def lin(k, i, o):
-        return {"kernel": (jax.random.normal(k, (i, o)) / np.sqrt(i)).astype(dtype),
-                "bias": jnp.zeros((o,), dtype)}
-
-    in_dim = N_ERB + 2 * N_DF_BINS
-    return {
-        "enc": lin(ks[0], in_dim, hidden),
-        "gru": {
-            "wx": (jax.random.normal(ks[1], (hidden, 3 * hidden)) / np.sqrt(hidden)).astype(dtype),
-            "wh": (jax.random.normal(ks[2], (hidden, 3 * hidden)) / np.sqrt(hidden)).astype(dtype),
-            "bias": jnp.zeros((3 * hidden,), dtype),
-        },
-        "erb_head": lin(ks[3], hidden, N_ERB),
-        "df_head": lin(ks[4], hidden, N_DF_BINS * DF_ORDER * 2),
-    }
-
-
-def _gru_step(p, x, h):
-    gates = x @ p["wx"] + h @ p["wh"] + p["bias"]
-    r, z, n = jnp.split(gates, 3, axis=-1)
-    r, z = jax.nn.sigmoid(r), jax.nn.sigmoid(z)
-    n = jnp.tanh(n * 1.0)  # candidate uses reset-gated recurrent term in torch; simplified inference form
-    return (1 - z) * n + z * h
-
-
-def dfn_enhance(params, audio, n_frames: int):
-    """audio: [T] at 48 kHz (padded to (n_frames-1)*HOP + N_FFT after the
-    center reflect-pad). Returns enhanced audio [T]."""
-    cos_m, sin_m, window = _dft()
-    pad = N_FFT // 2
-    x = jnp.pad(audio, (pad, pad), mode="reflect")
-    idx = np.arange(n_frames)[:, None] * HOP + np.arange(N_FFT)[None, :]
-    frames = x[idx]
-    re = frames @ jnp.asarray(cos_m)  # [F, bins]
-    im = frames @ jnp.asarray(sin_m)
-    power = re * re + im * im
-
-    fb = jnp.asarray(erb_filterbank())
-    erb = jnp.log10(jnp.maximum(power @ fb, 1e-10))  # [F, 32]
-    spec_feat = jnp.stack([re[:, :N_DF_BINS], im[:, :N_DF_BINS]], axis=-1)  # [F, 96, 2]
-
-    # exponential running mean/unit normalization (streaming-compatible)
-    def norm_step(carry, feats):
-        m_erb, v_erb = carry
-        e = feats
-        m_erb = NORM_ALPHA * m_erb + (1 - NORM_ALPHA) * e
-        v_erb = NORM_ALPHA * v_erb + (1 - NORM_ALPHA) * (e - m_erb) ** 2
-        return (m_erb, v_erb), (e - m_erb) / jnp.sqrt(v_erb + 1e-6)
-
-    (_, _), erb_n = jax.lax.scan(norm_step, (jnp.zeros(N_ERB), jnp.ones(N_ERB)), erb)
-    spec_n = spec_feat / jnp.sqrt(jnp.mean(spec_feat ** 2, axis=(1, 2), keepdims=True) + 1e-6)
-
-    feats = jnp.concatenate([erb_n, spec_n.reshape(n_frames, -1)], axis=-1)
-    h_in = jnp.tanh(feats @ params["enc"]["kernel"] + params["enc"]["bias"])
-
-    def gru_scan(h, xt):
-        h = _gru_step(params["gru"], xt, h)
-        return h, h
-
-    _, hs = jax.lax.scan(gru_scan, jnp.zeros(params["gru"]["wh"].shape[0]), h_in)
-
-    gains = jax.nn.sigmoid(hs @ params["erb_head"]["kernel"] + params["erb_head"]["bias"])  # [F,32]
-    df = (hs @ params["df_head"]["kernel"] + params["df_head"]["bias"]).reshape(
-        n_frames, N_DF_BINS, DF_ORDER, 2
-    ) * 0.1
-
-    # ERB gain applied across full band (interpolated through the filterbank)
-    bin_gain = gains @ fb.T  # [F, bins]
-    re_g = re * bin_gain
-    im_g = im * bin_gain
-
-    # deep filtering over low bins: y[t,k] = Σ_i c[t,k,i]·x[t-i,k] (complex)
-    def shift(a, i):
-        return jnp.pad(a, ((i, 0), (0, 0)))[: a.shape[0]]
-
-    re_df = jnp.zeros((n_frames, N_DF_BINS))
-    im_df = jnp.zeros((n_frames, N_DF_BINS))
-    for i in range(DF_ORDER):
-        xr = shift(re[:, :N_DF_BINS], i)
-        xi = shift(im[:, :N_DF_BINS], i)
-        cr, ci = df[:, :, i, 0], df[:, :, i, 1]
-        re_df += cr * xr - ci * xi
-        im_df += cr * xi + ci * xr
-
-    re_out = re_g.at[:, :N_DF_BINS].set(re_g[:, :N_DF_BINS] + re_df)
-    im_out = im_g.at[:, :N_DF_BINS].set(im_g[:, :N_DF_BINS] + im_df)
-
-    # iSTFT (inverse bases without window, OLA with synthesis window)
+def _idft():
     n = np.arange(N_FFT)
     k = np.arange(N_BINS)
     phase = 2 * np.pi * np.outer(k, n) / N_FFT
-    scale = np.ones(N_BINS, np.float32) * 2.0
+    scale = np.full(N_BINS, 2.0, np.float64)
     scale[0] = scale[-1] = 1.0
-    icos = (np.cos(phase) / N_FFT).astype(np.float32)
-    isin = (np.sin(phase) / N_FFT).astype(np.float32)
-    oframes = (re_out * scale) @ jnp.asarray(icos) - (im_out * scale) @ jnp.asarray(isin)
+    icos = (scale[:, None] * np.cos(phase) / N_FFT).astype(np.float32)
+    isin = (scale[:, None] * np.sin(phase) / N_FFT).astype(np.float32)
+    return icos, isin
 
-    t_total = (n_frames - 1) * HOP + N_FFT
-    out = jnp.zeros((t_total,))
-    norm = jnp.zeros((t_total,))
-    win = jnp.asarray(window)
-    out = out.at[idx.reshape(-1)].add((oframes * win).reshape(-1))
-    norm = norm.at[idx.reshape(-1)].add(jnp.tile(win * win, (n_frames,)))
-    out = out / jnp.maximum(norm, 1e-8)
-    return out[pad : pad + audio.shape[0]]
+
+@functools.lru_cache(maxsize=1)
+def _erb_fb_widths():
+    """Rectangular ERB bands (reference AudioProcessing.swift:27-106)."""
+    def freq2erb(f):
+        return 9.265 * np.log(1.0 + f / (24.7 * 9.265))
+
+    def erb2freq(e):
+        return 24.7 * 9.265 * (np.exp(e / 9.265) - 1.0)
+
+    erb_low, erb_high = freq2erb(0.0), freq2erb(SR / 2)
+    step = (erb_high - erb_low) / N_ERB
+    widths = np.zeros(N_ERB, np.int64)
+    total = 0
+    for band in range(N_ERB):
+        f_lo = erb2freq(erb_low + band * step)
+        f_hi = erb2freq(erb_low + (band + 1) * step)
+        b_lo = int(round(f_lo * N_FFT / SR))
+        b_hi = int(round(f_hi * N_FFT / SR))
+        w = max(2, b_hi - b_lo)
+        if band == N_ERB - 1:
+            w = N_BINS - total
+        widths[band] = w
+        total += w
+    if total != N_BINS:
+        widths[-1] += N_BINS - total
+
+    fwd = np.zeros((N_BINS, N_ERB), np.float32)
+    inv = np.zeros((N_ERB, N_BINS), np.float32)
+    off = 0
+    for band in range(N_ERB):
+        w = int(widths[band])
+        fwd[off:off + w, band] = 1.0 / w
+        inv[band, off:off + w] = 1.0
+        off += w
+    return fwd, inv, widths
+
+
+def erb_filterbank() -> np.ndarray:
+    """Forward ERB filterbank [N_BINS, N_ERB]."""
+    return _erb_fb_widths()[0]
+
+
+def erb_inverse_filterbank() -> np.ndarray:
+    """Inverse ERB filterbank [N_ERB, N_BINS]."""
+    return _erb_fb_widths()[1]
+
+
+# libDF default normalization-state initializers (overridden by the
+# checkpoint's auxiliary.npz states when present — the reference loads
+# mean_norm_state/unit_norm_state from auxiliary.npz, WeightLoading.swift:43-62).
+def default_mean_norm_init() -> np.ndarray:
+    return np.linspace(-60.0, -90.0, N_ERB).astype(np.float32)
+
+
+def default_unit_norm_init() -> np.ndarray:
+    return np.linspace(0.001, 0.0001, N_DF_BINS).astype(np.float32)
+
+
+def init_dfn_params(key, dtype=jnp.float32) -> dict:
+    return init_dfn3_params(key, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# feature extraction (shared batch/streaming math)
+# ---------------------------------------------------------------------------
+
+def _featurize(frames, mean_state, unit_state):
+    """Windowed DFT + ERB dB mean-norm features + unit-normalized low-band
+    complex spectrum.  Taking raw frames (not spectra) keeps the DFT matmul
+    inside one XLA program for both the batch and streaming paths — the
+    unit-norm warm-up divides by sqrt(≈1e-4), so host-vs-device matmul
+    codegen differences would otherwise be amplified ~100× into the features.
+
+    frames: [F, N_FFT] raw signal frames (the Vorbis analysis window is
+    folded into the DFT matrices).  Returns (erb_n [F,32], spec_n [F,96,2],
+    re, im, mean_state, unit_state)."""
+    cos_m, sin_m, _ = _dft()
+    re = frames @ jnp.asarray(cos_m)
+    im = frames @ jnp.asarray(sin_m)
+    power = re * re + im * im
+    fb = jnp.asarray(erb_filterbank())
+    erb_db = 10.0 * jnp.log10(power @ fb + 1e-10)
+
+    def mean_step(state, x):
+        state = x * (1 - NORM_ALPHA) + state * NORM_ALPHA
+        return state, (x - state) / 40.0
+
+    mean_state, erb_n = jax.lax.scan(mean_step, mean_state, erb_db)
+
+    lo_re, lo_im = re[:, :N_DF_BINS], im[:, :N_DF_BINS]
+    mag = jnp.sqrt(lo_re * lo_re + lo_im * lo_im)
+
+    def unit_step(state, x):
+        m, r, i = x
+        state = m * (1 - NORM_ALPHA) + state * NORM_ALPHA
+        norm = jnp.sqrt(jnp.maximum(state, 1e-10))
+        return state, (r / norm, i / norm)
+
+    unit_state, (nre, nim) = jax.lax.scan(unit_step, unit_state, (mag, lo_re, lo_im))
+    spec_n = jnp.stack([nre, nim], axis=-1)
+    return erb_n, spec_n, re, im, mean_state, unit_state
+
+
+def _apply_mask_and_df(re, im, mask, coefs):
+    """ERB mask over the full band, deep-filter output replacing the low
+    bins.  re/im: [F, N_BINS] raw spectrum; coefs [F, 96, 5, 2]; the tap n
+    reads frame t + n - (DF_ORDER-1-LOOKAHEAD) with clamped indexing."""
+    inv = jnp.asarray(erb_inverse_filterbank())
+    full_mask = mask @ inv                      # [F, N_BINS]
+    out_re = re * full_mask
+    out_im = im * full_mask
+
+    pad_before = DF_ORDER - 1 - LOOKAHEAD       # 2
+    lo_re = jnp.pad(re[:, :N_DF_BINS], ((pad_before, DF_ORDER - 1 - pad_before), (0, 0)),
+                    mode="edge")
+    lo_im = jnp.pad(im[:, :N_DF_BINS], ((pad_before, DF_ORDER - 1 - pad_before), (0, 0)),
+                    mode="edge")
+    n_frames = re.shape[0]
+    df_re = jnp.zeros((n_frames, N_DF_BINS))
+    df_im = jnp.zeros((n_frames, N_DF_BINS))
+    for n in range(DF_ORDER):
+        xr = jax.lax.dynamic_slice_in_dim(lo_re, n, n_frames, axis=0)
+        xi = jax.lax.dynamic_slice_in_dim(lo_im, n, n_frames, axis=0)
+        wr, wi = coefs[:, :, n, 0], coefs[:, :, n, 1]
+        df_re += xr * wr - xi * wi
+        df_im += xi * wr + xr * wi
+    out_re = out_re.at[:, :N_DF_BINS].set(df_re)
+    out_im = out_im.at[:, :N_DF_BINS].set(df_im)
+    return out_re, out_im
+
+
+def _istft_ola(re, im, synthesis_mem):
+    """Inverse DFT → synthesis window → overlap-add.  Emits hop samples per
+    frame (reference AudioProcessing.swift:208-270); Vorbis COLA means no
+    normalization divide.  Returns (samples [F*HOP], new synthesis_mem)."""
+    icos, isin = _idft()
+    _, _, window = _dft()
+    frames = re @ jnp.asarray(icos) - im @ jnp.asarray(isin)   # [F, N_FFT]
+    frames = frames * jnp.asarray(window)
+
+    def ola_step(mem, frame):
+        frame = frame.at[: N_FFT - HOP].add(mem)
+        return frame[HOP:], frame[:HOP]
+
+    mem, hops = jax.lax.scan(ola_step, synthesis_mem, frames)
+    return hops.reshape(-1), mem
 
 
 class SpeechEnhancer(SpeechEnhancementModel):
-    def __init__(self, params, dtype=jnp.float32):
+    """DeepFilterNet3 at 48 kHz (reference SpeechEnhancement.swift:16-280).
+
+    The batch ``enhance`` drives the same three compiled programs as the
+    streaming session (featurize → net step → mask/DF/iSTFT), pushing the
+    whole utterance as one chunk — so streamed output is bit-equal to the
+    batch output on shared samples by construction."""
+
+    def __init__(self, params, dtype=jnp.float32,
+                 mean_norm_init=None, unit_norm_init=None):
         self.params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
+        self.mean_norm_init = np.asarray(
+            mean_norm_init if mean_norm_init is not None else default_mean_norm_init(),
+            np.float32)
+        self.unit_norm_init = np.asarray(
+            unit_norm_init if unit_norm_init is not None else default_unit_norm_init(),
+            np.float32)
         self._loaded = True
-        self._jit = jax.jit(dfn_enhance, static_argnames=("n_frames",))
 
     @classmethod
     def init_random(cls, seed: int = 0, **kw) -> "SpeechEnhancer":
-        return cls(init_dfn_params(jax.random.PRNGKey(seed)), **kw)
+        return cls(init_dfn3_params(jax.random.PRNGKey(seed)), **kw)
 
     @classmethod
-    def from_pretrained(cls, model_id: str = "deepfilternet3", cache_dir=None,
-                        offline_mode: bool = False, **kw) -> "SpeechEnhancer":
+    def from_pretrained(cls, model_id: str = "aufklarer/DeepFilterNet3-CoreML",
+                        cache_dir=None, offline_mode: bool = False, **kw) -> "SpeechEnhancer":
         from ...core.hub import download_weights
-        from ...core.weights import load_safetensors
+        from .convert import convert_checkpoint
 
         model_dir = download_weights(model_id, cache_dir=cache_dir, offline_mode=offline_mode)
-        return cls(load_safetensors(model_dir), **kw)
+        params, aux = convert_checkpoint(model_dir)
+        return cls(params,
+                   mean_norm_init=aux.get("mean_norm_state"),
+                   unit_norm_init=aux.get("unit_norm_state"), **kw)
 
     def enhance(self, audio: np.ndarray, sample_rate: int) -> AudioChunk:
         if sample_rate != SR:
@@ -205,9 +277,12 @@ class SpeechEnhancer(SpeechEnhancementModel):
             audio = resample(audio.astype(np.float32), sample_rate, SR)
         if len(audio) == 0:
             return AudioChunk(np.zeros(0, np.float32), SR)
-        n_frames = max(1, len(audio) // HOP + 1)
-        out = self._jit(self.params, jnp.asarray(audio, jnp.float32), n_frames=n_frames)
-        return AudioChunk(np.asarray(out, np.float32), SR)
+        t_in = len(audio)
+        session = StreamingEnhancer(self, chunk_samples=max(HOP, t_in // HOP * HOP))
+        out = np.concatenate([session.push(np.asarray(audio, np.float32)),
+                              session.flush()])
+        out = np.pad(out, (0, max(0, t_in - len(out))))[:t_in]
+        return AudioChunk(out.astype(np.float32), SR)
 
     def warm_up(self) -> None:
         self.enhance(np.zeros(SR, np.float32), SR)
@@ -222,159 +297,180 @@ class SpeechEnhancer(SpeechEnhancementModel):
 
 
 # ---------------------------------------------------------------------------
-# streaming (reference: the CoreML GRU + STFT analysis/synthesis memories are
-# carried across the clip — SpeechEnhancement.swift:61-94; here they become an
-# explicit chunk-step carry so live pipelines can denoise-before-STT)
+# streaming (reference carries STFT analysis/synthesis memories and the
+# normalization state across pushes — SpeechEnhancement.swift:61-94; here the
+# network's conv/GRU state is an explicit DfnState carry as well, so chunked
+# output equals the batch pass exactly on shared samples)
 # ---------------------------------------------------------------------------
 
-def dfn_chunk_step(params, frames, m_erb, v_erb, gru_h, hist_re, hist_im):
-    """frames: [F, N_FFT] windowed-signal frames (pre-windowing applied by
-    the caller is NOT expected — raw frames). Returns (oframes [F, N_FFT],
-    advanced carries). Identical math to dfn_enhance per frame."""
-    cos_m, sin_m, _ = _dft()
-    re = frames @ jnp.asarray(cos_m)
-    im = frames @ jnp.asarray(sin_m)
-    power = re * re + im * im
+def _streaming_net_step(params, net_erb, net_spec, spec_re, spec_im, dfn_state,
+                        synthesis_mem):
+    """Emit F frames: net inputs are the lookahead-shifted features, spec_re/
+    spec_im are [F+DF_ORDER-1, N_BINS] raw spectra covering taps t-2..t+2 of
+    every emitted frame.  Returns (samples [F*HOP], new state, new synth mem)."""
+    mask, coefs, _lsnr, dfn_state = dfn3_step(params, net_erb, net_spec, dfn_state)
+    n_frames = mask.shape[0]
+    pad_before = DF_ORDER - 1 - LOOKAHEAD
 
-    fb = jnp.asarray(erb_filterbank())
-    erb = jnp.log10(jnp.maximum(power @ fb, 1e-10))
-    spec_feat = jnp.stack([re[:, :N_DF_BINS], im[:, :N_DF_BINS]], axis=-1)
+    cur_re = spec_re[pad_before: pad_before + n_frames]
+    cur_im = spec_im[pad_before: pad_before + n_frames]
+    inv = jnp.asarray(erb_inverse_filterbank())
+    full_mask = mask @ inv
+    out_re = cur_re * full_mask
+    out_im = cur_im * full_mask
 
-    def norm_step(carry, feats):
-        m, v = carry
-        m = NORM_ALPHA * m + (1 - NORM_ALPHA) * feats
-        v = NORM_ALPHA * v + (1 - NORM_ALPHA) * (feats - m) ** 2
-        return (m, v), (feats - m) / jnp.sqrt(v + 1e-6)
+    df_re = jnp.zeros((n_frames, N_DF_BINS))
+    df_im = jnp.zeros((n_frames, N_DF_BINS))
+    for n in range(DF_ORDER):
+        xr = jax.lax.dynamic_slice_in_dim(spec_re[:, :N_DF_BINS], n, n_frames, axis=0)
+        xi = jax.lax.dynamic_slice_in_dim(spec_im[:, :N_DF_BINS], n, n_frames, axis=0)
+        wr, wi = coefs[:, :, n, 0], coefs[:, :, n, 1]
+        df_re += xr * wr - xi * wi
+        df_im += xi * wr + xr * wi
+    out_re = out_re.at[:, :N_DF_BINS].set(df_re)
+    out_im = out_im.at[:, :N_DF_BINS].set(df_im)
 
-    (m_erb, v_erb), erb_n = jax.lax.scan(norm_step, (m_erb, v_erb), erb)
-    n_frames = frames.shape[0]
-    spec_n = spec_feat / jnp.sqrt(jnp.mean(spec_feat ** 2, axis=(1, 2), keepdims=True) + 1e-6)
+    samples, synthesis_mem = _istft_ola(out_re, out_im, synthesis_mem)
+    return samples, dfn_state, synthesis_mem
 
-    feats = jnp.concatenate([erb_n, spec_n.reshape(n_frames, -1)], axis=-1)
-    h_in = jnp.tanh(feats @ params["enc"]["kernel"] + params["enc"]["bias"])
 
-    def gru_scan(h, xt):
-        h = _gru_step(params["gru"], xt, h)
-        return h, h
-
-    gru_h, hs = jax.lax.scan(gru_scan, gru_h, h_in)
-
-    gains = jax.nn.sigmoid(hs @ params["erb_head"]["kernel"] + params["erb_head"]["bias"])
-    df = (hs @ params["df_head"]["kernel"] + params["df_head"]["bias"]).reshape(
-        n_frames, N_DF_BINS, DF_ORDER, 2) * 0.1
-
-    bin_gain = gains @ fb.T
-    re_g = re * bin_gain
-    im_g = im * bin_gain
-
-    # deep filtering with carried history: x[t-i] may live in the previous
-    # chunk (hist holds the last DF_ORDER-1 frames' low bins)
-    re_ext = jnp.concatenate([hist_re, re[:, :N_DF_BINS]], axis=0)
-    im_ext = jnp.concatenate([hist_im, im[:, :N_DF_BINS]], axis=0)
-    off = DF_ORDER - 1
-    re_df = jnp.zeros((n_frames, N_DF_BINS))
-    im_df = jnp.zeros((n_frames, N_DF_BINS))
-    for i in range(DF_ORDER):
-        xr = re_ext[off - i: off - i + n_frames]
-        xi = im_ext[off - i: off - i + n_frames]
-        cr, ci = df[:, :, i, 0], df[:, :, i, 1]
-        re_df += cr * xr - ci * xi
-        im_df += cr * xi + ci * xr
-    hist_re = re_ext[-off:] if off else hist_re
-    hist_im = im_ext[-off:] if off else hist_im
-
-    re_out = re_g.at[:, :N_DF_BINS].set(re_g[:, :N_DF_BINS] + re_df)
-    im_out = im_g.at[:, :N_DF_BINS].set(im_g[:, :N_DF_BINS] + im_df)
-
-    n = np.arange(N_FFT)
-    k = np.arange(N_BINS)
-    phase = 2 * np.pi * np.outer(k, n) / N_FFT
-    scale = np.ones(N_BINS, np.float32) * 2.0
-    scale[0] = scale[-1] = 1.0
-    icos = (np.cos(phase) / N_FFT).astype(np.float32)
-    isin = (np.sin(phase) / N_FFT).astype(np.float32)
-    oframes = (re_out * scale) @ jnp.asarray(icos) - (im_out * scale) @ jnp.asarray(isin)
-    return oframes, m_erb, v_erb, gru_h, hist_re, hist_im
+# module-level compiled entry points shared by every session/batch call, so
+# executable caching works across instances
+_FEAT_JIT = jax.jit(_featurize)
+_STEP_JIT = jax.jit(_streaming_net_step)
 
 
 class StreamingEnhancer:
-    """Chunked 48 kHz enhancement with carried state. Per-chunk latency is
-    N_FFT - HOP = 10 ms of lookback; output equals the batch path on the
-    shared frames (same frame math; OLA normalization accumulated on the
-    host as samples finalize)."""
+    """Chunked 48 kHz enhancement with carried state.  Output equals the
+    batch path on shared samples; the algorithmic delay is one hop (STFT)
+    plus the 2-frame network lookahead = 30 ms.
 
-    def __init__(self, model: "SpeechEnhancer", chunk_samples: int = 10 * HOP):
+    Alignment bookkeeping: with the batch path's lookahead shift
+    (AudioProcessing.swift:473-489), the net input for OUTPUT frame ``t`` is
+    FEATURE frame ``t+2`` — features 0 and 1 are never net inputs, and every
+    newly arrived feature frame ``f ≥ 2`` immediately drives the emission of
+    frame ``f−2``.  ``flush`` feeds the two trailing zero net inputs to emit
+    the last two frames, with DF taps clamped to the final raw spectrum."""
+
+    def __init__(self, model: SpeechEnhancer, chunk_samples: int = 10 * HOP):
         if chunk_samples % HOP:
             raise ValueError("chunk_samples must be a multiple of the 480-sample hop")
         self.model = model
         self.chunk = chunk_samples
-        self._step = jax.jit(dfn_chunk_step)
-        _, _, window = _dft()
-        self._win = window.astype(np.float32)
+        self._feat = _FEAT_JIT
+        self._step = _STEP_JIT
         self.reset()
 
     def reset(self):
-        self._buf = np.zeros(0, np.float32)       # raw input awaiting framing
-        self._tail = None                          # last N_FFT-HOP input samples
-        self._m = jnp.zeros(N_ERB)
-        self._v = jnp.ones(N_ERB)
-        self._h = jnp.zeros(self.model.params["gru"]["wh"].shape[0])
-        self._hist_re = jnp.zeros((DF_ORDER - 1, N_DF_BINS))
-        self._hist_im = jnp.zeros((DF_ORDER - 1, N_DF_BINS))
-        self._ola = np.zeros(N_FFT, np.float32)    # pending overlap-add window
-        self._ola_norm = np.zeros(N_FFT, np.float32)
+        self._buf = np.zeros(0, np.float32)
+        self._analysis_mem = np.zeros(N_FFT - HOP, np.float32)
+        self._mean = jnp.asarray(self.model.mean_norm_init)
+        self._unit = jnp.asarray(self.model.unit_norm_init)
+        self._dfn = init_state()
+        self._synth = jnp.zeros(N_FFT - HOP)
+        self._to_skip_feats = LOOKAHEAD   # leading features that are not net inputs
+        self._spec_hist_re = None         # raw spectra the DF taps still need
+        self._spec_hist_im = None
+        self._skipped = 0                 # leading hop samples dropped (batch trim)
 
     def push(self, samples: np.ndarray) -> np.ndarray:
-        """Feed audio; returns finalized enhanced samples (lags the input
-        by N_FFT - HOP = 480 samples)."""
         self._buf = np.concatenate([self._buf, np.asarray(samples, np.float32)])
         out = np.zeros(0, np.float32)
         while len(self._buf) >= self.chunk:
             piece, self._buf = self._buf[: self.chunk], self._buf[self.chunk:]
-            out = np.concatenate([out, self._process(piece)])
+            out = np.concatenate([out, self._ingest(piece)])
         return out
 
     def flush(self) -> np.ndarray:
-        """Process the remainder (zero-padded to whole hops) and drain."""
+        """Drain: mirror the batch path's trailing hop of zero samples, then
+        the 2-frame zero-feature lookahead pad (emitting the last 2 frames)."""
         rem = len(self._buf)
-        out = np.zeros(0, np.float32)
-        if rem:
-            pad = (-rem) % HOP
-            piece = np.pad(self._buf, (0, pad))
-            self._buf = np.zeros(0, np.float32)
-            out = self._process(piece)
-        # drain the pending OLA window
-        tail_norm = np.maximum(self._ola_norm, 1e-8)
-        out = np.concatenate([out, (self._ola / tail_norm)[: N_FFT - HOP]])
-        return out
+        pad = (-rem) % HOP
+        piece = np.pad(self._buf, (0, pad + HOP))
+        self._buf = np.zeros(0, np.float32)
+        out = self._ingest(piece)
 
-    def _process(self, piece: np.ndarray) -> np.ndarray:
-        if self._tail is None:
-            # center semantics: reflect-pad from the first real samples
-            lead = piece[1 : N_FFT // 2 + 1][::-1]
-            self._tail = np.pad(lead, (max(0, N_FFT // 2 - len(lead)), 0))
-        signal = np.concatenate([self._tail, piece])
-        n_frames = len(piece) // HOP
-        idx = np.arange(n_frames)[:, None] * HOP + np.arange(N_FFT)[None, :]
+        if self._spec_hist_re is None:
+            return out
+        n_emit = LOOKAHEAD
+        net_erb = np.zeros((n_emit, N_ERB), np.float32)
+        net_spec = np.zeros((n_emit, N_DF_BINS, 2), np.float32)
+        # DF taps past the end clamp to the last raw frame (edge padding)
+        pad_re = np.repeat(self._spec_hist_re[-1:], LOOKAHEAD, axis=0)
+        pad_im = np.repeat(self._spec_hist_im[-1:], LOOKAHEAD, axis=0)
+        need = n_emit + DF_ORDER - 1
+        spec_re = np.concatenate([self._spec_hist_re, pad_re])[-need:]
+        spec_im = np.concatenate([self._spec_hist_im, pad_im])[-need:]
+        if len(spec_re) < need:   # degenerate sub-2-frame streams
+            spec_re = np.concatenate([np.repeat(spec_re[:1], need - len(spec_re), 0), spec_re])
+            spec_im = np.concatenate([np.repeat(spec_im[:1], need - len(spec_im), 0), spec_im])
+        samples, self._dfn, self._synth = self._step(
+            self.model.params, jnp.asarray(net_erb), jnp.asarray(net_spec),
+            jnp.asarray(spec_re), jnp.asarray(spec_im), self._dfn, self._synth)
+        return np.concatenate([out, self._trim(np.asarray(samples, np.float32))])
+
+    def _trim(self, samples: np.ndarray) -> np.ndarray:
+        """Drop the leading hop of output (the batch path's latency trim)."""
+        if self._skipped < HOP:
+            take = min(HOP - self._skipped, len(samples))
+            self._skipped += take
+            samples = samples[take:]
+        return samples
+
+    def _ingest(self, piece: np.ndarray) -> np.ndarray:
+        n_new = len(piece) // HOP
+        if n_new == 0:
+            return np.zeros(0, np.float32)
+        signal = np.concatenate([self._analysis_mem, piece])
+        idx = np.arange(n_new)[:, None] * HOP + np.arange(N_FFT)[None, :]
         frames = signal[idx]
-        self._tail = signal[n_frames * HOP:]
+        self._analysis_mem = signal[n_new * HOP:]
 
-        oframes, self._m, self._v, self._h, self._hist_re, self._hist_im = \
-            self._step(self.model.params, jnp.asarray(frames),
-                       self._m, self._v, self._h, self._hist_re, self._hist_im)
-        oframes = np.asarray(oframes) * self._win[None]
+        erb_n, spec_n, re, im, self._mean, self._unit = self._feat(
+            jnp.asarray(frames), self._mean, self._unit)
+        erb_n = np.asarray(erb_n, np.float32)
+        spec_n = np.asarray(spec_n, np.float32)
+        re = np.asarray(re, np.float32)
+        im = np.asarray(im, np.float32)
 
-        # host OLA: emit samples whose every contributing frame is done
-        total = n_frames * HOP + (N_FFT - HOP)
-        acc = np.zeros(total, np.float32)
-        nrm = np.zeros(total, np.float32)
-        acc[: N_FFT] += self._ola
-        nrm[: N_FFT] += self._ola_norm
-        w2 = self._win * self._win
-        for i in range(n_frames):
-            acc[i * HOP: i * HOP + N_FFT] += oframes[i]
-            nrm[i * HOP: i * HOP + N_FFT] += w2
-        emit = n_frames * HOP
-        self._ola = np.pad(acc[emit:], (0, emit + N_FFT - total))[:N_FFT]
-        self._ola_norm = np.pad(nrm[emit:], (0, emit + N_FFT - total))[:N_FFT]
-        return acc[:emit] / np.maximum(nrm[:emit], 1e-8)
+        if self._spec_hist_re is None:
+            # DF taps for the first frames clamp to frame 0 (edge padding)
+            pb = DF_ORDER - 1 - LOOKAHEAD
+            self._spec_hist_re = np.repeat(re[:1], pb, axis=0)
+            self._spec_hist_im = np.repeat(im[:1], pb, axis=0)
+        self._spec_hist_re = np.concatenate([self._spec_hist_re, re])
+        self._spec_hist_im = np.concatenate([self._spec_hist_im, im])
+
+        # the first LOOKAHEAD features of the stream are trimmed from the
+        # net-input sequence, but seed the input-conv histories (the batch
+        # path's frame 0 sees features 0..2 — see dfn3_forward)
+        skip = min(self._to_skip_feats, n_new)
+        if skip:
+            pos = LOOKAHEAD - self._to_skip_feats
+            eh = np.array(self._dfn.erb_conv0_hist)
+            sh = np.array(self._dfn.df_conv0_hist)
+            eh[0, 0, pos: pos + skip, :] = erb_n[:skip]
+            sh[0, :, pos: pos + skip, :] = np.moveaxis(spec_n[:skip], -1, 0)
+            self._dfn = self._dfn._replace(
+                erb_conv0_hist=jnp.asarray(eh), df_conv0_hist=jnp.asarray(sh))
+            self._to_skip_feats -= skip
+        net_erb = erb_n[skip:]
+        net_spec = spec_n[skip:]
+        n_emit = len(net_erb)
+        if n_emit == 0:
+            return np.zeros(0, np.float32)
+
+        # emitted frames t..t+n_emit-1 need raw spectra t-2 .. t+n_emit+1,
+        # which are exactly the newest (n_emit + DF_ORDER - 1) history rows
+        need = n_emit + DF_ORDER - 1
+        spec_re = self._spec_hist_re[-need:]
+        spec_im = self._spec_hist_im[-need:]
+        samples, self._dfn, self._synth = self._step(
+            self.model.params, jnp.asarray(net_erb), jnp.asarray(net_spec),
+            jnp.asarray(spec_re), jnp.asarray(spec_im), self._dfn, self._synth)
+
+        # future frame t+n_emit needs spectra from t+n_emit-2 on → last 4 rows
+        keep = DF_ORDER - 1
+        self._spec_hist_re = self._spec_hist_re[-keep:]
+        self._spec_hist_im = self._spec_hist_im[-keep:]
+        return self._trim(np.asarray(samples, np.float32))

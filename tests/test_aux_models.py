@@ -206,31 +206,26 @@ class TestWakeWordSession:
 
 
 class TestStreamingEnhancer:
-    def test_streamed_matches_batch_interior(self):
-        """Chunked enhancement with carried state must reproduce the batch
-        path on shared frames. The streamed output starts at the padded
-        origin (includes the 480-sample reflect lead the batch trims) and
-        differs only in the final window where the batch sees the right
-        reflect pad."""
+    def test_streamed_matches_batch(self):
+        """Chunked enhancement with carried state reproduces the batch path
+        sample-for-sample (both drive the same compiled programs; the
+        normalization warm-up states are conditioned to O(1) so fp noise is
+        not amplified — see test_enhancement_dfn3 for the full analysis)."""
         from qwen3_asr_swift_tpu.models.enhancement import SpeechEnhancer
-        from qwen3_asr_swift_tpu.models.enhancement.model import HOP, N_FFT, StreamingEnhancer
+        from qwen3_asr_swift_tpu.models.enhancement.model import HOP, StreamingEnhancer
 
-        model = SpeechEnhancer.init_random()
+        model = SpeechEnhancer.init_random(
+            mean_norm_init=np.zeros(32, np.float32),
+            unit_norm_init=np.ones(96, np.float32))
         rng = np.random.default_rng(0)
         t = HOP * 40  # 19200 samples = 0.4 s @48k
         audio = (0.1 * rng.standard_normal(t)).astype(np.float32)
         batch = model.enhance(audio, 48000).samples
 
         s = StreamingEnhancer(model, chunk_samples=HOP * 7)
-        streamed = s.push(audio)
-        streamed = np.concatenate([streamed, s.flush()])
-
-        lead = HOP  # the batch trims the reflect lead; streaming emits it
-        usable = min(len(batch), len(streamed) - lead) - N_FFT
-        a = streamed[lead: lead + usable]
-        b = batch[:usable]
-        err = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
-        assert err < 1e-3, f"interior mismatch {err}"
+        streamed = np.concatenate([s.push(audio), s.flush()])[: len(batch)]
+        err = np.abs(streamed - batch).max() / (np.abs(batch).max() + 1e-9)
+        assert err < 1e-4, f"streamed/batch mismatch {err}"
 
     def test_chunk_size_must_align(self):
         from qwen3_asr_swift_tpu.models.enhancement import SpeechEnhancer
