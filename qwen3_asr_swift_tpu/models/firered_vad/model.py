@@ -1,18 +1,28 @@
-"""FireRedVAD: DFSMN voice activity detection.
+"""FireRedVAD: FSMN voice activity detection.
 
 TPU-native analog of the reference's FireRedVAD module (reference:
-Sources/SpeechVAD/FireRedVAD.swift:9-330 — a ~588K-param DFSMN network on
+Sources/SpeechVAD/FireRedVAD.swift:9-330 — a ~588K-param FSMN network on
 80-dim Kaldi log-mel fbank (25 ms / 10 ms, snip_edges), consumed there as
 an opaque CoreML artifact; post-processing: probability smoothing over a
 5-frame window, 0.4 threshold, 0.2 s min-speech / min-silence —
-FireRedVAD.swift:31-35, 417).
+FireRedVAD.swift:31-35, 417; 6000-frame chunking for long audio —
+FireRedVAD.swift:130-152).
 
-Architecture (standard DFSMN-VAD recipe): input linear → N DFSMN blocks,
-each = LayerNorm → ReLU(hidden linear) → projection linear → depthwise
-"memory" conv over time (lookback+lookahead taps, dilation 1) with skip
-connection from the previous projection → classifier → softmax(2).
-The memory convs are plain depthwise 1-D convolutions, so the entire
-utterance scores in one jitted program — no recurrence.
+The network is the published FSMN-VAD topology (the FunASR/DFSMN recipe
+FireRedVAD derives from):
+
+  fbank [T,80] → LFR stack (m=5,n=1, first-frame left padding) [T,400]
+  → affine 400→140 → affine 140→250 → ReLU
+  → N × BasicBlock( linear 250→128 (no bias)
+                    → depthwise causal memory Conv(lorder [+rorder]) + skip
+                    → affine 128→250 → ReLU )
+  → affine 250→140 → affine 140→output_pdfs → softmax
+  speech prob = 1 − P(silence pdfs)
+
+All dims are inferred from the checkpoint shapes at conversion time
+(convert.py), so size variants load without config edits.  The memory
+convs are plain depthwise 1-D convolutions, so the entire utterance
+scores in one jitted program — no recurrence.
 """
 
 from __future__ import annotations
@@ -27,7 +37,7 @@ import numpy as np
 
 from ...core import SpeechSegment, VoiceActivityDetectionModel
 from ...ops.fbank import kaldi_fbank
-from ...ops.nn import init_linear, layer_norm, linear
+from ...ops.nn import init_linear, linear
 
 
 @dataclasses.dataclass(frozen=True)
@@ -36,63 +46,104 @@ class FireRedVADConfig:
     sample_rate: int = 16000
     frame_len: int = 400        # 25 ms
     hop: int = 160              # 10 ms
-    hidden: int = 256
-    proj: int = 128
-    num_blocks: int = 6
-    lookback: int = 10
-    lookahead: int = 2
+    lfr_m: int = 5              # stacked frames (input dim = num_mels * lfr_m)
+    lfr_n: int = 1              # frame subsampling
+    in_affine: int = 140
+    linear_dim: int = 250
+    proj_dim: int = 128
+    num_blocks: int = 4
+    lorder: int = 20            # causal memory taps
+    rorder: int = 0             # lookahead taps
+    out_affine: int = 140
+    output_dim: int = 248       # senone pdfs; pdf 0 = silence
+    sil_pdfs: Tuple[int, ...] = (0,)
     # post-processing (reference: FireRedVAD.swift:31-35)
     speech_threshold: float = 0.4
     smooth_window: int = 5
     min_speech_s: float = 0.2
     min_silence_s: float = 0.2
+    max_frames: int = 6000      # long-audio chunking (FireRedVAD.swift:130)
 
 
 CONFIG_FIRERED = FireRedVADConfig()
 
 
 def config_tiny() -> FireRedVADConfig:
-    return FireRedVADConfig(num_mels=20, hidden=16, proj=8, num_blocks=2,
-                            lookback=3, lookahead=1)
+    return FireRedVADConfig(num_mels=20, lfr_m=3, in_affine=12, linear_dim=16,
+                            proj_dim=8, num_blocks=2, lorder=4, rorder=1,
+                            output_dim=4)
 
 
 def init_firered_params(key, cfg: FireRedVADConfig, dtype=jnp.float32) -> dict:
-    ks = jax.random.split(key, 3 + cfg.num_blocks)
+    ks = jax.random.split(key, 4 + cfg.num_blocks)
     params = {
-        "input": init_linear(ks[0], cfg.num_mels, cfg.proj, dtype=dtype),
+        "in1": init_linear(ks[0], cfg.num_mels * cfg.lfr_m, cfg.in_affine, dtype=dtype),
+        "in2": init_linear(ks[1], cfg.in_affine, cfg.linear_dim, dtype=dtype),
         "blocks": [],
-        "classifier": init_linear(ks[1], cfg.proj, 2, dtype=dtype),
+        "out1": init_linear(ks[2], cfg.linear_dim, cfg.out_affine, dtype=dtype),
+        "out2": init_linear(ks[3], cfg.out_affine, cfg.output_dim, dtype=dtype),
     }
-    taps = cfg.lookback + cfg.lookahead + 1
     for i in range(cfg.num_blocks):
-        k = jax.random.split(ks[3 + i], 3)
-        params["blocks"].append({
-            "ln": {"weight": jnp.ones((cfg.proj,), dtype), "bias": jnp.zeros((cfg.proj,), dtype)},
-            "hidden": init_linear(k[0], cfg.proj, cfg.hidden, dtype=dtype),
-            "proj": init_linear(k[1], cfg.hidden, cfg.proj, bias=False, dtype=dtype),
-            "memory": (jax.random.normal(k[2], (taps, 1, cfg.proj)) / taps).astype(dtype),
-        })
+        k = jax.random.split(ks[4 + i] if 4 + i < len(ks) else ks[-1], 4)
+        block = {
+            "linear": init_linear(k[0], cfg.linear_dim, cfg.proj_dim, bias=False, dtype=dtype),
+            "conv_left": (jax.random.normal(k[1], (cfg.lorder, 1, cfg.proj_dim))
+                          / cfg.lorder).astype(dtype),
+            "affine": init_linear(k[2], cfg.proj_dim, cfg.linear_dim, dtype=dtype),
+        }
+        if cfg.rorder > 0:
+            block["conv_right"] = (jax.random.normal(k[3], (cfg.rorder, 1, cfg.proj_dim))
+                                   / max(1, cfg.rorder)).astype(dtype)
+        params["blocks"].append(block)
     return params
 
 
-def dfsmn_forward(params, cfg: FireRedVADConfig, feats):
-    """feats [B, T, mels] → speech prob [B, T] (class-1 softmax)."""
-    x = linear(feats, params["input"])
+def lfr_stack(feats, m: int, n: int):
+    """Low-frame-rate stacking: frame t ← concat(feats[t-(m-1)//2 … ]),
+    left-padded by repeating the first frame (the FunASR LFR convention).
+    feats [T, D] → [ceil(T/n), D*m]."""
+    t = feats.shape[0]
+    left = (m - 1) // 2
+    padded = jnp.concatenate([jnp.repeat(feats[:1], left, axis=0), feats,
+                              jnp.repeat(feats[-1:], m, axis=0)], axis=0)
+    idx = np.arange(0, t, n)[:, None] + np.arange(m)[None, :]
+    return padded[idx].reshape(len(range(0, t, n)), -1)
+
+
+def _memory_conv(x, w, causal: bool):
+    """Depthwise memory conv over time.  w [taps, 1, D].  ``causal`` reads
+    frames t-taps+1 … t (history incl. current); otherwise frames
+    t+1 … t+taps (pure lookahead — the FSMN conv_right convention skips the
+    current frame)."""
+    taps = w.shape[0]
+    if causal:
+        xp = jnp.pad(x, ((0, 0), (taps - 1, 0), (0, 0)))
+    else:
+        xp = jnp.pad(x, ((0, 0), (0, taps), (0, 0)))[:, 1:, :]
+    y = jax.lax.conv_general_dilated(
+        xp, w, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=w.shape[-1],
+        preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
+
+
+def fsmn_forward(params, cfg: FireRedVADConfig, feats):
+    """feats [B, T, mels*lfr_m] → speech prob [B, T]."""
+    x = linear(feats, params["in1"])
+    x = linear(x, params["in2"])
+    x = jax.nn.relu(x)
     for p in params["blocks"]:
-        h = layer_norm(x, p["ln"]["weight"], p["ln"]["bias"])
-        h = jax.nn.relu(linear(h, p["hidden"]))
-        proj = linear(h, p["proj"])
-        # depthwise memory conv: pad lookback on the left, lookahead right
-        padded = jnp.pad(proj, ((0, 0), (cfg.lookback, cfg.lookahead), (0, 0)))
-        mem = jax.lax.conv_general_dilated(
-            padded, p["memory"], window_strides=(1,), padding="VALID",
-            dimension_numbers=("NHC", "HIO", "NHC"),
-            feature_group_count=cfg.proj,
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
-        x = x + proj + mem   # DFSMN skip: input + projection + memory
-    logits = linear(x, params["classifier"]).astype(jnp.float32)
-    return jax.nn.softmax(logits, axis=-1)[..., 1]
+        h = linear(x, p["linear"])                       # [B,T,proj]
+        mem = h + _memory_conv(h, p["conv_left"], causal=True)
+        if "conv_right" in p:
+            mem = mem + _memory_conv(h, p["conv_right"], causal=False)
+        x = jax.nn.relu(linear(mem, p["affine"]))
+    x = linear(x, params["out1"])
+    logits = linear(x, params["out2"]).astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    sil = probs[..., jnp.asarray(cfg.sil_pdfs)].sum(-1)
+    return 1.0 - sil
 
 
 class FireRedVAD(VoiceActivityDetectionModel):
@@ -102,7 +153,7 @@ class FireRedVAD(VoiceActivityDetectionModel):
         self.cfg = cfg
         self.params = cast_tree(params, dtype)
         self._loaded = True
-        self._forward = jax.jit(functools.partial(dfsmn_forward, cfg=cfg))
+        self._forward = jax.jit(functools.partial(fsmn_forward, cfg=cfg))
 
     @classmethod
     def init_random(cls, cfg: Optional[FireRedVADConfig] = None, seed: int = 0, **kw):
@@ -113,10 +164,11 @@ class FireRedVAD(VoiceActivityDetectionModel):
     def from_pretrained(cls, model_id: str = "aufklarer/FireRedVAD",
                         cache_dir=None, offline_mode: bool = False, **kw):
         from ...core.hub import download_weights
-        from ...core.weights import load_safetensors, unflatten
+        from .convert import convert_checkpoint
 
         model_dir = download_weights(model_id, cache_dir=cache_dir, offline_mode=offline_mode)
-        return cls(CONFIG_FIRERED, unflatten(load_safetensors(model_dir)), **kw)
+        cfg, params = convert_checkpoint(model_dir)
+        return cls(cfg, params, **kw)
 
     # -- inference -----------------------------------------------------------
 
@@ -127,8 +179,25 @@ class FireRedVAD(VoiceActivityDetectionModel):
             audio = resample(np.asarray(audio, np.float32), sample_rate, self.cfg.sample_rate)
         feats = kaldi_fbank(jnp.asarray(audio, jnp.float32), num_bins=self.cfg.num_mels,
                             frame_len=self.cfg.frame_len, hop=self.cfg.hop)
-        probs = self._forward(self.params, feats=feats[None])
-        return np.asarray(probs[0])
+        if feats.shape[0] == 0:
+            return np.zeros(0, np.float32)
+        stacked = lfr_stack(feats, self.cfg.lfr_m, self.cfg.lfr_n)
+        # long-audio chunking (reference FireRedVAD.swift:130-152).  Unlike
+        # the reference's hard cuts, chunks overlap by the network's total
+        # receptive extent and the overlap is discarded, so chunked scores
+        # equal the single-pass scores.
+        n = stacked.shape[0]
+        if n <= self.cfg.max_frames:
+            return np.asarray(self._forward(self.params, feats=stacked[None])[0])
+        left = self.cfg.lorder * self.cfg.num_blocks
+        right = self.cfg.rorder * self.cfg.num_blocks
+        out = []
+        for off in range(0, n, self.cfg.max_frames):
+            lo = max(0, off - left)
+            hi = min(n, off + self.cfg.max_frames + right)
+            probs = np.asarray(self._forward(self.params, feats=stacked[lo:hi][None])[0])
+            out.append(probs[off - lo: off - lo + self.cfg.max_frames])
+        return np.concatenate(out)
 
     def detect_speech(self, audio: np.ndarray, sample_rate: int = 16000) -> List[SpeechSegment]:
         probs = self.frame_probabilities(audio, sample_rate)
@@ -139,7 +208,7 @@ class FireRedVAD(VoiceActivityDetectionModel):
         if w > 1:
             kernel = np.ones(w) / w
             probs = np.convolve(probs, kernel, mode="same")
-        frame_s = self.cfg.hop / self.cfg.sample_rate
+        frame_s = self.cfg.hop * self.cfg.lfr_n / self.cfg.sample_rate
         speech = probs >= self.cfg.speech_threshold
         segs: List[Tuple[float, float]] = []
         start = None

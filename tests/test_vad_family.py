@@ -160,3 +160,132 @@ class TestSortformer:
 
     def test_empty_audio(self, model):
         assert model.diarize(np.zeros(0, np.float32)) == []
+
+
+class TestFireRedConvert:
+    """FSMN-VAD golden parity: a torch replica in the published FunASR
+    module naming (in_linear1/2, fsmn.{i}.linear/fsmn_block/affine,
+    out_linear1/2) converts through map_fsmn_state_dict and must match the
+    JAX forward, with every config dim inferred from shapes."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        torch = pytest.importorskip("torch")
+        nn = torch.nn
+
+        D_IN, AFF, LIN, PROJ, L, R, OUT, BLOCKS = 60, 12, 16, 8, 4, 2, 6, 3
+
+        class Affine(nn.Module):
+            def __init__(self, i, o):
+                super().__init__()
+                self.linear = nn.Linear(i, o)
+
+            def forward(self, x):
+                return self.linear(x)
+
+        class LinearT(nn.Module):
+            def __init__(self, i, o):
+                super().__init__()
+                self.linear = nn.Linear(i, o, bias=False)
+
+            def forward(self, x):
+                return self.linear(x)
+
+        class FsmnBlock(nn.Module):
+            def __init__(self, d, lorder, rorder):
+                super().__init__()
+                self.conv_left = nn.Conv2d(d, d, (lorder, 1), groups=d, bias=False)
+                self.conv_right = nn.Conv2d(d, d, (rorder, 1), groups=d, bias=False)
+                self.lorder, self.rorder = lorder, rorder
+
+            def forward(self, x):  # [T, D]
+                y = x.T[None, :, :, None]                       # [1,D,T,1]
+                left = nn.functional.pad(y, (0, 0, self.lorder - 1, 0))
+                out = x + self.conv_left(left)[0, :, :, 0].T
+                right = nn.functional.pad(y, (0, 0, 0, self.rorder))[:, :, 1:, :]
+                out = out + self.conv_right(right)[0, :, :, 0].T
+                return out
+
+        class Basic(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.linear = LinearT(LIN, PROJ)
+                self.fsmn_block = FsmnBlock(PROJ, L, R)
+                self.affine = Affine(PROJ, LIN)
+
+            def forward(self, x):
+                return torch.relu(self.affine(self.fsmn_block(self.linear(x))))
+
+        class FSMN(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.in_linear1 = Affine(D_IN, AFF)
+                self.in_linear2 = Affine(AFF, LIN)
+                self.fsmn = nn.Sequential(*[Basic() for _ in range(BLOCKS)])
+                self.out_linear1 = Affine(LIN, AFF)
+                self.out_linear2 = Affine(AFF, OUT)
+
+            def forward(self, x):
+                x = torch.relu(self.in_linear2(self.in_linear1(x)))
+                x = self.fsmn(x)
+                return torch.softmax(self.out_linear2(self.out_linear1(x)), dim=-1)
+
+        torch.manual_seed(0)
+        net = FSMN().eval()
+        sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+        from qwen3_asr_swift_tpu.models.firered_vad.convert import map_fsmn_state_dict
+
+        cfg, params = map_fsmn_state_dict(sd)
+        return net, cfg, params
+
+    def test_config_inferred_from_shapes(self, pair):
+        _, cfg, params = pair
+        assert cfg.num_blocks == 3
+        assert cfg.lorder == 4 and cfg.rorder == 2
+        assert cfg.proj_dim == 8 and cfg.linear_dim == 16
+        assert cfg.output_dim == 6
+        assert len(params["blocks"]) == 3
+        assert params["blocks"][0]["conv_left"].shape == (4, 1, 8)
+
+    def test_forward_matches_torch(self, pair):
+        torch = pytest.importorskip("torch")
+        from qwen3_asr_swift_tpu.models.firered_vad.model import fsmn_forward
+
+        net, cfg, params = pair
+        rng = np.random.default_rng(1)
+        feats = rng.standard_normal((11, 60)).astype(np.float32)
+        with torch.no_grad():
+            tp = net(torch.from_numpy(feats)).numpy()
+        speech_t = 1.0 - tp[:, list(cfg.sil_pdfs)].sum(-1)
+        import jax.numpy as jnp
+
+        speech_j = np.asarray(fsmn_forward(params, cfg, jnp.asarray(feats)[None])[0])
+        np.testing.assert_allclose(speech_j, speech_t, rtol=2e-5, atol=2e-6)
+
+    def test_lfr_stacking(self):
+        from qwen3_asr_swift_tpu.models.firered_vad.model import lfr_stack
+        import jax.numpy as jnp
+
+        feats = np.arange(12, dtype=np.float32).reshape(6, 2)
+        out = np.asarray(lfr_stack(jnp.asarray(feats), 3, 1))
+        assert out.shape == (6, 6)
+        # frame 0 stacks [repeat(f0), f0, f1]
+        np.testing.assert_allclose(out[0], np.concatenate([feats[0], feats[0], feats[1]]))
+        # frame 5 stacks [f4, f5, repeat(f5)]
+        np.testing.assert_allclose(out[5], np.concatenate([feats[4], feats[5], feats[5]]))
+
+    def test_chunked_equals_single_pass(self):
+        """Long-audio chunking overlaps by the receptive extent and discards
+        the overlap, so chunked scores equal single-pass scores (unlike the
+        reference's hard 6000-frame cuts, FireRedVAD.swift:130-152)."""
+        import dataclasses
+
+        from qwen3_asr_swift_tpu.models.firered_vad import FireRedVAD, config_tiny
+
+        m = FireRedVAD.init_random(config_tiny())
+        m2 = FireRedVAD(dataclasses.replace(config_tiny(), max_frames=20), m.params)
+        audio = (0.3 * np.random.default_rng(7).standard_normal(32000)).astype(np.float32)
+        p1 = m.frame_probabilities(audio)
+        p2 = m2.frame_probabilities(audio)
+        assert len(p1) == len(p2)
+        np.testing.assert_allclose(p1, p2, atol=1e-5)
