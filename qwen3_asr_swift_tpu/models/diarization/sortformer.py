@@ -1,19 +1,31 @@
-"""Sortformer streaming end-to-end diarizer.
+"""Sortformer streaming end-to-end diarizer — the published NeMo topology.
 
 TPU-native analog of the reference's SortformerDiarizer (reference:
 Sources/SpeechVAD/SortformerDiarizer.swift:19-360 — NeMo streaming
-Sortformer consumed as an opaque CoreML artifact: 112-mel-frame chunks
-(left 1 + core 6 + right 7 encoder frames × subsampling 8), a 188-frame
-speaker cache and 40-frame FIFO carried between chunks, per-frame
-4-speaker sigmoid predictions; SortformerConfig.swift:69-73). The
-NeMo FIFO→spkcache streaming-update semantics are reproduced exactly
+Sortformer consumed as an opaque CoreML artifact; chunking 6 s core /
+1 s left / 7 s right, a 188-frame speaker cache and 40-frame FIFO carried
+between chunks at the FastConformer embedding width, per-frame 4-speaker
+sigmoid predictions — SortformerConfig.swift:65-70).  The NeMo
+FIFO→spkcache streaming-update semantics are reproduced exactly
 (SortformerDiarizer.swift:284-360).
 
-TPU shape: one jitted chunk program — mel chunk → conv subsample →
-conformer-lite encoder → [spkcache ‖ fifo ‖ chunk] through transformer
-layers → sigmoid speaker probabilities + chunk embeddings. The ragged
-cache/fifo lengths are handled by masks over fixed-capacity buffers, so
-one compiled program serves the whole stream.
+Network (the published NeMo Sortformer graph):
+
+  NeMo log-mel (shared with Parakeet, models/parakeet/mel.py)
+  → FastConformer encoder (shared implementation with ParakeetASR —
+    models/parakeet/encoder.py: dw_striding 8× subsampling, rel-pos MHSA,
+    conv modules) → 512-d frame embeddings (these are what the spkcache /
+    FIFO hold)
+  → encoder_proj Linear 512→192 over [spkcache ‖ fifo ‖ chunk]
+  → 18-layer post-LN Transformer (d=192, ff=768 ReLU, 8 heads, no
+    positional encoding — arrival-order invariance is the point of the
+    sort objective)
+  → ReLU → first_hidden_to_hidden 192→192 → ReLU → single_hidden_to_spks
+  → sigmoid speaker probabilities.
+
+TPU shape: one jitted chunk program; the ragged cache/fifo lengths are
+masks over fixed-capacity buffers, so one compiled executable serves the
+whole stream.
 """
 
 from __future__ import annotations
@@ -29,6 +41,9 @@ import numpy as np
 from ...core import DiarizedSegment
 from ...ops.attention import NEG_INF
 from ...ops.nn import init_linear, layer_norm, linear
+from ..parakeet.config import ParakeetConfig
+from ..parakeet.encoder import encode as fastconformer_encode
+from ..parakeet.encoder import init_encoder_params, subsampled_length
 
 
 @dataclasses.dataclass(frozen=True)
@@ -38,128 +53,154 @@ class SortformerConfig:
     n_fft: int = 512
     hop_length: int = 160
     win_length: int = 400
-    # streaming chunking (reference: SortformerConfig.default)
-    chunk_frames: int = 112        # fixed mel input per chunk
-    core_frames: int = 6           # encoder frames kept per chunk
-    left_context: int = 1          # encoder frames
-    right_context: int = 7
+    # FastConformer encoder (NeMo sortformer recipe)
+    encoder_layers: int = 18
+    encoder_hidden: int = 512
+    num_heads: int = 8
+    ffn_expansion: int = 4
+    conv_kernel: int = 9
+    subsampling_channels: int = 256
     subsampling: int = 8
-    # state
+    # transformer head
+    tf_layers: int = 18
+    tf_hidden: int = 192
+    tf_ff: int = 768
+    tf_heads: int = 8
+    max_speakers: int = 4
+    # streaming chunking in seconds (reference SortformerConfig.swift:65-70)
+    chunk_len_s: float = 6.0
+    left_context_s: float = 1.0
+    right_context_s: float = 7.0
     spkcache_len: int = 188
     fifo_len: int = 40
-    d_model: int = 512
-    max_speakers: int = 4
-    # network
-    encoder_layers: int = 4
-    head_layers: int = 4
-    num_heads: int = 8
     # post
     onset: float = 0.5
     offset: float = 0.35
     min_speech_s: float = 0.2
     min_silence_s: float = 0.2
 
+    @property
+    def core_mel(self) -> int:
+        return int(self.chunk_len_s * self.sample_rate / self.hop_length)
+
+    @property
+    def left_mel(self) -> int:
+        return int(self.left_context_s * self.sample_rate / self.hop_length)
+
+    @property
+    def right_mel(self) -> int:
+        return int(self.right_context_s * self.sample_rate / self.hop_length)
+
+    @property
+    def chunk_mel(self) -> int:
+        return self.core_mel + self.left_mel + self.right_mel
+
+    @property
+    def d_model(self) -> int:
+        """Cache/FIFO embedding width = FastConformer output width."""
+        return self.encoder_hidden
+
+    def encoder_config(self) -> ParakeetConfig:
+        return ParakeetConfig(
+            num_mel_bins=self.n_mels, sample_rate=self.sample_rate,
+            n_fft=self.n_fft, hop_length=self.hop_length, win_length=self.win_length,
+            encoder_hidden=self.encoder_hidden, encoder_layers=self.encoder_layers,
+            num_heads=self.num_heads, ffn_expansion=self.ffn_expansion,
+            conv_kernel=self.conv_kernel, subsampling_channels=self.subsampling_channels)
+
 
 CONFIG_SORTFORMER = SortformerConfig()
 
 
 def config_tiny() -> SortformerConfig:
-    return SortformerConfig(n_mels=20, chunk_frames=32, core_frames=2,
-                            left_context=1, right_context=1, spkcache_len=12,
-                            fifo_len=4, d_model=16, encoder_layers=1,
-                            head_layers=1, num_heads=2, max_speakers=3)
+    return SortformerConfig(
+        n_mels=32, encoder_layers=1, encoder_hidden=16, num_heads=2,
+        ffn_expansion=2, conv_kernel=5, subsampling_channels=8,
+        tf_layers=1, tf_hidden=16, tf_ff=32, tf_heads=2, max_speakers=3,
+        chunk_len_s=0.16, left_context_s=0.08, right_context_s=0.08,
+        spkcache_len=12, fifo_len=4)
 
 
 def init_sortformer_params(key, cfg: SortformerConfig, dtype=jnp.float32) -> dict:
-    ks = jax.random.split(key, 6 + cfg.encoder_layers + cfg.head_layers)
-    d = cfg.d_model
+    ks = jax.random.split(key, 5 + cfg.tf_layers)
+    d = cfg.tf_hidden
 
-    def conv_k3s2(key, cin, cout):
-        s = 1.0 / np.sqrt(3 * cin)
-        return {"kernel": (jax.random.normal(key, (3, cin, cout)) * s).astype(dtype),
-                "bias": jnp.zeros((cout,), dtype)}
-
-    def block(key):
+    def tf_block(key):
         k = jax.random.split(key, 6)
         return {
             "ln1": {"weight": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
-            "q": init_linear(k[0], d, d, dtype=dtype), "k": init_linear(k[1], d, d, dtype=dtype),
-            "v": init_linear(k[2], d, d, dtype=dtype), "o": init_linear(k[3], d, d, dtype=dtype),
+            "q": init_linear(k[0], d, d, dtype=dtype),
+            "k": init_linear(k[1], d, d, dtype=dtype),
+            "v": init_linear(k[2], d, d, dtype=dtype),
+            "o": init_linear(k[3], d, d, dtype=dtype),
             "ln2": {"weight": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
-            "ff1": init_linear(k[4], d, 4 * d, dtype=dtype),
-            "ff2": init_linear(k[5], 4 * d, d, dtype=dtype),
+            "ff1": init_linear(k[4], d, cfg.tf_ff, dtype=dtype),
+            "ff2": init_linear(k[5], cfg.tf_ff, d, dtype=dtype),
         }
 
-    hidden = max(d // 4, 8)
     return {
-        "sub1": conv_k3s2(ks[0], cfg.n_mels, hidden),
-        "sub2": conv_k3s2(ks[1], hidden, hidden),
-        "sub3": conv_k3s2(ks[2], hidden, hidden),
-        "sub_out": init_linear(ks[3], hidden, d, dtype=dtype),
-        "encoder": [block(ks[6 + i]) for i in range(cfg.encoder_layers)],
-        "head": [block(ks[6 + cfg.encoder_layers + i]) for i in range(cfg.head_layers)],
-        "classifier": init_linear(ks[4], d, cfg.max_speakers, dtype=dtype),
+        "encoder": init_encoder_params(ks[0], cfg.encoder_config(), dtype=dtype),
+        "encoder_proj": init_linear(ks[1], cfg.encoder_hidden, d, dtype=dtype),
+        "transformer": [tf_block(ks[5 + i]) for i in range(cfg.tf_layers)],
+        "head": {
+            "hidden": init_linear(ks[2], d, d, dtype=dtype),
+            "spks": init_linear(ks[3], d, cfg.max_speakers, dtype=dtype),
+        },
     }
 
 
-def _attn_block(p, x, mask, num_heads):
+def _tf_block(p, x, mask, num_heads):
+    """NeMo post-LN Transformer block: attn → +res → LN1 → ReLU-FFN → +res
+    → LN2 (nemo TransformerEncoderBlock, pre_ln=False)."""
     b, t, d = x.shape
     hd = d // num_heads
-    h = layer_norm(x, p["ln1"]["weight"], p["ln1"]["bias"])
-    q = linear(h, p["q"]).reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
-    k = linear(h, p["k"]).reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
-    v = linear(h, p["v"]).reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
+    q = linear(x, p["q"]).reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
+    k = linear(x, p["k"]).reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
+    v = linear(x, p["v"]).reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
                         k.astype(jnp.float32)) / np.sqrt(hd)
     if mask is not None:
         scores = scores + mask
     probs = jax.nn.softmax(scores, axis=-1)
     o = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(jnp.float32))
-    x = x + linear(o.transpose(0, 2, 1, 3).reshape(b, t, d).astype(x.dtype), p["o"])
-    h2 = layer_norm(x, p["ln2"]["weight"], p["ln2"]["bias"])
-    return x + linear(jax.nn.gelu(linear(h2, p["ff1"])), p["ff2"])
+    attn = linear(o.transpose(0, 2, 1, 3).reshape(b, t, d).astype(x.dtype), p["o"])
+    x = layer_norm(x + attn, p["ln1"]["weight"], p["ln1"]["bias"])
+    ff = linear(jax.nn.relu(linear(x, p["ff1"])), p["ff2"])
+    return layer_norm(x + ff, p["ln2"]["weight"], p["ln2"]["bias"])
 
 
 def sortformer_chunk(params, cfg: SortformerConfig, chunk_mel, chunk_len,
                      spkcache, spk_len, fifo, fifo_len):
     """One streaming chunk.
 
-    chunk_mel [chunk_frames, mels]; chunk_len scalar (valid mel frames);
-    spkcache [spkcache_len, D]; fifo [fifo_len, D]; lengths int32.
-    Returns (preds [total, max_speakers] fp32 sigmoid, embs [emb_cap, D],
-    n_emb) where total = spkcache_len + fifo_len + emb_cap."""
-
-    def s2(x, p):
-        y = jax.lax.conv_general_dilated(
-            x, p["kernel"], window_strides=(2,), padding="SAME",
-            dimension_numbers=("NHC", "HIO", "NHC"),
-            preferred_element_type=jnp.float32) + p["bias"]
-        return jax.nn.relu(y).astype(x.dtype)
-
-    x = chunk_mel[None]
-    x = s2(x, params["sub1"])
-    x = s2(x, params["sub2"])
-    x = s2(x, params["sub3"])
-    embs = linear(x, params["sub_out"])                      # [1, emb_cap, D]
+    chunk_mel [chunk_mel_frames, mels] (normalized NeMo log-mel);
+    chunk_len scalar (valid mel frames); spkcache [spkcache_len, D];
+    fifo [fifo_len, D]; lengths int32.  Returns (preds [total, max_speakers]
+    fp32 sigmoid, embs [emb_cap, D], n_emb) where
+    total = spkcache_len + fifo_len + emb_cap."""
+    embs, n_out = fastconformer_encode(
+        params["encoder"], chunk_mel[None], jnp.asarray(chunk_len)[None],
+        cfg.encoder_config())
     emb_cap = embs.shape[1]
-    n_emb = jnp.minimum((chunk_len + cfg.subsampling - 1) // cfg.subsampling, emb_cap)
-
+    n_emb = jnp.minimum(n_out[0], emb_cap)
     emb_valid = jnp.arange(emb_cap) < n_emb
-    mask = jnp.where(emb_valid[None, None, None, :], 0.0, NEG_INF).astype(jnp.float32)
-    for p in params["encoder"]:
-        embs = _attn_block(p, embs, mask, cfg.num_heads)
 
     seq = jnp.concatenate([spkcache[None], fifo[None], embs], axis=1)
+    x = linear(seq, params["encoder_proj"])
     valid = jnp.concatenate([
         jnp.arange(cfg.spkcache_len) < spk_len,
         jnp.arange(cfg.fifo_len) < fifo_len,
         emb_valid,
     ])
     mask = jnp.where(valid[None, None, None, :], 0.0, NEG_INF).astype(jnp.float32)
-    h = seq
-    for p in params["head"]:
-        h = _attn_block(p, h, mask, cfg.num_heads)
-    preds = jax.nn.sigmoid(linear(h, params["classifier"]).astype(jnp.float32))[0]
+    for p in params["transformer"]:
+        x = _tf_block(p, x, mask, cfg.tf_heads)
+
+    # forward_speaker_sigmoids: ReLU → hidden → ReLU → spks → sigmoid
+    h = jax.nn.relu(x)
+    h = linear(h, params["head"]["hidden"])
+    h = jax.nn.relu(h)
+    preds = jax.nn.sigmoid(linear(h, params["head"]["spks"]).astype(jnp.float32))[0]
     return preds, embs[0], n_emb
 
 
@@ -184,10 +225,11 @@ class SortformerDiarizer:
     def from_pretrained(cls, model_id: str = "nvidia/diar_streaming_sortformer_4spk-v2",
                         cache_dir=None, offline_mode: bool = False, **kw):
         from ...core.hub import download_weights
-        from ...core.weights import load_safetensors, unflatten
+        from .sortformer_convert import convert_checkpoint
 
         model_dir = download_weights(model_id, cache_dir=cache_dir, offline_mode=offline_mode)
-        return cls(CONFIG_SORTFORMER, unflatten(load_safetensors(model_dir)), **kw)
+        cfg, params = convert_checkpoint(model_dir)
+        return cls(cfg, params, **kw)
 
     def reset_state(self):
         cfg = self.cfg
@@ -231,7 +273,7 @@ class SortformerDiarizer:
     def diarize(self, audio: np.ndarray, sample_rate: int = 16000,
                 progress_handler=None) -> List[DiarizedSegment]:
         from ...audio.resample import resample
-        from ...ops.mel import mel_filterbank
+        from ..parakeet.mel import nemo_log_mel_reference
 
         cfg = self.cfg
         if sample_rate != cfg.sample_rate:
@@ -241,17 +283,11 @@ class SortformerDiarizer:
             return []
         self.reset_state()
 
-        # mel for the whole clip (host-side framing, device matmuls)
-        n_frames = max(1, 1 + (len(audio) - cfg.win_length) // cfg.hop_length)
-        idx = np.arange(n_frames)[:, None] * cfg.hop_length + np.arange(cfg.n_fft)[None, :]
-        padded = np.pad(audio, (0, max(0, idx.max() + 1 - len(audio))))
-        frames = padded[idx] * np.hanning(cfg.n_fft)
-        spec = np.abs(np.fft.rfft(frames, axis=-1)) ** 2
-        fb = mel_filterbank(cfg.n_mels, cfg.n_fft // 2 + 1, cfg.sample_rate, cfg.n_fft)
-        mel = np.log(spec @ fb + 1e-10).astype(np.float32)   # [T, mels]
+        mel = np.asarray(nemo_log_mel_reference(audio, cfg.encoder_config()))  # [T, mels]
+        n_frames = mel.shape[0]
 
         sub = cfg.subsampling
-        core_mel = cfg.core_frames * sub
+        core_mel = cfg.core_mel
         all_probs: List[np.ndarray] = []
         stt = 0
         chunk_i = 0
@@ -260,26 +296,26 @@ class SortformerDiarizer:
             chunk_i += 1
             if progress_handler:
                 progress_handler(chunk_i / total_chunks, f"Diarizing {chunk_i}/{total_chunks}")
-            left = min(cfg.left_context * sub, stt)
+            left = min(cfg.left_mel, stt)
             end = min(stt + core_mel, n_frames)
-            right = min(cfg.right_context * sub, n_frames - end)
+            right = min(cfg.right_mel, n_frames - end)
             piece = mel[stt - left: end + right]
-            chunk = np.zeros((cfg.chunk_frames, cfg.n_mels), np.float32)
-            chunk[: min(len(piece), cfg.chunk_frames)] = piece[: cfg.chunk_frames]
+            chunk = np.zeros((cfg.chunk_mel, cfg.n_mels), np.float32)
+            chunk[: min(len(piece), cfg.chunk_mel)] = piece[: cfg.chunk_mel]
 
             preds, embs, n_emb = self._chunk(
                 self.params, chunk_mel=jnp.asarray(chunk),
-                chunk_len=jnp.asarray(min(len(piece), cfg.chunk_frames), jnp.int32),
+                chunk_len=jnp.asarray(min(len(piece), cfg.chunk_mel), jnp.int32),
                 spkcache=jnp.asarray(self._spkcache), spk_len=jnp.asarray(self._spk_len, jnp.int32),
                 fifo=jnp.asarray(self._fifo), fifo_len=jnp.asarray(self._fifo_len, jnp.int32))
             preds, embs, n_emb = np.asarray(preds), np.asarray(embs), int(n_emb)
 
-            lc = (left + sub - 1) // sub if left else 0
-            rc = (right + sub - 1) // sub if right else 0
+            lc = subsampled_length(left) if left else 0
+            rc = n_emb - subsampled_length(left + (end - stt)) if right else 0
             core_len = max(0, n_emb - lc - rc)
             off = cfg.spkcache_len + cfg.fifo_len + lc
             all_probs.append(preds[off: off + core_len])
-            self._update_state(embs[:n_emb])
+            self._update_state(embs[lc: lc + core_len])
             stt = end
 
         probs = np.concatenate(all_probs) if all_probs else np.zeros((0, cfg.max_speakers))

@@ -62,13 +62,27 @@ def convert_encoder(sd: Dict[str, np.ndarray], cfg: ParakeetConfig) -> dict:
         p["bias"] = sd.get(f"{name}.bias", np.zeros(sd[f"{name}.weight"].shape[0])).astype(np.float32)
         return p
 
+    def sub_out_lin(name):
+        # NeMo flattens the subsampled map channel-major ([B,T,C,F] →
+        # [B,T,C·F]); our encoder flattens freq-major ([B,T,F,C] → F·C),
+        # so reorder the Linear's input columns accordingly.
+        w = sd[f"{name}.weight"]                    # [d, C*F]
+        c = sd[f"{e}.pre_encode.conv.0.weight"].shape[0]
+        d_out, cf = w.shape
+        f = cf // c
+        w = w.reshape(d_out, c, f).transpose(0, 2, 1).reshape(d_out, cf)
+        p = {"kernel": np.ascontiguousarray(w.T).astype(np.float32)}
+        if f"{name}.bias" in sd:
+            p["bias"] = sd[f"{name}.bias"].astype(np.float32)
+        return p
+
     params = {
         "sub_conv1": conv2d_w(f"{e}.pre_encode.conv.0"),
         "sub_dw2": dw2d_w(f"{e}.pre_encode.conv.2"),
         "sub_pw2": conv2d_w(f"{e}.pre_encode.conv.3"),
         "sub_dw3": dw2d_w(f"{e}.pre_encode.conv.5"),
         "sub_pw3": conv2d_w(f"{e}.pre_encode.conv.6"),
-        "sub_out": _lin(sd, f"{e}.pre_encode.out"),
+        "sub_out": sub_out_lin(f"{e}.pre_encode.out"),
         # NeMo carries per-layer pos biases; these top-level copies are a
         # fallback for layers missing their own (never the case in practice).
         "pos_u": sd[f"{e}.layers.0.self_attn.pos_bias_u"].astype(np.float32),
