@@ -1,43 +1,48 @@
 """VoxCPM2 studio TTS: dual MiniCPM4 LMs + FSQ bottleneck + patch-level
-conditional-flow-matching DiT + AudioVAE, 48 kHz.
+conditional-flow-matching LocDiT + DAC-style AudioVAE (16 kHz analysis /
+48 kHz synthesis).
 
-TPU-native analog of the reference's VoxCPM2TTS module (reference:
-Sources/VoxCPM2TTS/VoxCPM2TTS.swift:29-1450, MiniCPM4.swift:1-760,
-AudioVAE.swift). Architecture mirrored:
+TPU-native implementation of the reference's VoxCPM2TTS module, component
+for component (reference: Sources/VoxCPM2TTS/VoxCPM2TTS.swift:29-1450,
+MiniCPM4.swift, AudioVAE.swift, Configuration.swift:36-250):
 
-- **AudioVAE**: strided causal conv encoder wave→latents (latent_dim per
-  ``chunk_size`` samples) and transpose-conv decoder back to 48 kHz
-  (reference: AudioVAE.swift; encodeAudio pads to patch multiples —
-  VoxCPM2TTS.swift:1040-1073).
-- **LocEnc**: per-patch transformer with a learned special token; the
-  special-token output embeds a patch of ``patch_size`` latents
-  (reference: VoxCPMLocEnc, VoxCPM2TTS.swift:94-95).
+- **AudioVAE** (vae.py): causal Snake/residual-unit encoder (strides
+  2·5·8·8 at 16 kHz → 64-d latents @25 Hz) and transpose-conv decoder with
+  per-sample-rate scale/bias tables (strides 8·6·5·2·2·2 → 48 kHz).
+- **LocEnc**: MiniCPM transformer over each patch of 4 latents plus a
+  learned special token; the special-token output is the patch embedding
+  (reference: VoxCPMLocEnc, MiniCPM4.swift:480-540).
 - **base_lm / residual_lm**: MiniCPM4 transformers with µP scaling
-  (scale_emb on embeddings, scale_depth/√L on residuals — reference:
-  MiniCPM4.swift:346-390) over text+audio-patch embeddings; the base
-  LM's audio positions pass through an **FSQ scalar-quantization layer**
-  (in_proj → round to a (2·scale+1)-level grid → out_proj — reference:
-  ScalarQuantizationLayer, VoxCPM2TTS.swift:15-27).
-- **UnifiedCFM / LocDiT**: per-step the concatenated [base, residual]
-  hidden conditions a patch DiT; Euler ODE with **CFG-Zero***: the first
-  ~4% steps take zero velocity, and guidance projects the positive
-  branch onto the negative one (reference: MiniCPM4.swift:675-730).
-- **stop head**: 2-class linear over silu(stop_proj(h)) checked each
-  step (reference: VoxCPM2TTS.swift:1394-1399).
+  (scale_emb=12 on embeddings, scale_depth/√L residuals —
+  MiniCPM4.swift:346-390); the residual LM runs without RoPE
+  (Configuration.swift:239 residualLMNoRope).  Audio positions of the base
+  LM output pass through the **FSQ scalar-quantization layer** (512-d
+  in_proj → tanh → round to a (2·9+1)-level grid → out_proj —
+  ScalarQuantizationLayer, VoxCPM2TTS.swift:11-27).
+- **UnifiedCFM / LocDiTV2**: per step the DiT consumes the token sequence
+  [mu(2 tokens from lm/res projections), time token (t-emb + Δt-emb),
+  cond patch tokens, noisy patch tokens] through a bidirectional MiniCPM
+  decoder and returns the velocity for the x tokens
+  (MiniCPM4.swift:577-651).  The Euler solver uses the sway-shaped time
+  span ``t + (cos(πt/2) − 1 + t)`` and **CFG-Zero*** (zero velocity on the
+  first ~4% of steps, guidance projected onto the negative branch —
+  MiniCPM4.swift:152-166, 675-730).
+- **stop head**: 2-class linear over silu(stop_proj(h)), checked before
+  each LM advance (VoxCPM2TTS.swift:1394-1399).
 - Voice cloning: reference audio is VAE-encoded and spliced into the
   prefix between tokens 103/104 with complementary text/audio masks
-  (reference: VoxCPM2TTS.swift:1160-1260).
+  (VoxCPM2TTS.swift:1160-1260).
 
 TPU shape: prefill + the whole AR loop (CFM scan nested inside a
 ``lax.while_loop`` with static KV caches) is ONE jitted program; the VAE
-decode is a second. maxTokens is a static bucket.
+encode/decode are separate conv programs.  maxTokens is a static bucket.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -47,52 +52,91 @@ from ...core import AudioChunk, SpeechGenerationModel
 from ...ops.attention import NEG_INF, sdpa
 from ...ops.kv_cache import after_prefill, after_token, init_cache, write_prompt, write_token
 from ...ops.nn import init_linear, linear, rms_norm, swiglu_mlp
-from ...ops.rope import apply_rope, rope_angles
-from ..qwen3_tts.codec import _conv_init, causal_transpose_conv1d
+from .vae import (
+    AudioVAEConfig,
+    CONFIG_VAE,
+    init_vae_params,
+    vae_config_tiny,
+    vae_decode,
+    vae_encode,
+)
+
+
+class ModDims(NamedTuple):
+    """Per-transformer geometry (base/residual/enc/dit differ only here —
+    the reference builds them all from one LMConfig, VoxCPM2TTS.swift:75-110)."""
+    layers: int
+    hidden: int
+    heads: int
+    kv_heads: int
+    head_dim: int
+    inter: int
+    rope: bool
 
 
 @dataclasses.dataclass(frozen=True)
 class VoxCPM2Config:
-    # base LM (MiniCPM4-ish)
+    # base LM (MiniCPM4 — Configuration.swift:39-57)
     hidden_size: int = 2048
-    num_layers: int = 24
+    num_layers: int = 28
     num_heads: int = 16
     num_kv_heads: int = 2
-    head_dim: int = 128
+    head_dim: int = 128          # kv_channels
     intermediate_size: int = 6144
     vocab_size: int = 73448
-    rope_theta: float = 1e5
-    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1e4
+    rms_norm_eps: float = 1e-5
     scale_emb: float = 12.0
     scale_depth: float = 1.4
-    # residual LM
-    res_layers: int = 6
-    # patching / latents
+    # residual LM (Configuration.swift:238-239)
+    res_layers: int = 8
+    # patching / latents (Configuration.swift:234-237)
     latent_dim: int = 64
-    patch_size: int = 2
-    fsq_latent: int = 64
+    patch_size: int = 4
+    fsq_latent: int = 512
     fsq_scale: int = 9
-    # LocEnc / DiT
-    enc_hidden: int = 512
-    enc_layers: int = 4
-    enc_heads: int = 8
-    dit_hidden: int = 512
-    dit_layers: int = 6
-    dit_heads: int = 8
+    # LocEnc / LocDiT (EncoderConfig/DiTConfig defaults)
+    enc_hidden: int = 1024
+    enc_layers: int = 12
+    enc_heads: int = 16
+    enc_inter: int = 4096
+    dit_hidden: int = 1024
+    dit_layers: int = 12
+    dit_heads: int = 16
+    dit_inter: int = 4096
     cfm_steps: int = 10
     cfg_value: float = 2.0
     # AudioVAE
-    vae_strides: tuple = (16, 20)   # chunk_size = 320 samples / latent @48k
-    sample_rate: int = 48000
+    vae: AudioVAEConfig = CONFIG_VAE
     max_tokens: int = 500
+    min_tokens: int = 2
     # special ids (reference: VoxCPM2TTS.swift:1170-1232)
     audio_start_id: int = 103
     audio_end_id: int = 104
     text_end_id: int = 101
 
     @property
+    def sample_rate(self) -> int:
+        return self.vae.out_sample_rate
+
+    @property
     def chunk_size(self) -> int:
-        return int(np.prod(self.vae_strides))
+        return self.vae.hop_length
+
+    def dims(self, which: str) -> ModDims:
+        if which == "base":
+            return ModDims(self.num_layers, self.hidden_size, self.num_heads,
+                           self.num_kv_heads, self.head_dim, self.intermediate_size, True)
+        if which == "residual":
+            return ModDims(self.res_layers, self.hidden_size, self.num_heads,
+                           self.num_kv_heads, self.head_dim, self.intermediate_size, False)
+        if which == "enc":
+            return ModDims(self.enc_layers, self.enc_hidden, self.enc_heads,
+                           self.enc_heads, self.head_dim, self.enc_inter, True)
+        if which == "dit":
+            return ModDims(self.dit_layers, self.dit_hidden, self.dit_heads,
+                           self.dit_heads, self.head_dim, self.dit_inter, True)
+        raise KeyError(which)
 
 
 CONFIG_2B = VoxCPM2Config()
@@ -102,212 +146,218 @@ def config_tiny() -> VoxCPM2Config:
     return VoxCPM2Config(hidden_size=32, num_layers=2, num_heads=2, num_kv_heads=1,
                          head_dim=16, intermediate_size=64, vocab_size=300,
                          res_layers=1, latent_dim=8, patch_size=2, fsq_latent=8,
-                         enc_hidden=16, enc_layers=1, enc_heads=2, dit_hidden=16,
-                         dit_layers=1, dit_heads=2, cfm_steps=2,
-                         vae_strides=(4, 8), max_tokens=6)
+                         enc_hidden=16, enc_layers=1, enc_heads=2, enc_inter=32,
+                         dit_hidden=16, dit_layers=1, dit_heads=2, dit_inter=32,
+                         cfm_steps=2, vae=vae_config_tiny(), max_tokens=6)
 
 
 # ---------------------------------------------------------------------------
 # init
 # ---------------------------------------------------------------------------
 
-def _lm_layers_init(key, n_layers, h, inter, n_heads, n_kv, hd, dtype):
+def _lm_init(key, dims: ModDims, dtype):
     layers = []
-    for i in range(n_layers):
+    for i in range(dims.layers):
         k = jax.random.split(jax.random.fold_in(key, i), 7)
         layers.append({
-            "input_layernorm": {"weight": jnp.ones((h,), dtype)},
-            "post_attention_layernorm": {"weight": jnp.ones((h,), dtype)},
-            "q_proj": init_linear(k[0], h, n_heads * hd, bias=False, dtype=dtype),
-            "k_proj": init_linear(k[1], h, n_kv * hd, bias=False, dtype=dtype),
-            "v_proj": init_linear(k[2], h, n_kv * hd, bias=False, dtype=dtype),
-            "o_proj": init_linear(k[3], n_heads * hd, h, bias=False, dtype=dtype),
-            "mlp": {
-                "gate_proj": init_linear(k[4], h, inter, bias=False, dtype=dtype),
-                "up_proj": init_linear(k[5], h, inter, bias=False, dtype=dtype),
-                "down_proj": init_linear(k[6], inter, h, bias=False, dtype=dtype),
-            },
+            "input_layernorm": {"weight": jnp.ones((dims.hidden,), dtype)},
+            "post_attention_layernorm": {"weight": jnp.ones((dims.hidden,), dtype)},
+            "q_proj": init_linear(k[0], dims.hidden, dims.heads * dims.head_dim,
+                                  bias=False, dtype=dtype),
+            "k_proj": init_linear(k[1], dims.hidden, dims.kv_heads * dims.head_dim,
+                                  bias=False, dtype=dtype),
+            "v_proj": init_linear(k[2], dims.hidden, dims.kv_heads * dims.head_dim,
+                                  bias=False, dtype=dtype),
+            "o_proj": init_linear(k[3], dims.heads * dims.head_dim, dims.hidden,
+                                  bias=False, dtype=dtype),
+            "mlp": {"gate_proj": init_linear(k[4], dims.hidden, dims.inter, bias=False, dtype=dtype),
+                    "up_proj": init_linear(k[5], dims.hidden, dims.inter, bias=False, dtype=dtype),
+                    "down_proj": init_linear(k[6], dims.inter, dims.hidden, bias=False, dtype=dtype)},
         })
-    return layers
-
-
-def _block_init(key, d, heads, dtype):
-    k = jax.random.split(key, 6)
-    return {
-        "ln1": {"weight": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
-        "q": init_linear(k[0], d, d, dtype=dtype), "k": init_linear(k[1], d, d, dtype=dtype),
-        "v": init_linear(k[2], d, d, dtype=dtype), "o": init_linear(k[3], d, d, dtype=dtype),
-        "ln2": {"weight": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
-        "ff1": init_linear(k[4], d, 4 * d, dtype=dtype),
-        "ff2": init_linear(k[5], 4 * d, d, dtype=dtype),
-    }
+    return {"layers": layers, "norm": {"weight": jnp.ones((dims.hidden,), dtype)}}
 
 
 def init_voxcpm2_params(key, cfg: VoxCPM2Config, dtype=jnp.float32) -> dict:
     ks = jax.random.split(key, 24)
     h, d_lat = cfg.hidden_size, cfg.latent_dim
+    base = _lm_init(ks[1], cfg.dims("base"), dtype)
+    base["embed_tokens"] = (jax.random.normal(ks[0], (cfg.vocab_size, h)) * 0.02).astype(dtype)
     return {
-        "embed_tokens": (jax.random.normal(ks[0], (cfg.vocab_size, h)) * 0.02).astype(dtype),
-        "base_lm": {"layers": _lm_layers_init(ks[1], cfg.num_layers, h, cfg.intermediate_size,
-                                              cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, dtype),
-                    "norm": {"weight": jnp.ones((h,), dtype)}},
-        "residual_lm": {"layers": _lm_layers_init(ks[2], cfg.res_layers, h, cfg.intermediate_size,
-                                                  cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, dtype),
-                        "norm": {"weight": jnp.ones((h,), dtype)}},
+        "base_lm": base,
+        "residual_lm": _lm_init(ks[2], cfg.dims("residual"), dtype),
         "feat_encoder": {
+            "special_token": jnp.zeros((cfg.enc_hidden,), dtype),
             "in_proj": init_linear(ks[3], d_lat, cfg.enc_hidden, dtype=dtype),
-            "special_token": (jax.random.normal(ks[4], (cfg.enc_hidden,)) * 0.02).astype(dtype),
-            "blocks": [_block_init(jax.random.fold_in(ks[5], i), cfg.enc_hidden, cfg.enc_heads, dtype)
-                       for i in range(cfg.enc_layers)],
+            "encoder": _lm_init(ks[4], cfg.dims("enc"), dtype),
         },
         "enc_to_lm_proj": init_linear(ks[6], cfg.enc_hidden, h, dtype=dtype),
-        "fsq": {"in_proj": init_linear(ks[7], h, cfg.fsq_latent, dtype=dtype),
-                "out_proj": init_linear(ks[8], cfg.fsq_latent, h, dtype=dtype)},
+        "fsq_layer": {"in_proj": init_linear(ks[7], h, cfg.fsq_latent, dtype=dtype),
+                      "out_proj": init_linear(ks[8], cfg.fsq_latent, h, dtype=dtype)},
         "fusion_concat_proj": init_linear(ks[9], 2 * h, h, dtype=dtype),
         "lm_to_dit_proj": init_linear(ks[10], h, cfg.dit_hidden, dtype=dtype),
         "res_to_dit_proj": init_linear(ks[11], h, cfg.dit_hidden, dtype=dtype),
         "stop_proj": init_linear(ks[12], h, h, dtype=dtype),
         "stop_head": init_linear(ks[13], h, 2, bias=False, dtype=dtype),
-        "dit": {
+        "feat_decoder": {"estimator": {
             "in_proj": init_linear(ks[14], d_lat, cfg.dit_hidden, dtype=dtype),
             "cond_proj": init_linear(ks[15], d_lat, cfg.dit_hidden, dtype=dtype),
-            "mu_proj": init_linear(ks[16], 2 * cfg.dit_hidden, cfg.dit_hidden, dtype=dtype),
-            "time_mlp": {"w1": init_linear(ks[17], cfg.dit_hidden, cfg.dit_hidden, dtype=dtype),
-                         "w2": init_linear(ks[18], cfg.dit_hidden, cfg.dit_hidden, dtype=dtype)},
-            "blocks": [_block_init(jax.random.fold_in(ks[19], i), cfg.dit_hidden, cfg.dit_heads, dtype)
-                       for i in range(cfg.dit_layers)],
-            "out_proj": init_linear(ks[20], cfg.dit_hidden, d_lat, dtype=dtype),
-        },
-        "audio_vae": {
-            "enc1": _conv_init(ks[21], cfg.vae_strides[0] * 2, 1, 32, dtype=dtype),
-            "enc2": _conv_init(ks[22], cfg.vae_strides[1] * 2, 32, d_lat, dtype=dtype),
-            "dec1": _conv_init(ks[23], cfg.vae_strides[1] * 2, d_lat, 32, dtype=dtype),
-            "dec2": _conv_init(jax.random.fold_in(ks[23], 1), cfg.vae_strides[0] * 2, 32, 1, dtype=dtype),
-        },
+            "out_proj": init_linear(ks[16], cfg.dit_hidden, d_lat, dtype=dtype),
+            "time_mlp": {"linear_1": init_linear(ks[17], cfg.dit_hidden, 4 * cfg.dit_hidden, dtype=dtype),
+                         "linear_2": init_linear(ks[18], 4 * cfg.dit_hidden, cfg.dit_hidden, dtype=dtype)},
+            "delta_time_mlp": {"linear_1": init_linear(ks[19], cfg.dit_hidden, 4 * cfg.dit_hidden, dtype=dtype),
+                               "linear_2": init_linear(ks[20], 4 * cfg.dit_hidden, cfg.dit_hidden, dtype=dtype)},
+            "decoder": _lm_init(ks[21], cfg.dims("dit"), dtype),
+        }},
+        "audio_vae": init_vae_params(ks[22], cfg.vae, dtype=jnp.float32),
     }
 
 
 # ---------------------------------------------------------------------------
-# sub-modules
+# MiniCPM core
 # ---------------------------------------------------------------------------
 
-def vae_encode(p, cfg: VoxCPM2Config, wave):
-    """wave [B, S] → latents [B, S/chunk, latent_dim] (strided causal convs)."""
-    x = wave[:, :, None]
-    x = jax.nn.gelu(_strided_conv(x, p["enc1"], cfg.vae_strides[0]))
-    return _strided_conv(x, p["enc2"], cfg.vae_strides[1])
+def _rope_cos_sin(lm, positions, dims: ModDims, cfg):
+    """LongRoPE cos/sin [..., P, head_dim/2].  Factors/scaling come from the
+    checkpoint when present (MiniCPM4.swift:36-92); with max==original
+    position embeddings the scaling factor is 1 and factors default to 1."""
+    half = dims.head_dim // 2
+    inv = lm.get("rope_inv_freq")
+    if inv is None:
+        inv = jnp.asarray(1.0 / (cfg.rope_theta ** (np.arange(half) / half)), jnp.float32)
+    scale = lm.get("rope_scale", 1.0)
+    ang = positions.astype(jnp.float32)[..., None] * inv
+    return jnp.cos(ang) * scale, jnp.sin(ang) * scale
 
 
-def _strided_conv(x, p, stride):
-    k = p["kernel"].shape[0]
-    x = jnp.pad(x, ((0, 0), (k - stride, 0), (0, 0)))
-    return jax.lax.conv_general_dilated(
-        x, p["kernel"], window_strides=(stride,), padding="VALID",
-        dimension_numbers=("NHC", "HIO", "NHC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype) + p.get("bias", 0)
+def _apply_rope(x, cos, sin):
+    half = x.shape[-1] // 2
+    x1 = x[..., :half].astype(jnp.float32)
+    x2 = x[..., half:].astype(jnp.float32)
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1).astype(x.dtype)
 
 
-def vae_decode(p, cfg: VoxCPM2Config, latents):
-    """latents [B, T, latent_dim] → wave [B, T*chunk]."""
-    h = jax.nn.gelu(causal_transpose_conv1d(latents, p["dec1"], cfg.vae_strides[1]))
-    return jnp.tanh(causal_transpose_conv1d(h, p["dec2"], cfg.vae_strides[0]))[..., 0]
-
-
-def _transformer(blocks, x, heads, mask=None):
-    from ...ops.nn import layer_norm
-
-    b, t, d = x.shape
-    hd = d // heads
-    for p in blocks:
-        h = layer_norm(x, p["ln1"]["weight"], p["ln1"]["bias"])
-        q = linear(h, p["q"]).reshape(b, t, heads, hd).transpose(0, 2, 1, 3)
-        k = linear(h, p["k"]).reshape(b, t, heads, hd).transpose(0, 2, 1, 3)
-        v = linear(h, p["v"]).reshape(b, t, heads, hd).transpose(0, 2, 1, 3)
-        a = sdpa(q, k, v, 1.0 / np.sqrt(hd), mask)
-        x = x + linear(a.transpose(0, 2, 1, 3).reshape(b, t, d), p["o"])
-        h2 = layer_norm(x, p["ln2"]["weight"], p["ln2"]["bias"])
-        x = x + linear(jax.nn.gelu(linear(h2, p["ff1"])), p["ff2"])
-    return x
-
-
-def loc_enc(p, cfg: VoxCPM2Config, patches):
-    """patches [B, T, patch, latent] → patch embeddings [B, T, enc_hidden]
-    (special-token readout)."""
-    b, t, ps, dl = patches.shape
-    x = linear(patches.reshape(b * t, ps, dl), p["in_proj"])
-    tok = jnp.broadcast_to(p["special_token"][None, None], (b * t, 1, x.shape[-1]))
-    x = jnp.concatenate([tok, x], axis=1)
-    x = _transformer(p["blocks"], x, cfg.enc_heads)
-    return x[:, 0].reshape(b, t, -1)
-
-
-def fsq(p, cfg: VoxCPM2Config, x):
-    """Scalar quantization: in_proj → round to (2·scale+1) levels → out_proj
-    (reference: ScalarQuantizationLayer)."""
-    z = jnp.tanh(linear(x, p["in_proj"]).astype(jnp.float32))
-    z = jnp.round(z * cfg.fsq_scale) / cfg.fsq_scale
-    return linear(z.astype(x.dtype), p["out_proj"])
-
-
-def _minicpm_layer(p, x, positions, mask, cache_layer, cfg, decode, cursor=None):
+def _minicpm_layer(p, x, cos_sin, mask, dims: ModDims, cfg, cache_layer=None,
+                   decode=False, cursor=None):
     b, t, _ = x.shape
-    hd = cfg.head_dim
-    res_scale = cfg.scale_depth / np.sqrt(cfg.num_layers)
+    hd = dims.head_dim
+    res_scale = cfg.scale_depth / np.sqrt(dims.layers)
     h = rms_norm(x, p["input_layernorm"]["weight"], cfg.rms_norm_eps)
-    q = linear(h, p["q_proj"]).reshape(b, t, cfg.num_heads, hd)
-    k = linear(h, p["k_proj"]).reshape(b, t, cfg.num_kv_heads, hd)
-    v = linear(h, p["v_proj"]).reshape(b, t, cfg.num_kv_heads, hd)
-    cos, sin = rope_angles(positions, hd, cfg.rope_theta)
-    cos, sin = cos[:, None], sin[:, None]
-    q = apply_rope(q.transpose(0, 2, 1, 3), cos, sin)
-    k = apply_rope(k.transpose(0, 2, 1, 3), cos, sin)
-    v = v.transpose(0, 2, 1, 3)
-    if decode:
-        upd = write_token(cache_layer, k, v, cursor)
-        a = sdpa(q, upd.k, upd.v, 1.0 / np.sqrt(hd), mask)
+    q = linear(h, p["q_proj"]).reshape(b, t, dims.heads, hd).transpose(0, 2, 1, 3)
+    k = linear(h, p["k_proj"]).reshape(b, t, dims.kv_heads, hd).transpose(0, 2, 1, 3)
+    v = linear(h, p["v_proj"]).reshape(b, t, dims.kv_heads, hd).transpose(0, 2, 1, 3)
+    if cos_sin is not None:
+        cos, sin = cos_sin
+        q = _apply_rope(q, cos[:, None], sin[:, None])
+        k = _apply_rope(k, cos[:, None], sin[:, None])
+    upd = None
+    if cache_layer is not None:
+        if decode:
+            upd = write_token(cache_layer, k, v, cursor)
+            a = sdpa(q, upd.k, upd.v, 1.0 / np.sqrt(hd), mask)
+        else:
+            upd = write_prompt(cache_layer, k, v)
+            a = sdpa(q, k, v, 1.0 / np.sqrt(hd), mask)
     else:
-        upd = write_prompt(cache_layer, k, v)
         a = sdpa(q, k, v, 1.0 / np.sqrt(hd), mask)
     x = x + linear(a.transpose(0, 2, 1, 3).reshape(b, t, -1), p["o_proj"]) * res_scale
     h2 = rms_norm(x, p["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
     return x + swiglu_mlp(h2, p["mlp"]) * res_scale, upd
 
 
-def _lm_forward(lm, x, positions, mask, cache, cfg, decode, cursor=None):
+def _lm_forward(lm, x, positions, mask, cache, dims: ModDims, cfg, decode=False,
+                cursor=None):
+    """Causal cached forward for base/residual LMs."""
+    cos_sin = _rope_cos_sin(lm, positions, dims, cfg) if dims.rope else None
     new_layers = []
     for li, p in enumerate(lm["layers"]):
-        x, upd = _minicpm_layer(p, x, positions, mask, cache.layers[li], cfg, decode, cursor)
+        x, upd = _minicpm_layer(p, x, cos_sin, mask, dims, cfg,
+                                cache.layers[li], decode, cursor)
         new_layers.append(upd)
     return rms_norm(x, lm["norm"]["weight"], cfg.rms_norm_eps), new_layers
 
 
-def _time_embed(p, t, d):
-    """Sinusoid(t) → MLP (reference: timeMlp)."""
-    half = d // 2
-    freqs = jnp.exp(-np.log(10000.0) * jnp.arange(half) / half)
-    emb = jnp.concatenate([jnp.sin(t[..., None] * freqs), jnp.cos(t[..., None] * freqs)], -1)
-    return linear(jax.nn.silu(linear(emb, p["w1"])), p["w2"])
+def _bidir_forward(lm, x, dims: ModDims, cfg):
+    """Non-causal cacheless forward (LocEnc / LocDiT decoders run with
+    isCausal=false — MiniCPM4.swift:534, 645)."""
+    b, t, _ = x.shape
+    positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+    cos_sin = _rope_cos_sin(lm, positions, dims, cfg) if dims.rope else None
+    for p in lm["layers"]:
+        x, _ = _minicpm_layer(p, x, cos_sin, None, dims, cfg)
+    return rms_norm(x, lm["norm"]["weight"], cfg.rms_norm_eps)
 
 
-def dit_velocity(p, cfg: VoxCPM2Config, x, mu, cond, t):
-    """x [B, patch, latent] noisy; mu [B, 2*dit_hidden]; cond [B, patch,
-    latent] previous patch; t [B]. Returns velocity [B, patch, latent]."""
-    h = linear(x, p["in_proj"]) + linear(cond, p["cond_proj"])
-    h = h + linear(mu, p["mu_proj"])[:, None]
-    h = h + _time_embed(p["time_mlp"], t.astype(jnp.float32), cfg.dit_hidden)[:, None].astype(h.dtype)
-    h = _transformer(p["blocks"], h, cfg.dit_heads)
-    return linear(h, p["out_proj"])
+# ---------------------------------------------------------------------------
+# sub-modules
+# ---------------------------------------------------------------------------
+
+def loc_enc(p, cfg: VoxCPM2Config, patches):
+    """patches [B, T, patch, latent] → patch embeddings [B, T, enc_hidden]
+    (special-token readout — VoxCPMLocEnc, MiniCPM4.swift:505-540)."""
+    b, t, ps, dl = patches.shape
+    x = linear(patches.reshape(b * t, ps, dl), p["in_proj"])
+    tok = jnp.broadcast_to(p["special_token"][None, None], (b * t, 1, x.shape[-1]))
+    x = jnp.concatenate([tok, x], axis=1)
+    x = _bidir_forward(p["encoder"], x, cfg.dims("enc"), cfg)
+    return x[:, 0].reshape(b, t, -1)
+
+
+def fsq(p, cfg: VoxCPM2Config, x):
+    """Scalar quantization: in_proj → tanh → round to (2·scale+1) levels →
+    out_proj (reference: ScalarQuantizationLayer, VoxCPM2TTS.swift:11-27)."""
+    z = jnp.tanh(linear(x, p["in_proj"]).astype(jnp.float32))
+    z = jnp.round(z * cfg.fsq_scale) / cfg.fsq_scale
+    return linear(z.astype(x.dtype), p["out_proj"])
+
+
+def _sinusoid(t, dim, scale=1000.0):
+    """SinusoidalPosEmb (MiniCPM4.swift:568-584): concat(sin, cos) halves."""
+    half = dim // 2
+    freqs = jnp.exp(-np.log(10000.0) / (half - 1) * jnp.arange(half))
+    emb = scale * t.astype(jnp.float32)[..., None] * freqs
+    return jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], -1)
+
+
+def _time_mlp(p, emb):
+    return linear(jax.nn.silu(linear(emb, p["linear_1"])), p["linear_2"])
+
+
+def dit_velocity(p, cfg: VoxCPM2Config, x, mu, cond, t, dt):
+    """LocDiTV2 (MiniCPM4.swift:611-651).
+
+    x, cond: [B, patch, latent]; mu [B, 2·dit_hidden]; t, dt [B].
+    Token sequence: [mu tokens, time token, cond tokens, x tokens] through
+    the bidirectional decoder; returns velocity [B, patch, latent]."""
+    est = p["estimator"]
+    b = x.shape[0]
+    x_tok = linear(x, est["in_proj"])
+    c_tok = linear(cond, est["cond_proj"])
+    t_emb = _time_mlp(est["time_mlp"], _sinusoid(t, cfg.dit_hidden).astype(x_tok.dtype))
+    dt_emb = _time_mlp(est["delta_time_mlp"], _sinusoid(dt, cfg.dit_hidden).astype(x_tok.dtype))
+    time_tok = (t_emb + dt_emb)[:, None]
+    mu_tok = mu.reshape(b, -1, cfg.dit_hidden)
+    hidden = jnp.concatenate([mu_tok, time_tok, c_tok, x_tok], axis=1)
+    decoded = _bidir_forward(est["decoder"], hidden, cfg.dims("dit"), cfg)
+    trimmed = decoded[:, mu_tok.shape[1] + 1 + c_tok.shape[1]:]
+    return linear(trimmed, est["out_proj"])
+
+
+def cfm_time_span(n: int) -> np.ndarray:
+    """Sway-shaped span (MiniCPM4.swift:152-166): linspace 1→0, then
+    t + (cos(π/2·t) − 1 + t) with sway coefficient 1."""
+    t = 1.0 - np.arange(n + 1) / n
+    return (t + (np.cos(np.pi / 2 * t) - 1.0 + t)).astype(np.float32)
 
 
 def cfm_sample(p, cfg: VoxCPM2Config, mu, cond, key):
-    """Euler ODE noise→patch with CFG-Zero* (reference:
-    UnifiedCFM.solveEuler — zero velocity on the first ~4% of steps, then
-    projected classifier-free guidance)."""
+    """Euler ODE noise→patch with CFG-Zero* (UnifiedCFM.solveEuler,
+    MiniCPM4.swift:675-730): zero velocity on the first max(1, 4%) steps,
+    then projected classifier-free guidance; Δt conditioning is zero in
+    non-mean mode."""
     b = mu.shape[0]
     x = jax.random.normal(key, (b, cfg.patch_size, cfg.latent_dim), jnp.float32)
     n = cfg.cfm_steps
-    t_span = 1.0 - jnp.arange(n + 1, dtype=jnp.float32) / n  # 1 → 0
+    t_span = jnp.asarray(cfm_time_span(n))
     zero_init = max(1, int(n * 0.04))
 
     def body(x, i):
@@ -317,7 +367,7 @@ def cfm_sample(p, cfg: VoxCPM2Config, mu, cond, key):
         mu2 = jnp.concatenate([mu, jnp.zeros_like(mu)], axis=0)
         cond2 = jnp.concatenate([cond, cond], axis=0)
         out = dit_velocity(p, cfg, x2.astype(mu.dtype), mu2, cond2,
-                           jnp.full((2 * b,), t)).astype(jnp.float32)
+                           jnp.full((2 * b,), t), jnp.zeros((2 * b,))).astype(jnp.float32)
         pos, neg = out[:b], out[b:]
         pf, nf = pos.reshape(b, -1), neg.reshape(b, -1)
         st = (jnp.sum(pf * nf, 1) / (jnp.sum(nf * nf, 1) + 1e-8)).reshape(b, 1, 1)
@@ -339,14 +389,20 @@ class VoxCPM2TTS(SpeechGenerationModel):
 
         self.cfg = cfg
         self.tokenizer = tokenizer
+        vae_params = params.pop("audio_vae") if "audio_vae" in params else None
         self.params = cast_tree(params, dtype)
+        if vae_params is not None:
+            # the reference promotes the VAE to float32 after load
+            # (AudioVAE.swift:691-696)
+            self.params["audio_vae"] = cast_tree(vae_params, jnp.float32)
         self.dtype = dtype
         self._loaded = True
+        d_base = cfg.dims("base")
+        d_res = cfg.dims("residual")
 
         @functools.partial(jax.jit, static_argnames=("t_bucket", "max_tokens"))
         def _generate(p, ids, n_valid, ref_patches, n_ref, key, *, t_bucket, max_tokens):
             b = 1
-            h_dim = cfg.hidden_size
             ref_cap = ref_patches.shape[0]
             total = t_bucket + ref_cap + 2  # [103] ref [104] text
             cache_b = init_cache(cfg.num_layers, b, cfg.num_kv_heads,
@@ -375,7 +431,8 @@ class VoxCPM2TTS(SpeechGenerationModel):
 
             feat_embed = linear(loc_enc(p["feat_encoder"], cfg, patches.astype(dtype)),
                                 p["enc_to_lm_proj"])
-            text_embed = jnp.take(p["embed_tokens"], tok_ids, axis=0)[None] * cfg.scale_emb
+            text_embed = jnp.take(p["base_lm"]["embed_tokens"], tok_ids,
+                                  axis=0)[None] * cfg.scale_emb
             embeds = jnp.where(text_mask[None, :, None], text_embed,
                                jnp.where(audio_mask[None, :, None], feat_embed, 0.0))
 
@@ -385,16 +442,17 @@ class VoxCPM2TTS(SpeechGenerationModel):
             mask = jnp.where((cols <= rows) & valid[None, None, :], 0.0,
                              NEG_INF).astype(jnp.float32)[:, None]
 
-            h_base, nl = _lm_forward(p["base_lm"], embeds, positions, mask, cache_b, cfg, False)
+            h_base, nl = _lm_forward(p["base_lm"], embeds, positions, mask,
+                                     cache_b, d_base, cfg)
             cache_b = after_prefill(cache_b, nl, valid[None], total)
-            enc_fsq = fsq(p["fsq"], cfg, h_base)
+            enc_fsq = fsq(p["fsq_layer"], cfg, h_base)
             masked = jnp.where(audio_mask[None, :, None], enc_fsq, h_base)
 
             res_in = linear(jnp.concatenate(
                 [masked, jnp.where(audio_mask[None, :, None], feat_embed, 0.0)], -1),
                 p["fusion_concat_proj"])
-            rcfg = dataclasses.replace(cfg, num_layers=cfg.res_layers)
-            h_res, nl = _lm_forward(p["residual_lm"], res_in, positions, mask, cache_r, rcfg, False)
+            h_res, nl = _lm_forward(p["residual_lm"], res_in, positions, mask,
+                                    cache_r, d_res, cfg)
             cache_r = after_prefill(cache_r, nl, valid[None], total)
 
             last = jnp.sum(valid.astype(jnp.int32)) - 1
@@ -417,26 +475,28 @@ class VoxCPM2TTS(SpeechGenerationModel):
                 key, kd = jax.random.split(key)
                 mu = jnp.concatenate([linear(lm_hidden, p["lm_to_dit_proj"]),
                                       linear(res_hidden, p["res_to_dit_proj"])], -1)
-                patch = cfm_sample(p["dit"], cfg, mu, prefix_cond, kd)  # [1, ps, lat]
+                patch = cfm_sample(p["feat_decoder"], cfg, mu, prefix_cond, kd)
+
                 out = out.at[step].set(patch[0])
 
                 stop_logits = linear(jax.nn.silu(linear(lm_hidden, p["stop_proj"])),
                                      p["stop_head"]).astype(jnp.float32)
-                done = (step > 1) & (jnp.argmax(stop_logits[0]) == 1)
+                done = (step > cfg.min_tokens) & (jnp.argmax(stop_logits[0]) == 1)
 
                 cur = linear(loc_enc(p["feat_encoder"], cfg, patch[:, None].astype(dtype)),
                              p["enc_to_lm_proj"])
                 pos = cache_b.positions[:, None]
                 written = jnp.arange(cache_b.max_len)[None, :] == cache_b.cursor
                 m = jnp.where(cache_b.valid | written, 0.0, NEG_INF).astype(jnp.float32)[:, None, None, :]
-                hb, nl = _lm_forward(p["base_lm"], cur, pos, m, cache_b, cfg, True, cache_b.cursor)
+                hb, nl = _lm_forward(p["base_lm"], cur, pos, m, cache_b, d_base, cfg,
+                                     True, cache_b.cursor)
                 cache_b = after_token(cache_b, nl)
-                lm_hidden = fsq(p["fsq"], cfg, hb[:, 0])
+                lm_hidden = fsq(p["fsq_layer"], cfg, hb[:, 0])
 
                 res_in = linear(jnp.concatenate([lm_hidden[:, None], cur], -1),
                                 p["fusion_concat_proj"])
-                hr, nl = _lm_forward(p["residual_lm"], res_in, pos, m, cache_r, rcfg, True,
-                                     cache_r.cursor)
+                hr, nl = _lm_forward(p["residual_lm"], res_in, pos, m, cache_r, d_res,
+                                     cfg, True, cache_r.cursor)
                 cache_r = after_token(cache_r, nl)
                 res_hidden = hr[:, 0]
                 return (step + 1, out, cache_b, cache_r, lm_hidden, res_hidden,
@@ -448,8 +508,8 @@ class VoxCPM2TTS(SpeechGenerationModel):
             return out, n_steps
 
         self._generate = _generate
-        self._vae_decode = jax.jit(functools.partial(vae_decode, cfg=cfg))
-        self._vae_encode = jax.jit(functools.partial(vae_encode, cfg=cfg))
+        self._vae_decode = jax.jit(functools.partial(vae_decode, cfg=cfg.vae))
+        self._vae_encode = jax.jit(functools.partial(vae_encode, cfg=cfg.vae))
 
     # -- constructors ----------------------------------------------------
 
@@ -462,8 +522,8 @@ class VoxCPM2TTS(SpeechGenerationModel):
     def from_pretrained(cls, model_id: str = "openbmb/VoxCPM2", cache_dir=None,
                         offline_mode: bool = False, dtype=jnp.bfloat16, **kw):
         from ...core.hub import download_weights
-        from ...core.weights import load_safetensors, unflatten
         from ...tokenizers.bpe import BPETokenizer
+        from .convert import convert_checkpoint
 
         model_dir = download_weights(model_id, cache_dir=cache_dir, offline_mode=offline_mode)
         tokenizer = None
@@ -471,19 +531,20 @@ class VoxCPM2TTS(SpeechGenerationModel):
             tokenizer = BPETokenizer.from_pretrained_dir(model_dir)
         except FileNotFoundError:
             pass
-        return cls(CONFIG_2B, unflatten(load_safetensors(model_dir)),
-                   tokenizer=tokenizer, dtype=dtype, **kw)
+        cfg, params = convert_checkpoint(model_dir)
+        return cls(cfg, params, tokenizer=tokenizer, dtype=dtype, **kw)
 
     # -- API ----------------------------------------------------------------
 
     def encode_reference(self, audio: np.ndarray, sample_rate: int = 48000) -> np.ndarray:
         """Reference audio → patch latents [T, patch, latent] for cloning
-        (reference: encodeAudio, right-padded to patch multiples)."""
+        (reference: encodeAudio — resampled to the VAE's 16 kHz analysis
+        rate, right-padded to patch multiples)."""
         from ...audio.resample import resample
 
         cfg = self.cfg
-        if sample_rate != cfg.sample_rate:
-            audio = resample(np.asarray(audio, np.float32), sample_rate, cfg.sample_rate)
+        if sample_rate != cfg.vae.sample_rate:
+            audio = resample(np.asarray(audio, np.float32), sample_rate, cfg.vae.sample_rate)
         patch_len = cfg.patch_size * cfg.chunk_size
         if len(audio) % patch_len:
             audio = np.pad(audio, (0, patch_len - len(audio) % patch_len))

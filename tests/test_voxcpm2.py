@@ -32,32 +32,33 @@ class TestFSQ:
         # values on the 1/scale lattice
         from qwen3_asr_swift_tpu.ops.nn import linear
 
-        z = jnp.tanh(linear(x, model.params["fsq"]["in_proj"]))
+        z = jnp.tanh(linear(x, model.params["fsq_layer"]["in_proj"]))
         q = jnp.round(z * CFG.fsq_scale) / CFG.fsq_scale
         lattice = np.asarray(q) * CFG.fsq_scale
         assert np.allclose(lattice, np.round(lattice), atol=1e-5)
         # and the module output is deterministic
-        a = fsq(model.params["fsq"], CFG, x)
-        b = fsq(model.params["fsq"], CFG, x)
+        a = fsq(model.params["fsq_layer"], CFG, x)
+        b = fsq(model.params["fsq_layer"], CFG, x)
         assert np.allclose(np.asarray(a), np.asarray(b))
 
 
 class TestAudioVAE:
     def test_chunk_factor(self, model):
         wave = jnp.zeros((1, CFG.chunk_size * 6))
-        lat = vae_encode(model.params["audio_vae"], CFG, wave)
+        lat = vae_encode(model.params["audio_vae"], CFG.vae, wave)
         assert lat.shape == (1, 6, CFG.latent_dim)
 
     def test_decode_length(self, model):
         lat = jnp.zeros((1, 5, CFG.latent_dim))
-        wav = vae_decode(model.params["audio_vae"], CFG, lat)
-        assert wav.shape == (1, 5 * CFG.chunk_size)
+        wav = vae_decode(model.params["audio_vae"], CFG.vae, lat)
+        assert wav.shape == (1, 5 * CFG.vae.decode_chunk_size)
         assert (np.abs(np.asarray(wav)) <= 1.0).all()  # tanh bounded
 
     def test_encode_reference_patching(self, model):
+        # 16 kHz input at the VAE's analysis rate: 3 whole patches + 7
         audio = np.random.default_rng(1).standard_normal(
             CFG.chunk_size * CFG.patch_size * 3 + 7).astype(np.float32)
-        ref = model.encode_reference(audio)
+        ref = model.encode_reference(audio, sample_rate=CFG.vae.sample_rate)
         assert ref.shape[1:] == (CFG.patch_size, CFG.latent_dim)
         assert ref.shape[0] == 4  # padded up to the next whole patch
 
@@ -66,8 +67,8 @@ class TestCFM:
     def test_sampler_deterministic_and_shaped(self, model):
         mu = jnp.ones((1, 2 * CFG.dit_hidden))
         cond = jnp.zeros((1, CFG.patch_size, CFG.latent_dim))
-        a = cfm_sample(model.params["dit"], CFG, mu, cond, jax.random.PRNGKey(0))
-        b = cfm_sample(model.params["dit"], CFG, mu, cond, jax.random.PRNGKey(0))
+        a = cfm_sample(model.params["feat_decoder"], CFG, mu, cond, jax.random.PRNGKey(0))
+        b = cfm_sample(model.params["feat_decoder"], CFG, mu, cond, jax.random.PRNGKey(0))
         assert a.shape == (1, CFG.patch_size, CFG.latent_dim)
         assert np.allclose(np.asarray(a), np.asarray(b))
 
@@ -75,8 +76,8 @@ class TestCFM:
         mu = jnp.ones((1, 2 * CFG.dit_hidden))
         mu2 = -mu
         cond = jnp.zeros((1, CFG.patch_size, CFG.latent_dim))
-        a = cfm_sample(model.params["dit"], CFG, mu, cond, jax.random.PRNGKey(1))
-        b = cfm_sample(model.params["dit"], CFG, mu2, cond, jax.random.PRNGKey(1))
+        a = cfm_sample(model.params["feat_decoder"], CFG, mu, cond, jax.random.PRNGKey(1))
+        b = cfm_sample(model.params["feat_decoder"], CFG, mu2, cond, jax.random.PRNGKey(1))
         assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
@@ -91,7 +92,7 @@ class TestEndToEnd:
     def test_synthesize(self, model):
         c = model.synthesize("hello", max_tokens=3, seed=0)
         assert c.sample_rate == CFG.sample_rate
-        assert len(c.samples) % (CFG.patch_size * CFG.chunk_size) == 0
+        assert len(c.samples) % (CFG.patch_size * CFG.vae.decode_chunk_size) == 0
         assert np.isfinite(c.samples).all()
 
     def test_deterministic(self, model):
