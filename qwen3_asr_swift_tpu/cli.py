@@ -180,9 +180,12 @@ def cmd_diarize(args):
 
 
 def cmd_embed_speaker(args):
-    from .models.speaker import WeSpeaker
+    if "campplus" in args.model.lower() or "cam++" in args.model.lower():
+        from .models.speaker import CampPlusSpeaker as Model
+    else:
+        from .models.speaker import WeSpeaker as Model
 
-    model = WeSpeaker.init_random() if args.random_weights else WeSpeaker.from_pretrained(args.model)
+    model = Model.init_random() if args.random_weights else Model.from_pretrained(args.model)
     audio, _ = _load_audio(args.audio)
     emb = model.embed(audio)
     if args.compare:

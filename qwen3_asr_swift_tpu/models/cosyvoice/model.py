@@ -380,6 +380,20 @@ class CosyVoiceTTS(SpeechGenerationModel):
             None if prompt_tokens is None else np.asarray(prompt_tokens, np.int32),
             None if prompt_feat is None else np.asarray(prompt_feat, np.float32))
 
+    def clone_voice(self, name: str, audio: np.ndarray, sample_rate: int = 16000,
+                    speaker_model=None) -> None:
+        """Embed reference audio with CAM++ and register it as a cloning
+        voice (reference: VoiceCloning.swift — CamPlusPlusSpeaker.embed →
+        flow spk conditioning).  Pass a loaded ``CampPlusSpeaker`` (or any
+        object with ``.embed``); defaults to downloading the published
+        CAM++ checkpoint."""
+        if speaker_model is None:
+            from ..speaker.campplus import CampPlusSpeaker
+
+            speaker_model = CampPlusSpeaker.from_pretrained()
+        emb = speaker_model.embed(np.asarray(audio, np.float32), sample_rate)
+        self.register_voice(name, emb)
+
     # -- internals -------------------------------------------------------------
 
     def _encode_text(self, text: str) -> np.ndarray:

@@ -390,6 +390,27 @@ class TestCosyVoiceE2E:
         total = sum(len(c.samples) for c in chunks)
         assert total == len(full.samples)
 
+    def test_stream_single_window_equals_offline(self, model):
+        """When one window covers the whole token stream, the streamed
+        samples are the offline samples bit-for-bit (same tokens, same flow
+        ODE key, same vocoder) — the exactness invariant behind the chunked
+        path."""
+        full = model.synthesize("exact window", seed=3)
+        chunks = list(model.synthesize_stream("exact window", seed=3,
+                                              chunk_tokens=10_000,
+                                              left_context=4))
+        assert len(chunks) == 1
+        np.testing.assert_allclose(chunks[0].samples, full.samples)
+
+    def test_stream_deterministic(self, model):
+        a = [c.samples for c in model.synthesize_stream(
+            "repeatable", seed=4, chunk_tokens=3, left_context=1)]
+        b = [c.samples for c in model.synthesize_stream(
+            "repeatable", seed=4, chunk_tokens=3, left_context=1)]
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(x, y)
+
     def test_unload(self):
         m = CosyVoiceTTS.init_random(cosy_tiny())
         assert m.is_loaded
