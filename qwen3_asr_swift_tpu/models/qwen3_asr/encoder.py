@@ -111,38 +111,29 @@ def _encoder_layer(p, x, mask, cfg: AudioEncoderConfig):
     return x + h
 
 
-def encode(params, mel, n_valid_frames, cfg: AudioEncoderConfig,
-           sp_mesh=None, sp_axis: str = "dp"):
-    """Run the audio encoder.
+def _valid_tokens(n_valid_frames, cfg: AudioEncoderConfig):
+    """mel-frame count → conv-token count, computed on device."""
+    chunk = cfg.chunk_frames
+    full_chunks = n_valid_frames // chunk
+    rem = n_valid_frames % chunk
+    rem_tokens = jnp.where(rem == 0, 0, (((rem - 1) // 2) // 2) // 2 + 1)
+    return full_chunks * cfg.tokens_per_chunk + jnp.maximum(
+        rem_tokens, jnp.where(rem > 0, 1, 0))
 
-    Args:
-        params: encoder param tree.
-        mel: [n_mels, T] with T a static multiple of cfg.n_window_infer (800).
-        n_valid_frames: traced scalar int32 — valid mel frames (≤ T).
-        sp_mesh: optional ``jax.sharding.Mesh`` — sequence parallelism
-            for long audio: the chunk/window dimension is sharded over
-            ``sp_axis``. The 104-token attention windows never attend
-            across boundaries (block-diagonal mask), so chunks are
-            embarrassingly parallel: XLA partitions the conv batch and
-            every attention layer with zero collectives until the final
-            gather (SURVEY.md §2h; reference AudioEncoder.swift:337-357).
-    Returns:
-        (tokens [n_tokens, output_dim], n_valid_tokens scalar int32) where
-        n_tokens = (T / 100) * 13; valid tokens are the prefix.
-    """
+
+def _encode_core(params, mel, n_valid_tokens, cfg: AudioEncoderConfig,
+                 token_offset=0):
+    """conv stack → windows-as-batch attention → output projection over a
+    contiguous span of mel frames.  ``token_offset`` is this span's first
+    GLOBAL token index (nonzero under sequence parallelism, where each
+    device owns whole 104-token windows)."""
     n_mels, t_frames = mel.shape
     chunk = cfg.chunk_frames
-    assert t_frames % cfg.n_window_infer == 0, "pad mel to whole attention windows"
     n_chunks = t_frames // chunk
     tpc = cfg.tokens_per_chunk
 
     # [n_chunks, mel, 100, 1] — chunks as conv batch
     x = mel.reshape(n_mels, n_chunks, chunk).transpose(1, 0, 2)[..., None]
-    if sp_mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        x = jax.lax.with_sharding_constraint(
-            x, NamedSharding(sp_mesh, P(sp_axis, None, None, None)))
     x = gelu(conv2d(x, params["conv1"], stride=(2, 2)))
     x = gelu(conv2d(x, params["conv2"], stride=(2, 2)))
     x = gelu(conv2d(x, params["conv3"], stride=(2, 2)))
@@ -158,19 +149,8 @@ def encode(params, mel, n_valid_frames, cfg: AudioEncoderConfig,
     n_tokens = nc * tpc
     n_win = n_tokens // cfg.window_tokens
     x = x.reshape(n_win, cfg.window_tokens, cfg.d_model)
-    if sp_mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        x = jax.lax.with_sharding_constraint(
-            x, NamedSharding(sp_mesh, P(sp_axis, None, None)))
-
-    # valid tokens: mel-frame count → conv-token count, computed on device
-    full_chunks = n_valid_frames // chunk
-    rem = n_valid_frames % chunk
-    rem_tokens = jnp.where(rem == 0, 0, (((rem - 1) // 2) // 2) // 2 + 1)
-    n_valid_tokens = full_chunks * tpc + jnp.maximum(rem_tokens, jnp.where(rem > 0, 1, 0))
-
-    token_ids = jnp.arange(n_tokens).reshape(n_win, cfg.window_tokens)
+    token_ids = token_offset + jnp.arange(n_tokens).reshape(n_win, cfg.window_tokens)
     key_valid = token_ids < n_valid_tokens
     mask = jnp.where(key_valid, 0.0, NEG_INF).astype(jnp.float32)[:, None, None, :]
 
@@ -182,4 +162,60 @@ def encode(params, mel, n_valid_frames, cfg: AudioEncoderConfig,
     x = linear(x, params["proj1"])
     x = gelu(x)
     x = linear(x, params["proj2"])  # [n_tokens, output_dim]
-    return x, n_valid_tokens
+    return x
+
+
+def encode(params, mel, n_valid_frames, cfg: AudioEncoderConfig,
+           sp_mesh=None, sp_axis: str = "dp"):
+    """Run the audio encoder.
+
+    Args:
+        params: encoder param tree.
+        mel: [n_mels, T] with T a static multiple of cfg.n_window_infer (800).
+        n_valid_frames: traced scalar int32 — valid mel frames (≤ T).
+        sp_mesh: optional ``jax.sharding.Mesh`` — sequence parallelism for
+            long audio.  The 104-token attention windows never attend
+            across boundaries (reference AudioEncoder.swift:337-357), so
+            whole windows are embarrassingly parallel: the computation is
+            ``shard_map``ped over ``sp_axis`` with each device running the
+            conv + attention stack on its own contiguous window span and
+            zero collectives (SURVEY.md §2h).  Window counts that don't
+            divide the axis fall back to single-program execution.  (A
+            plain sharding *constraint* on the conv batch is NOT used: the
+            13-tokens-per-chunk → 104-token-window regroup only lines up
+            with a chunk sharding when each shard holds a multiple of 8
+            chunks, and off-alignment made the SPMD partitioner emit an
+            involuntary full rematerialization.)
+    Returns:
+        (tokens [n_tokens, output_dim], n_valid_tokens scalar int32) where
+        n_tokens = (T / 100) * 13; valid tokens are the prefix.
+    """
+    n_mels, t_frames = mel.shape
+    assert t_frames % cfg.n_window_infer == 0, "pad mel to whole attention windows"
+    n_valid_tokens = _valid_tokens(n_valid_frames, cfg)
+
+    n_win = t_frames // cfg.n_window_infer
+    if sp_mesh is not None:
+        sp_size = sp_mesh.shape[sp_axis]
+        if n_win % sp_size == 0:
+            from jax.sharding import PartitionSpec as P
+
+            frames_local = t_frames // sp_size
+            tokens_local = (frames_local // cfg.chunk_frames) * cfg.tokens_per_chunk
+
+            def body(p, mel_local, n_valid_tok):
+                off = jax.lax.axis_index(sp_axis) * tokens_local
+                return _encode_core(p, mel_local, n_valid_tok, cfg, off)
+
+            kwargs = dict(mesh=sp_mesh, in_specs=(P(), P(None, sp_axis), P()),
+                          out_specs=P(sp_axis, None))
+            try:
+                from jax import shard_map           # jax ≥ 0.6
+                mapped = shard_map(body, **kwargs)
+            except ImportError:
+                from jax.experimental.shard_map import shard_map
+                mapped = shard_map(body, check_rep=False, **kwargs)
+            out = mapped(params, mel, n_valid_tokens)
+            return out, n_valid_tokens
+
+    return _encode_core(params, mel, n_valid_tokens, cfg), n_valid_tokens

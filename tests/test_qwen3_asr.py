@@ -183,8 +183,8 @@ class TestSequenceParallelEncoder:
         cfg = config_tiny().encoder
         params = init_encoder_params(jax.random.PRNGKey(0), cfg, jnp.float32)
         mesh = make_mesh(8, dp=8, tp=1)
-        # 16 windows of audio → 2 per device
-        t_frames = cfg.n_window_infer * 2
+        # 8 attention windows of audio → 1 per device
+        t_frames = cfg.n_window_infer * 8
         mel = jnp.asarray(np.random.default_rng(0).standard_normal((cfg.n_mels, t_frames)),
                           jnp.float32)
         n_valid = jnp.asarray(t_frames - 37, jnp.int32)
