@@ -56,13 +56,25 @@ def main():
     model.transcribe_batch(clips, options=opts)  # compile + run
     print(f"warmup (incl. compile): {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
-    times = []
-    for i in range(5):  # tunnel-latency variance — report the best
-
+    # Per-stage instrumentation with device sync at boundaries separates the
+    # jitted device programs (encode, generate) from host work and transfer
+    # jitter — under the remote-TPU tunnel the host↔device RPC dominates the
+    # run-to-run spread, which stage timings make visible.
+    times, device_times = [], []
+    n_runs = int(os.environ.get("BENCH_RUNS", "7"))
+    for i in range(n_runs):
+        timings = {}
         t0 = time.perf_counter()
-        results = model.transcribe_batch(clips, options=opts)
+        results = model.transcribe_batch(clips, options=opts, timings=timings)
         times.append(time.perf_counter() - t0)
-        print(f"run {i}: {times[-1]:.3f}s", file=sys.stderr)
+        dev = timings.get("encode", 0.0) + timings.get("generate", 0.0)
+        device_times.append(dev)
+        print(f"run {i}: total {times[-1]:.3f}s | host_prep {timings.get('host_prep', 0):.3f} "
+              f"encode {timings.get('encode', 0):.3f} generate {timings.get('generate', 0):.3f} "
+              f"post {timings.get('postprocess', 0):.3f}", file=sys.stderr)
+
+    def p50(xs):
+        return sorted(xs)[len(xs) // 2]
 
     # p50 first-token proxy: single 8 s clip, 1-token decode (north star:
     # <150 ms). Printed to stderr; the JSON line below stays the metric.
@@ -77,16 +89,24 @@ def main():
     print(f"first-token: best {min(ft)*1000:.0f} ms, p50 {sorted(ft)[len(ft)//2]*1000:.0f} ms "
           f"(p50 includes tunnel-latency spikes)", file=sys.stderr)
 
-    wall = min(times)
     audio_seconds = batch * clip_s
-    xrt = audio_seconds / wall
+    xrt_best = audio_seconds / min(times)
+    xrt_p50 = audio_seconds / p50(times)
+    xrt_dev_p50 = audio_seconds / p50(device_times)
     baseline_xrt = 1.0 / 0.023  # reference Qwen3-ASR 0.6B 4-bit RTF on M2 Max
+    print(f"total-wall xRT: best {xrt_best:.0f}x, p50 {xrt_p50:.0f}x | "
+          f"device-program xRT p50 {xrt_dev_p50:.0f}x "
+          f"(encode+generate with sync; excludes tunnel RPC + host prep)",
+          file=sys.stderr)
 
+    # headline metric: p50 over full runs (the honest serving number on this
+    # host); the device-program p50 above isolates chip throughput from the
+    # remote-tunnel transport this bench rig adds.
     print(json.dumps({
-        "metric": "qwen3_asr_0.6b_batched_xrt_per_chip",
-        "value": round(xrt, 2),
+        "metric": "qwen3_asr_0.6b_batched_xrt_per_chip_p50",
+        "value": round(xrt_p50, 2),
         "unit": "audio_sec/sec/chip",
-        "vs_baseline": round(xrt / baseline_xrt, 2),
+        "vs_baseline": round(xrt_p50 / baseline_xrt, 2),
     }))
 
 

@@ -287,9 +287,14 @@ class Qwen3ASR(SpeechRecognitionModel):
     def transcribe_batch(self, audios: Sequence[np.ndarray], sample_rate: int = 16000,
                          language: Optional[str] = None, context: Optional[str] = None,
                          max_tokens: int = 448, options: Optional[SamplingOptions] = None,
-                         seed: int = 0) -> List[TranscriptionResult]:
+                         seed: int = 0, timings: Optional[dict] = None) -> List[TranscriptionResult]:
         """Transcribe a batch. All clips share one audio bucket (the largest
-        needed), one prompt shape, and one compiled decode program."""
+        needed), one prompt shape, and one compiled decode program.
+
+        ``timings``: pass a dict to receive per-stage wall times with
+        device sync at stage boundaries ({host_prep, encode, generate,
+        postprocess} seconds).  Syncing costs pipelining, so only request
+        timings when profiling."""
         t_start = time.perf_counter()
         opts = options or SamplingOptions(max_tokens=max_tokens)
         durations = [len(a) / sample_rate for a in audios]
@@ -301,10 +306,20 @@ class Qwen3ASR(SpeechRecognitionModel):
         if self.wire_dtype == np.int16:
             padded = np.round(np.clip(padded, -1.0, 1.0) * 32767.0).astype(np.int16)
         n_valid = np.array([p[1] for p in prepared], np.int32)
+        padded_dev = jnp.asarray(padded)
+        n_valid_dev = jnp.asarray(n_valid)
+        if timings is not None:
+            jax.block_until_ready(padded_dev)
+            timings["host_prep"] = time.perf_counter() - t_start
+            t_stage = time.perf_counter()
 
         audio_tokens, n_audio = self._encode_audio_batch(
-            self.encoder_params, jnp.asarray(padded), jnp.asarray(n_valid), bucket
+            self.encoder_params, padded_dev, n_valid_dev, bucket
         )
+        if timings is not None:
+            jax.block_until_ready(audio_tokens)
+            timings["encode"] = time.perf_counter() - t_stage
+            t_stage = time.perf_counter()
         a_pad = audio_tokens.shape[1]
 
         prefix, suffix = self._build_prompt(a_pad, language, context)
@@ -327,9 +342,15 @@ class Qwen3ASR(SpeechRecognitionModel):
             a_pad=a_pad, prefix_block=pb, suffix_block=sb,
             max_new=opts.max_tokens, opts=opts,
         )
+        if timings is not None:
+            jax.block_until_ready(tokens)
+            timings["generate"] = time.perf_counter() - t_stage
+            t_stage = time.perf_counter()
         tokens = np.asarray(tokens)
         n_gen = np.asarray(n_gen)
         logprobs = np.asarray(logprobs)
+        if timings is not None:
+            timings["postprocess"] = time.perf_counter() - t_stage
         elapsed = time.perf_counter() - t_start
 
         results = []
