@@ -90,11 +90,27 @@ def _word_to_phonemes(word: str) -> str:
 
 
 def phonemize(text: str, language: str = "en") -> str:
-    """text → phoneme string over the Kokoro symbol set."""
+    """text → phoneme string over the Kokoro symbol set.
+
+    zh/ja/hi route to the dedicated phonemizers (reference:
+    ChinesePhonemizer / JapanesePhonemizer / HindiPhonemizer — see
+    phonemizer_i18n.py for the platform-free table equivalents)."""
     lang = language.lower()
-    if lang.startswith(("zh", "ja", "ko", "hi")):
-        # per-character passthrough units keep CJK/Devanagari synthesizable
-        # without a full lexicon (reference uses per-language phonemizers)
+    if lang.startswith("zh"):
+        from .phonemizer_i18n import phonemize_zh
+
+        return phonemize_zh(text)
+    if lang.startswith("ja"):
+        from .phonemizer_i18n import phonemize_ja
+
+        return phonemize_ja(text)
+    if lang.startswith("hi"):
+        from .phonemizer_i18n import phonemize_hi
+
+        return phonemize_hi(text)
+    if lang.startswith("ko"):
+        # no dedicated Korean phonemizer in the reference either —
+        # per-character passthrough keeps hangul synthesizable
         return " ".join(ch for ch in text if not ch.isspace())
 
     text = re.sub(r"\d+", lambda m: number_to_words(int(m.group())), text)

@@ -455,3 +455,71 @@ class TestSynthesis:
         m = KokoroTTS.init_random(config_tiny())
         m.unload()
         assert not m.is_loaded
+
+
+class TestI18nPhonemizers:
+    """Multilingual phonemizers (reference: ChinesePhonemizer /
+    JapanesePhonemizer / HindiPhonemizer — platform-free table ports)."""
+
+    def test_zh_numbered_pinyin(self):
+        from qwen3_asr_swift_tpu.models.kokoro.phonemizer_i18n import phonemize_zh
+
+        out = phonemize_zh("ni3 hao3")
+        assert "n" in out and "x" in out        # hao → xau
+        assert "↓" in out                        # 3rd tone arrow
+        # retroflex initial and its special 'i'
+        assert "ʈʂ" in phonemize_zh("zhi1")
+        assert "ɨ" in phonemize_zh("shi4")
+        assert "↘" in phonemize_zh("shi4")
+
+    def test_zh_hanzi_lexicon(self):
+        from qwen3_asr_swift_tpu.models.kokoro.phonemizer_i18n import phonemize_zh
+
+        out = phonemize_zh("你好")
+        # 你=ni3 好=hao3 → ni↓ xau↓
+        assert out.count("↓") == 2
+        assert "x" in out
+        # punctuation mapping
+        assert phonemize_zh("你好。").endswith(".")
+
+    def test_zh_tone_marked_pinyin(self):
+        from qwen3_asr_swift_tpu.models.kokoro.phonemizer_i18n import phonemize_zh
+
+        assert phonemize_zh("mā") == phonemize_zh("ma1")
+        assert phonemize_zh("lǜ") == phonemize_zh("lv4")
+
+    def test_ja_kana(self):
+        from qwen3_asr_swift_tpu.models.kokoro.phonemizer_i18n import (
+            katakana_to_phonemes,
+            phonemize_ja,
+        )
+
+        assert katakana_to_phonemes("カタカナ") == "katakana"
+        assert katakana_to_phonemes("シャ") == "sha"      # digraph before single
+        assert katakana_to_phonemes("ッ") == "ʔ"
+        assert katakana_to_phonemes("ー") == "ː"
+        # hiragana folds to katakana
+        assert phonemize_ja("ひらがな") == "hiragana"
+        assert phonemize_ja("こんにちは。") == "koɴnichiha."
+
+    def test_hi_devanagari(self):
+        from qwen3_asr_swift_tpu.models.kokoro.phonemizer_i18n import (
+            devanagari_to_iast,
+            phonemize_hi,
+        )
+
+        # नमस्ते: na-ma-s(virama)-tē, word-final schwa rules
+        iast = devanagari_to_iast("नमस्ते")
+        assert iast == "namastē"
+        out = phonemize_hi("नमस्ते")
+        assert "ə" in out and "t" in out and out.startswith("ˈ")
+        # danda maps to period
+        assert phonemize_hi("नमस्ते।").endswith(".")
+
+    def test_dispatch_from_phonemize(self):
+        out_zh = phonemize("你好", language="zh")
+        assert "↓" in out_zh
+        out_ja = phonemize("カタカナ", language="ja")
+        assert out_ja == "katakana"
+        out_hi = phonemize("नमस्ते", language="hi")
+        assert "ə" in out_hi
