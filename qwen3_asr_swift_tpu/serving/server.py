@@ -33,6 +33,10 @@ from .batching import ContinuousBatcher, TTSBatcher
 from .ws import WebSocket, accept_key, OP_TEXT
 
 
+class _BodyTooLarge(Exception):
+    """Chunked body exceeded max_body mid-stream."""
+
+
 class ModelRegistry:
     """Lazy, single-instance model store (reference: ModelState)."""
 
@@ -64,12 +68,16 @@ class ModelRegistry:
 class SpeechServer:
     """REST + realtime WebSocket speech server."""
 
+    MAX_HEADERS = 100
+
     def __init__(self, registry: ModelRegistry, host: str = "127.0.0.1", port: int = 8321,
-                 max_batch: int = 16, max_body: int = 256 * 1024 * 1024):
+                 max_batch: int = 16, max_body: int = 256 * 1024 * 1024,
+                 keep_alive_timeout_s: float = 75.0):
         self.registry = registry
         self.host = host
         self.port = port
         self.max_body = max_body
+        self.keep_alive_timeout_s = keep_alive_timeout_s
         self._batchers: Dict[int, ContinuousBatcher] = {}
         self._tts_batchers: Dict[int, TTSBatcher] = {}
         self._max_batch = max_batch
@@ -111,40 +119,103 @@ class SpeechServer:
         for b in self._tts_batchers.values():
             b.shutdown()
 
-    async def _handle_conn(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
-        try:
-            while True:
-                request_line = await reader.readline()
-                if not request_line:
-                    break
-                try:
-                    method, path, _version = request_line.decode().split()
-                except ValueError:
-                    await self._respond(writer, 400, {"error": "bad request line"})
-                    break
-                headers = {}
+    async def _read_chunked_body(self, reader) -> bytes:
+        """RFC 7230 chunked transfer decoding, capped at max_body."""
+        chunks = []
+        total = 0
+        while True:
+            size_line = await reader.readline()
+            if not size_line:
+                raise asyncio.IncompleteReadError(b"", None)
+            size = int(size_line.split(b";")[0].strip(), 16)  # ignore extensions
+            if size == 0:
+                # drain trailers until blank line
                 while True:
                     line = await reader.readline()
                     if line in (b"\r\n", b"\n", b""):
                         break
-                    k, _, v = line.decode().partition(":")
+                return b"".join(chunks)
+            total += size
+            if total > self.max_body:
+                raise _BodyTooLarge()
+            chunks.append(await reader.readexactly(size))
+            await reader.readexactly(2)  # trailing CRLF
+
+    async def _handle_conn(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
+        try:
+            while True:
+                # idle keep-alive timeout: drop slow/stale connections
+                try:
+                    request_line = await asyncio.wait_for(
+                        reader.readline(), timeout=self.keep_alive_timeout_s)
+                except asyncio.TimeoutError:
+                    break
+                if not request_line:
+                    break
+                try:
+                    method, path, _version = request_line.decode("latin-1").split()
+                except ValueError:
+                    await self._respond(writer, 400, {"error": "bad request line"})
+                    break
+                headers = {}
+                header_error = None
+                while True:
+                    line = await reader.readline()
+                    if line in (b"\r\n", b"\n", b""):
+                        break
+                    if len(headers) >= self.MAX_HEADERS:
+                        header_error = (431, "too many headers")
+                        continue  # keep draining to the blank line
+                    k, _, v = line.decode("latin-1").partition(":")
                     headers[k.strip().lower()] = v.strip()
+                if header_error:
+                    await self._respond(writer, header_error[0], {"error": header_error[1]})
+                    break
 
                 if headers.get("upgrade", "").lower() == "websocket":
                     await self._handle_websocket(path, headers, reader, writer)
                     return
 
-                length = int(headers.get("content-length", "0"))
-                if length > self.max_body:
+                if headers.get("expect", "").lower() == "100-continue":
+                    writer.write(b"HTTP/1.1 100 Continue\r\n\r\n")
+                    await writer.drain()
+
+                try:
+                    if "chunked" in headers.get("transfer-encoding", "").lower():
+                        body = await self._read_chunked_body(reader)
+                    else:
+                        try:
+                            length = int(headers.get("content-length", "0"))
+                        except ValueError:
+                            await self._respond(writer, 400,
+                                                {"error": "bad content-length"})
+                            break
+                        if length < 0:
+                            await self._respond(writer, 400,
+                                                {"error": "bad content-length"})
+                            break
+                        if length > self.max_body:
+                            await self._respond(writer, 413, {"error": "body too large"})
+                            break
+                        body = await reader.readexactly(length) if length else b""
+                except _BodyTooLarge:
                     await self._respond(writer, 413, {"error": "body too large"})
                     break
-                body = await reader.readexactly(length) if length else b""
+                except ValueError:
+                    await self._respond(writer, 400, {"error": "bad chunked encoding"})
+                    break
                 keep_alive = headers.get("connection", "keep-alive").lower() != "close"
                 await self._route(method, path, headers, body, writer)
                 if not keep_alive:
                     break
         except (asyncio.IncompleteReadError, ConnectionResetError):
             pass
+        except asyncio.LimitOverrunError:
+            # header/request line exceeded the stream buffer limit
+            try:
+                await self._respond(writer, 431, {"error": "header line too long"})
+            except Exception:  # noqa: BLE001
+                pass
         except Exception:  # noqa: BLE001
             log.exception("connection handler error")
         finally:

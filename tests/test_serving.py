@@ -469,3 +469,83 @@ class TestEnhanceRespondRoutes:
         status, head, body = http_request(full_server, "POST", "/respond", wav, "audio/wav")
         assert status == 200
         assert body[:4] == b"RIFF"
+
+
+class TestHTTPHardening:
+    """Transfer-encoding and malformed-request behavior of the hand-rolled
+    HTTP layer (chunked bodies, bad content-length, header caps,
+    100-continue)."""
+
+    @staticmethod
+    def _raw(port, payload: bytes) -> bytes:
+        with socket.create_connection(("127.0.0.1", port), timeout=10) as s:
+            s.sendall(payload)
+            data = b""
+            while True:
+                try:
+                    chunk = s.recv(65536)
+                except socket.timeout:
+                    break
+                if not chunk:
+                    break
+                data += chunk
+        return data
+
+    def test_chunked_transfer_request(self, server):
+        audio = np.zeros(1600, np.int16).tobytes()
+        body = json.dumps({"audio_base64": base64.b64encode(audio).decode(),
+                           "sample_rate": 16000}).encode()
+        mid = len(body) // 2
+        chunked = (f"{mid:x}\r\n".encode() + body[:mid] + b"\r\n"
+                   + f"{len(body) - mid:x}\r\n".encode() + body[mid:] + b"\r\n"
+                   + b"0\r\n\r\n")
+        req = (b"POST /transcribe HTTP/1.1\r\nHost: x\r\nConnection: close\r\n"
+               b"Content-Type: application/json\r\n"
+               b"Transfer-Encoding: chunked\r\n\r\n") + chunked
+        data = self._raw(server, req)
+        assert b"200" in data.split(b"\r\n", 1)[0]
+        assert b"len=1600" in data
+
+    def test_bad_content_length(self, server):
+        req = (b"POST /transcribe HTTP/1.1\r\nHost: x\r\nConnection: close\r\n"
+               b"Content-Length: banana\r\n\r\n")
+        data = self._raw(server, req)
+        assert b"400" in data.split(b"\r\n", 1)[0]
+
+    def test_oversized_chunked_body_rejected(self, server):
+        # declare a chunk larger than max_body without sending it all
+        req = (b"POST /transcribe HTTP/1.1\r\nHost: x\r\nConnection: close\r\n"
+               b"Transfer-Encoding: chunked\r\n\r\n"
+               + f"{512 * 1024 * 1024:x}\r\n".encode())
+        data = self._raw(server, req)
+        assert b"413" in data.split(b"\r\n", 1)[0]
+
+    def test_expect_100_continue(self, server):
+        body = b"{}"
+        req = (b"GET /health HTTP/1.1\r\nHost: x\r\nConnection: close\r\n"
+               b"Expect: 100-continue\r\n"
+               + f"Content-Length: {len(body)}\r\n\r\n".encode() + body)
+        data = self._raw(server, req)
+        assert data.startswith(b"HTTP/1.1 100 Continue")
+        assert b"200 OK" in data
+
+    def test_too_many_headers(self, server):
+        headers = "".join(f"X-H{i}: v\r\n" for i in range(150)).encode()
+        req = (b"GET /health HTTP/1.1\r\nHost: x\r\nConnection: close\r\n"
+               + headers + b"\r\n")
+        data = self._raw(server, req)
+        assert b"431" in data.split(b"\r\n", 1)[0]
+
+    def test_keep_alive_two_requests_one_connection(self, server):
+        with socket.create_connection(("127.0.0.1", server), timeout=10) as s:
+            for i in range(2):
+                s.sendall(b"GET /health HTTP/1.1\r\nHost: x\r\n\r\n")
+                buf = b""
+                while b"\r\n\r\n" not in buf:
+                    buf += s.recv(65536)
+                head, _, rest = buf.partition(b"\r\n\r\n")
+                length = int([l for l in head.split(b"\r\n")
+                              if l.lower().startswith(b"content-length")][0].split(b":")[1])
+                while len(rest) < length:
+                    rest += s.recv(65536)
+                assert b'"status": "ok"' in rest
