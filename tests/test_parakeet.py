@@ -134,3 +134,70 @@ class TestModel:
         singles = [model.transcribe(a, max_tokens=16).text, model.transcribe(b, max_tokens=16).text]
         batch = [r.text for r in model.transcribe_batch([a, b], max_tokens=16)]
         assert batch == singles
+
+
+class TestDecoderConvert:
+    """NeMo-naming golden parity for the prediction-net/joint converter:
+    a torch replica (decoder.prediction.embed + dec_rnn.lstm in torch's
+    i,f,g,o gate order; joint.enc/pred + joint_net output Linear) converts
+    through convert_decoder and must match lstm_step + the joint math."""
+
+    def test_lstm_and_joint_match_torch(self):
+        torch = pytest.importorskip("torch")
+        nn = torch.nn
+
+        from qwen3_asr_swift_tpu.models.parakeet.convert import convert_decoder
+        from qwen3_asr_swift_tpu.models.parakeet.model import lstm_step
+        from qwen3_asr_swift_tpu.ops.nn import linear
+
+        cfg = config_tiny()
+        d, enc_h, j = cfg.decoder_hidden, cfg.encoder_hidden, cfg.joint_hidden
+        vocab_out = cfg.vocab_size + 1 + cfg.num_duration_bins
+
+        torch.manual_seed(0)
+        embed = nn.Embedding(cfg.vocab_size, d)      # blank row absent upstream
+        lstm = nn.LSTM(d, d, num_layers=cfg.decoder_layers)
+        j_enc = nn.Linear(enc_h, j)
+        j_pred = nn.Linear(d, j)
+        j_out = nn.Linear(j, vocab_out)
+
+        sd = {}
+        sd["decoder.prediction.embed.weight"] = embed.weight.detach().numpy()
+        for li in range(cfg.decoder_layers):
+            for n in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+                sd[f"decoder.prediction.dec_rnn.lstm.{n}_l{li}"] = \
+                    getattr(lstm, f"{n}_l{li}").detach().numpy()
+        sd["joint.enc.weight"] = j_enc.weight.detach().numpy()
+        sd["joint.enc.bias"] = j_enc.bias.detach().numpy()
+        sd["joint.pred.weight"] = j_pred.weight.detach().numpy()
+        sd["joint.pred.bias"] = j_pred.bias.detach().numpy()
+        sd["joint.joint_net.2.weight"] = j_out.weight.detach().numpy()
+        sd["joint.joint_net.2.bias"] = j_out.bias.detach().numpy()
+
+        dec = convert_decoder(sd, cfg)
+        assert dec["embed"].shape == (cfg.vocab_size + 1, d)  # blank row appended
+
+        # run a 5-token sequence through both LSTMs
+        rng = np.random.default_rng(1)
+        tokens = rng.integers(0, cfg.vocab_size, 5)
+        with torch.no_grad():
+            x_t = embed(torch.from_numpy(tokens)).unsqueeze(1)      # [T,1,d]
+            y_t, _ = lstm(x_t)
+            enc_frame = torch.from_numpy(
+                rng.standard_normal((1, enc_h)).astype(np.float32))
+            joint_t = j_out(torch.relu(j_enc(enc_frame) + j_pred(y_t[-1]))).numpy()
+
+        h = jnp.zeros((cfg.decoder_layers, 1, d))
+        c = jnp.zeros((cfg.decoder_layers, 1, d))
+        outs = []
+        for tok in tokens:
+            x = jnp.asarray(dec["embed"][tok])[None]
+            out, h, c = lstm_step(dec["lstm"], x, h, c)
+            outs.append(out)
+        np.testing.assert_allclose(np.asarray(outs)[:, 0], y_t[:, 0].numpy(),
+                                   rtol=2e-5, atol=2e-6)
+
+        enc_p = linear(jnp.asarray(enc_frame.numpy()), dec["joint_enc"])
+        pred_p = linear(outs[-1], dec["joint_pred"])
+        joint_j = np.asarray(linear(jax.nn.relu(enc_p + pred_p), dec["joint_out"]))
+        np.testing.assert_allclose(joint_j, joint_t, rtol=2e-5, atol=2e-6)
