@@ -529,6 +529,21 @@ class PersonaPlex(SpeechToSpeechModel):
                                user_frames=n_frames, max_steps=max_steps, sampling=sampling)
         return jnp.clip(agent, 0, self.cfg.mimi.codebook_size - 1), n_frames, max_steps
 
+    def shard(self, mesh=None, dp: Optional[int] = None, tp: Optional[int] = None
+              ) -> "PersonaPlex":
+        """Distribute the temporal transformer + depformer over a device
+        mesh (the 7B's d_model-4096 layers are the TP target; Mimi stays
+        replicated — it is a small conv codec).  Returns self.
+
+            model = PersonaPlex.from_pretrained(...).shard(tp=4)
+        """
+        from ...parallel import PERSONAPLEX_RULES, make_mesh, replicate, shard_pytree
+
+        mesh = mesh or make_mesh(dp=dp, tp=tp)
+        self.params = shard_pytree(self.params, mesh, PERSONAPLEX_RULES)
+        self.mimi_params = replicate(self.mimi_params, mesh)
+        return self
+
     def respond(self, audio: np.ndarray, sample_rate: int = 16000,
                 sampling: Optional[PersonaSampling] = None, max_extra_s: float = 4.0,
                 voice_prompt: Optional[np.ndarray] = None, **kwargs) -> AudioChunk:

@@ -73,6 +73,22 @@ QWEN3_DECODER_RULES: Sequence[Tuple[str, P]] = (
     (r".*", P()),                                            # replicate rest
 )
 
+# PersonaPlex 7B (d_model 4096 — the family that actually needs TP over ICI).
+# Temporal layers share the q/k/v/o + gate/up/down naming; the depformer's
+# per-step MultiLinear banks are [steps, in, out] — column-parallel shards
+# the out axis (dim 2), row-parallel the in axis (dim 1).
+PERSONAPLEX_RULES: Sequence[Tuple[str, P]] = (
+    (r".*(q_proj|k_proj|v_proj)/kernel$", P(None, "tp")),
+    (r".*o_proj/kernel$", P("tp", None)),
+    (r".*(gate_proj|up_proj)/kernel$", P(None, "tp")),
+    (r".*down_proj/kernel$", P("tp", None)),
+    (r".*text_head/kernel$", P(None, "tp")),
+    (r".*dep_layers/\d+/(in_proj|gating_in)$", P(None, None, "tp")),
+    (r".*dep_layers/\d+/(out_proj|gating_out)$", P(None, "tp", None)),
+    (r".*dep_heads_bank$", P(None, None, "tp")),
+    (r".*", P()),
+)
+
 QWEN3_ENCODER_RULES: Sequence[Tuple[str, P]] = (
     (r".*fc1/kernel$", P(None, "tp")),
     (r".*fc2/kernel$", P("tp", None)),

@@ -221,3 +221,21 @@ class TestRealtimeSession:
                                context_frames=2, voice_prompt=vp)
         out = s.push_frame(np.zeros(spf, np.float32))
         assert out.shape == (spf,)
+
+
+class TestTensorParallel:
+    def test_tp_sharded_matches_replicated(self):
+        """PersonaPlex.shard(tp=2) over the virtual mesh must reproduce the
+        replicated model's response exactly (the QWEN3 TP-equality pattern;
+        rules in parallel/mesh.py PERSONAPLEX_RULES)."""
+        from qwen3_asr_swift_tpu.models.personaplex import PersonaPlex, config_tiny
+
+        audio = (0.1 * np.random.default_rng(0).standard_normal(4800)).astype(np.float32)
+        ref_model = PersonaPlex.init_random(config_tiny())
+        ref = ref_model.respond(audio, sample_rate=24000)
+
+        tp_model = PersonaPlex.init_random(config_tiny()).shard(dp=4, tp=2)
+        out = tp_model.respond(audio, sample_rate=24000)
+        assert len(out.samples) == len(ref.samples)
+        np.testing.assert_allclose(out.samples, ref.samples, atol=2e-4,
+                                   err_msg="TP-sharded respond drifted from replicated")
