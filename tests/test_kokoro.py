@@ -60,8 +60,17 @@ class TestPhonemizer:
         ids = phonemes_to_ids(phonemize("test sentence"))
         assert ids and all(0 <= i < 178 for i in ids)
 
-    def test_cjk_passthrough(self):
-        assert phonemize("你好", "zh") == "你 好"
+    def test_zh_routes_to_pinyin_ipa(self):
+        # zh now routes through the Mandarin phonemizer (phonemizer_i18n):
+        # 你(ni3) 好(hao3) → IPA with two third-tone arrows, no raw hanzi
+        out = phonemize("你好", "zh")
+        assert out.count("↓") == 2
+        assert "你" not in out
+
+    def test_ko_passthrough(self):
+        # no dedicated Korean phonemizer (same as the reference) —
+        # per-character passthrough keeps hangul synthesizable
+        assert phonemize("안녕", "ko") == "안 녕"
 
 
 class TestTrimFade:
