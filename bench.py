@@ -42,13 +42,15 @@ def main():
     clip_s = int(os.environ.get("BENCH_CLIP_S", "30"))
     max_tokens = int(os.environ.get("BENCH_TOKENS", "100"))
     quant = int(os.environ.get("BENCH_QUANT_BITS", "0"))  # 0 = bf16
+    kv = os.environ.get("BENCH_KV", "")                    # "int8" quantizes the KV cache
     sr = 16000
 
     print(f"building 0.6B model (random weights), batch={batch} clip={clip_s}s "
-          f"tokens={max_tokens} quant={quant or 'bf16'}", file=sys.stderr)
+          f"tokens={max_tokens} quant={quant or 'bf16'} kv={kv or 'bf16'}", file=sys.stderr)
     model = Qwen3ASR.init_random(CONFIG_SMALL, dtype=jnp.bfloat16, audio_buckets_s=(8, 16, 32, 64),
                                  wire_dtype=np.int16,  # halve host→device PCM transfer
-                                 quant_bits=quant or None)
+                                 quant_bits=quant or None,
+                                 kv_dtype=jnp.int8 if kv == "int8" else None)
 
     rng = np.random.default_rng(0)
     clips = [(0.1 * rng.standard_normal(clip_s * sr)).astype(np.float32) for _ in range(batch)]

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops.attention import NEG_INF, sdpa
-from ...ops.kv_cache import KVCache, after_prefill, after_token, init_cache, write_prompt, write_token
+from ...ops.kv_cache import (KVCache, after_prefill, after_token, cache_kv,
+                             init_cache, write_prompt, write_token)
 from ...ops.nn import embedding_lookup, init_linear, linear, rms_norm, swiglu_mlp, tied_lm_head
 from ...ops.rope import apply_rope, rope_angles
 from .config import TextDecoderConfig
@@ -132,7 +133,8 @@ def decode_step(params, cfg: TextDecoderConfig, token_ids, cache: KVCache) -> Tu
         q, k, v = _qkv(p, h, positions, cfg)
         updated = write_token(cache.layers[len(new_layers)], k, v, cache.cursor)
         new_layers.append(updated)
-        attn = sdpa(q, updated.k, updated.v, 1.0 / np.sqrt(cfg.head_dim), mask)
+        k_all, v_all = cache_kv(updated, k.dtype)
+        attn = sdpa(q, k_all, v_all, 1.0 / np.sqrt(cfg.head_dim), mask)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, -1)
         x = x + linear(attn, p["o_proj"])
         h2 = rms_norm(x, p["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)

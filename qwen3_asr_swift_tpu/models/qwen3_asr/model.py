@@ -61,11 +61,16 @@ class Qwen3ASR(SpeechRecognitionModel):
         mel_cfg: MelConfig = MelConfig(),
         audio_buckets_s: Sequence[int] = ASR_AUDIO_BUCKETS_S,
         wire_dtype=np.float32,
+        kv_dtype=None,
     ):
         # host→device audio format: int16 halves PCM transfer (audio is
-        # natively 16-bit; conversion happens on device inside the jit)
+        # natively 16-bit; conversion happens on device inside the jit).
+        # kv_dtype=jnp.int8 quantizes the KV cache per slot — decode is
+        # HBM-bound and the KV read is the max_len-scaling traffic term
+        # (docs/benchmarks.md), so int8 halves it at ~1e-2 logit noise.
         self.cfg = cfg
         self.dtype = dtype
+        self.kv_dtype = kv_dtype or dtype
         self.mel_cfg = mel_cfg
         self.tokenizer = tokenizer
         self.wire_dtype = np.dtype(wire_dtype)
@@ -130,7 +135,7 @@ class Qwen3ASR(SpeechRecognitionModel):
                 axis=1,
             )
             t_prompt = prefix_block + a_pad + suffix_block
-            cache = make_cache(dcfg, b, t_prompt + max_new, dtype)
+            cache = make_cache(dcfg, b, t_prompt + max_new, self.kv_dtype)
             hidden, cache = prefill(dec_params, dcfg, embeds, valid, cache)
 
             last_idx = prefix_block + a_pad + suffix_len - 1  # [B]

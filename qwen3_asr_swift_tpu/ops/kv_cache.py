@@ -30,8 +30,10 @@ import jax.numpy as jnp
 
 
 class LayerKV(NamedTuple):
-    k: jax.Array  # [B, Hkv, max_len, D]
+    k: jax.Array  # [B, Hkv, max_len, D] (bf16/f32, or int8 when quantized)
     v: jax.Array  # [B, Hkv, max_len, D]
+    k_scale: jax.Array | None = None  # [B, Hkv, max_len] f32 — int8 caches only
+    v_scale: jax.Array | None = None
 
 
 class KVCache(NamedTuple):
@@ -51,33 +53,69 @@ class KVCache(NamedTuple):
 
 def init_cache(num_layers: int, batch: int, num_kv_heads: int, max_len: int, head_dim: int,
                dtype=jnp.bfloat16) -> KVCache:
-    layers = tuple(
-        LayerKV(
-            k=jnp.zeros((batch, num_kv_heads, max_len, head_dim), dtype),
-            v=jnp.zeros((batch, num_kv_heads, max_len, head_dim), dtype),
-        )
-        for _ in range(num_layers)
-    )
+    """``dtype=jnp.int8`` builds a quantized cache (per-slot symmetric
+    scales): decode is HBM-bound and the KV read is the max_len-scaling
+    traffic term (docs/benchmarks.md), so int8 halves it vs bf16."""
+    quant = dtype == jnp.int8
+
+    def layer():
+        shape = (batch, num_kv_heads, max_len, head_dim)
+        if quant:
+            return LayerKV(
+                k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+                k_scale=jnp.zeros(shape[:3], jnp.float32),
+                v_scale=jnp.zeros(shape[:3], jnp.float32))
+        return LayerKV(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
     return KVCache(
-        layers=layers,
+        layers=tuple(layer() for _ in range(num_layers)),
         valid=jnp.zeros((batch, max_len), jnp.bool_),
         positions=jnp.zeros((batch,), jnp.int32),
         cursor=jnp.zeros((), jnp.int32),
     )
 
 
+def _quantize(x):
+    """[B, Hkv, T, D] → (int8 codes, f32 scale [B, Hkv, T])."""
+    scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1) / 127.0
+    safe = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / safe[..., None]), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def _write(layer: LayerKV, k_new, v_new, offset) -> LayerKV:
+    if layer.k_scale is not None:
+        kq, ks = _quantize(k_new)
+        vq, vs = _quantize(v_new)
+        return LayerKV(
+            k=jax.lax.dynamic_update_slice_in_dim(layer.k, kq, offset, axis=2),
+            v=jax.lax.dynamic_update_slice_in_dim(layer.v, vq, offset, axis=2),
+            k_scale=jax.lax.dynamic_update_slice_in_dim(layer.k_scale, ks, offset, axis=2),
+            v_scale=jax.lax.dynamic_update_slice_in_dim(layer.v_scale, vs, offset, axis=2),
+        )
+    k = jax.lax.dynamic_update_slice_in_dim(layer.k, k_new.astype(layer.k.dtype), offset, axis=2)
+    v = jax.lax.dynamic_update_slice_in_dim(layer.v, v_new.astype(layer.v.dtype), offset, axis=2)
+    return LayerKV(k, v)
+
+
 def write_prompt(layer: LayerKV, k_new, v_new) -> LayerKV:
     """Batch-uniform prefill write of [B, Hkv, T_bucket, D] at offset 0."""
-    k = jax.lax.dynamic_update_slice_in_dim(layer.k, k_new.astype(layer.k.dtype), 0, axis=2)
-    v = jax.lax.dynamic_update_slice_in_dim(layer.v, v_new.astype(layer.v.dtype), 0, axis=2)
-    return LayerKV(k, v)
+    return _write(layer, k_new, v_new, 0)
 
 
 def write_token(layer: LayerKV, k_new, v_new, cursor) -> LayerKV:
     """Single-token write at the shared cursor: k_new [B, Hkv, 1, D]."""
-    k = jax.lax.dynamic_update_slice_in_dim(layer.k, k_new.astype(layer.k.dtype), cursor, axis=2)
-    v = jax.lax.dynamic_update_slice_in_dim(layer.v, v_new.astype(layer.v.dtype), cursor, axis=2)
-    return LayerKV(k, v)
+    return _write(layer, k_new, v_new, cursor)
+
+
+def cache_kv(layer: LayerKV, dtype=jnp.bfloat16):
+    """Attendable (k, v): dequantizes int8 caches (the convert+scale fuses
+    into the attention dots so HBM still reads int8), passthrough for fp."""
+    if layer.k_scale is None:
+        return layer.k, layer.v
+    k = layer.k.astype(dtype) * layer.k_scale[..., None].astype(dtype)
+    v = layer.v.astype(dtype) * layer.v_scale[..., None].astype(dtype)
+    return k, v
 
 
 def after_prefill(cache: KVCache, new_layers: Sequence[LayerKV], prompt_valid: jax.Array,
