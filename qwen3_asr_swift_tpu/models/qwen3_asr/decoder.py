@@ -128,13 +128,25 @@ def decode_step(params, cfg: TextDecoderConfig, token_ids, cache: KVCache) -> Tu
     key_ok = cache.valid | written
     mask = jnp.where(key_ok, 0.0, NEG_INF).astype(jnp.float32)[:, None, None, :]
 
+    # int8 caches on a single TPU chip read through the Pallas decode
+    # kernel (plain XLA materializes the dequantized cache, spending the
+    # traffic saving — ops/attention_pallas.py)
+    use_pallas_attn = cache.layers[0].k_scale is not None and _pallas_attn_ok()
+
     for p in params["layers"]:
         h = rms_norm(x, p["input_layernorm"]["weight"], cfg.rms_norm_eps)
         q, k, v = _qkv(p, h, positions, cfg)
         updated = write_token(cache.layers[len(new_layers)], k, v, cache.cursor)
         new_layers.append(updated)
-        k_all, v_all = cache_kv(updated, k.dtype)
-        attn = sdpa(q, k_all, v_all, 1.0 / np.sqrt(cfg.head_dim), mask)
+        if use_pallas_attn:
+            from ...ops.attention_pallas import decode_attention_int8
+
+            attn = decode_attention_int8(
+                q, updated.k, updated.k_scale, updated.v, updated.v_scale,
+                key_ok).astype(x.dtype)
+        else:
+            k_all, v_all = cache_kv(updated, k.dtype)
+            attn = sdpa(q, k_all, v_all, 1.0 / np.sqrt(cfg.head_dim), mask)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, -1)
         x = x + linear(attn, p["o_proj"])
         h2 = rms_norm(x, p["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
@@ -143,6 +155,15 @@ def decode_step(params, cfg: TextDecoderConfig, token_ids, cache: KVCache) -> Tu
     x = rms_norm(x, params["norm"]["weight"], cfg.rms_norm_eps)
     logits = tied_lm_head(x[:, 0], params["embed_tokens"])  # [B, vocab] fp32
     return logits, after_token(cache, new_layers)
+
+
+def _pallas_attn_ok() -> bool:
+    try:
+        import jax as _jax
+
+        return _jax.default_backend() == "tpu" and _jax.device_count() == 1
+    except Exception:  # noqa: BLE001
+        return False
 
 
 def make_cache(cfg: TextDecoderConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:

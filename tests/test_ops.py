@@ -153,3 +153,31 @@ class TestKVCache:
         assert np.asarray(cache.positions).tolist() == [4, 3]
         assert np.asarray(cache.valid)[0, 4] and np.asarray(cache.valid)[1, 4]
         assert np.asarray(cache.layers[0].k)[0, 0, 4, 0] == 7.0
+
+
+class TestPallasDecodeAttention:
+    def test_interpret_matches_sdpa_on_dequant(self):
+        """decode_attention_int8 (interpret mode) ≡ sdpa over the
+        dequantized cache — incl. GQA head grouping, row masking, and the
+        L→128 padding path."""
+        from qwen3_asr_swift_tpu.ops.attention import NEG_INF, sdpa
+        from qwen3_asr_swift_tpu.ops.attention_pallas import decode_attention_int8
+        from qwen3_asr_swift_tpu.ops.kv_cache import _quantize
+
+        rng = np.random.default_rng(0)
+        B, HQ, HKV, L, D = 2, 4, 2, 37, 16
+        q = jnp.asarray(rng.standard_normal((B, HQ, 1, D)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, HKV, L, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, HKV, L, D)), jnp.float32)
+        valid = jnp.asarray(rng.random((B, L)) > 0.3)
+
+        kq, ks = _quantize(k)
+        vq, vs = _quantize(v)
+        kd = kq.astype(jnp.float32) * ks[..., None]
+        vd = vq.astype(jnp.float32) * vs[..., None]
+        mask = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[:, None, None, :]
+        ref = np.asarray(sdpa(q, kd, vd, 1.0 / np.sqrt(D), mask))
+
+        out = np.asarray(decode_attention_int8(q, kq, ks, vq, vs, valid,
+                                               interpret=True))
+        np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
