@@ -142,7 +142,9 @@ def umx_forward(params, mag, nb_bins: int = 1487):
     estimate [F, 2049, C] (UMX applies ReLU mask output directly)."""
     f, bins, c = mag.shape
     x = mag[:, :nb_bins, :]
-    x = (x - params["input_mean"][None, :, None]) * params["input_scale"][None, :, None]
+    # upstream convention: the checkpoint stores the NEGATED mean and the
+    # reciprocal std, applied as (x + input_mean) * input_scale
+    x = (x + params["input_mean"][None, :, None]) * params["input_scale"][None, :, None]
     x = x.transpose(0, 2, 1).reshape(f, c * nb_bins)
     h = jnp.tanh((x @ params["fc1"]["kernel"]) * params["bn1"]["scale"] + params["bn1"]["bias"])
 
@@ -161,7 +163,8 @@ def umx_forward(params, mag, nb_bins: int = 1487):
 
     h = jax.nn.relu((h @ params["fc2"]["kernel"]) * params["bn2"]["scale"] + params["bn2"]["bias"])
     h = (h @ params["fc3"]["kernel"]) * params["bn3"]["scale"] + params["bn3"]["bias"]
-    h = h.reshape(f, c, 2049).transpose(0, 2, 1)
+    full_bins = params["output_scale"].shape[0]
+    h = h.reshape(f, c, full_bins).transpose(0, 2, 1)
     h = h * params["output_scale"][None, :, None] + params["output_mean"][None, :, None]
     return jax.nn.relu(h) * mag
 

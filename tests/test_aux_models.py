@@ -245,3 +245,73 @@ class TestStreamingEnhancer:
         s.reset()
         y2 = np.concatenate([s.push(audio), s.flush()])
         assert np.allclose(y1, y2)
+
+
+class TestUMXConvertParity:
+    """Open-Unmix golden parity: a torch replica in the upstream module
+    naming (fc1/bn1/lstm/fc2/bn2/fc3/bn3 + input_mean/input_scale/
+    output_scale/output_mean buffers, upstream forward semantics incl. the
+    x + input_mean convention — the checkpoint stores the NEGATED mean)
+    converts through _convert_stem and must match umx_forward."""
+
+    def test_forward_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        nn = torch.nn
+
+        from qwen3_asr_swift_tpu.models.separation.convert import _convert_stem
+        from qwen3_asr_swift_tpu.models.separation.model import umx_forward
+
+        NB_BINS, FULL_BINS, C, HIDDEN, F = 24, 33, 2, 16, 7
+
+        class OpenUnmix(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.fc1 = nn.Linear(NB_BINS * C, HIDDEN, bias=False)
+                self.bn1 = nn.BatchNorm1d(HIDDEN)
+                self.lstm = nn.LSTM(HIDDEN, HIDDEN // 2, 3, bidirectional=True)
+                self.fc2 = nn.Linear(HIDDEN * 2, HIDDEN, bias=False)
+                self.bn2 = nn.BatchNorm1d(HIDDEN)
+                self.fc3 = nn.Linear(HIDDEN, FULL_BINS * C, bias=False)
+                self.bn3 = nn.BatchNorm1d(FULL_BINS * C)
+                rng = np.random.default_rng(0)
+                self.input_mean = nn.Parameter(
+                    torch.from_numpy(-rng.random(NB_BINS).astype(np.float32)))
+                self.input_scale = nn.Parameter(
+                    torch.from_numpy(1.0 / (0.5 + rng.random(NB_BINS).astype(np.float32))))
+                self.output_scale = nn.Parameter(torch.ones(FULL_BINS))
+                self.output_mean = nn.Parameter(torch.zeros(FULL_BINS) + 0.1)
+
+            def forward(self, mag):  # [F, bins, C] single sample
+                mix = mag
+                x = mag[:, :NB_BINS, :].permute(0, 2, 1)        # [F, C, nb_bins]
+                x = x + self.input_mean
+                x = x * self.input_scale
+                x = x.reshape(F, C * NB_BINS)
+                x = torch.tanh(self.bn1(self.fc1(x)))
+                lstm_out, _ = self.lstm(x.unsqueeze(1))
+                x = torch.cat([x, lstm_out[:, 0, :]], -1)
+                x = torch.relu(self.bn2(self.fc2(x)))
+                x = self.bn3(self.fc3(x))
+                x = x.reshape(F, C, FULL_BINS)
+                x = x * self.output_scale + self.output_mean
+                return torch.relu(x.permute(0, 2, 1)) * mix
+
+        torch.manual_seed(0)
+        net = OpenUnmix().eval()
+        for mod in net.modules():
+            if isinstance(mod, nn.BatchNorm1d):
+                mod.running_mean.uniform_(-0.2, 0.2)
+                mod.running_var.uniform_(0.5, 2.0)
+                mod.weight.data.uniform_(0.5, 1.5)
+                mod.bias.data.uniform_(-0.2, 0.2)
+
+        sd = {k: v.detach().numpy() for k, v in net.state_dict().items()
+              if "num_batches" not in k}
+        params = _convert_stem(sd)
+
+        rng = np.random.default_rng(1)
+        mag = np.abs(rng.standard_normal((F, FULL_BINS, C))).astype(np.float32)
+        with torch.no_grad():
+            ref = net(torch.from_numpy(mag)).numpy()
+        out = np.asarray(umx_forward(params, jnp.asarray(mag), nb_bins=NB_BINS))
+        np.testing.assert_allclose(out, ref, rtol=3e-4, atol=3e-5)
