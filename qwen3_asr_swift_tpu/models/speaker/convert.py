@@ -22,7 +22,9 @@ def _fold_bn(sd, prefix, eps=1e-5):
 
 
 def _conv(sd, name):
-    return {"kernel": np.transpose(sd[f"{name}.weight"], (2, 3, 1, 0)).astype(np.float32)}
+    # torch OIHW with H=freq, W=time (wespeaker feeds [B, 1, F, T]); our
+    # forward is NHWC with H=time, W=mel — swap the spatial axes too
+    return {"kernel": np.transpose(sd[f"{name}.weight"], (3, 2, 1, 0)).astype(np.float32)}
 
 
 def convert_wespeaker(sd: Dict[str, np.ndarray], blocks=(3, 4, 6, 3)) -> dict:
@@ -48,8 +50,20 @@ def convert_wespeaker(sd: Dict[str, np.ndarray], blocks=(3, 4, 6, 3)) -> dict:
             stage.append(blk)
         params["stages"].append(stage)
     seg = "seg_1" if "seg_1.weight" in sd else "embed"
+    w = sd[f"{seg}.weight"].astype(np.float32)          # [emb, 2*C*F]
+    # upstream TSTP flattens [C, F'] channel-major before seg_1; our pooled
+    # vector is freq-major ([F', C] reshape).  Our column j = f*C + c must
+    # read upstream column c*F + f, applied to the mean and std halves.
+    half = w.shape[1] // 2
+    c_key = f"layer4.{blocks[3] - 1}.conv2.weight"
+    c_last = sd[c_key].shape[0] if c_key in sd else None
+    if c_last and half % c_last == 0:
+        f_out = half // c_last
+        j = np.arange(half)
+        src = (j % c_last) * f_out + (j // c_last)
+        w = np.concatenate([w[:, :half][:, src], w[:, half:][:, src]], axis=1)
     params["embed"] = {
-        "kernel": np.ascontiguousarray(sd[f"{seg}.weight"].T).astype(np.float32),
-        "bias": sd.get(f"{seg}.bias", np.zeros(sd[f"{seg}.weight"].shape[0])).astype(np.float32),
+        "kernel": np.ascontiguousarray(w.T),
+        "bias": sd.get(f"{seg}.bias", np.zeros(w.shape[0])).astype(np.float32),
     }
     return params

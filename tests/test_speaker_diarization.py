@@ -140,3 +140,95 @@ class TestDER:
         hyp = [DiarizedSegment(0.0, 10.0, 0)]
         out = diarization_error_rate(ref, hyp, collar=0.0)
         assert out["confusion"] == pytest.approx(0.2, abs=0.02)
+
+
+class TestWeSpeakerConvertParity:
+    """ResNet34 golden parity: a torch replica in the wespeaker naming
+    (front.conv1/bn1, layer{1..4}.{i}.*, downsample pairs, TSTP stats
+    pooling, seg_1) converts through convert_wespeaker and must match
+    wespeaker_forward — incl. the pooling flatten order (upstream flattens
+    [C, F'] channel-major before seg_1)."""
+
+    def test_forward_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        nn = torch.nn
+
+        from qwen3_asr_swift_tpu.models.speaker.convert import convert_wespeaker
+        from qwen3_asr_swift_tpu.models.speaker.model import wespeaker_forward
+
+        MELS, EMB = 24, 12
+        CH, BLOCKS = (4, 8, 12, 16), (1, 1, 2, 1)
+
+        class Basic(nn.Module):
+            def __init__(self, cin, cout, stride):
+                super().__init__()
+                self.conv1 = nn.Conv2d(cin, cout, 3, stride=stride, padding=1, bias=False)
+                self.bn1 = nn.BatchNorm2d(cout)
+                self.conv2 = nn.Conv2d(cout, cout, 3, padding=1, bias=False)
+                self.bn2 = nn.BatchNorm2d(cout)
+                self.downsample = None
+                if stride != 1 or cin != cout:
+                    self.downsample = nn.Sequential(
+                        nn.Conv2d(cin, cout, 1, stride=stride, bias=False),
+                        nn.BatchNorm2d(cout))
+
+            def forward(self, x):
+                out = torch.relu(self.bn1(self.conv1(x)))
+                out = self.bn2(self.conv2(out))
+                sc = x if self.downsample is None else self.downsample(x)
+                return torch.relu(out + sc)
+
+        class Front(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv1 = nn.Conv2d(1, CH[0], 3, padding=1, bias=False)
+                self.bn1 = nn.BatchNorm2d(CH[0])
+
+        class ResNet(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.front = Front()
+                cin = CH[0]
+                for si, (c, nb) in enumerate(zip(CH, BLOCKS)):
+                    layers = []
+                    for bi in range(nb):
+                        stride = 2 if (bi == 0 and si > 0) else 1
+                        layers.append(Basic(cin, c, stride))
+                        cin = c
+                    setattr(self, f"layer{si + 1}", nn.Sequential(*layers))
+                mel_out = MELS // 8
+                self.seg_1 = nn.Linear(CH[-1] * mel_out * 2, EMB)
+
+            def forward(self, fbank):  # [T, MELS], CMN'd
+                x = fbank.T[None, None]                        # [1, 1, F, T]
+                x = torch.relu(self.front.bn1(self.front.conv1(x)))
+                for si in range(4):
+                    x = getattr(self, f"layer{si + 1}")(x)
+                b, c, f, t = x.shape
+                flat = x.reshape(b, c * f, t)                  # channel-major
+                mu = flat.mean(-1)
+                sd = torch.sqrt(flat.var(-1, unbiased=False) + 1e-7)
+                return self.seg_1(torch.cat([mu, sd], -1))[0]
+
+        torch.manual_seed(0)
+        net = ResNet().eval()
+        for mod in net.modules():
+            if isinstance(mod, nn.BatchNorm2d):
+                mod.running_mean.uniform_(-0.2, 0.2)
+                mod.running_var.uniform_(0.5, 2.0)
+                mod.weight.data.uniform_(0.5, 1.5)
+                mod.bias.data.uniform_(-0.2, 0.2)
+        sd = {k: v.detach().numpy() for k, v in net.state_dict().items()
+              if "num_batches" not in k}
+        params = convert_wespeaker(sd, blocks=BLOCKS)
+
+        rng = np.random.default_rng(1)
+        T = 40
+        fb = rng.standard_normal((T, MELS)).astype(np.float32)
+        fb -= fb.mean(0, keepdims=True)                        # pre-CMN'd input
+        with torch.no_grad():
+            ref = net(torch.from_numpy(fb)).numpy()
+        import jax.numpy as jnp
+
+        out = np.asarray(wespeaker_forward(params, jnp.asarray(fb), jnp.asarray(T)))
+        np.testing.assert_allclose(out, ref, rtol=3e-4, atol=3e-5)
