@@ -30,16 +30,26 @@ def _lstm_layer(sd: Dict[str, np.ndarray], i: int, reverse: bool) -> dict:
 
 def convert_segmentation(sd: Dict[str, np.ndarray], cfg: SegmentationConfig) -> dict:
     params = {"conv": [], "lstm_fwd": [], "lstm_bwd": [], "linear": []}
+    # affine wave-level instance norm (pyannote InstanceNorm1d(1, affine=True))
+    if "sincnet.wav_norm1d.weight" in sd:
+        params["wav_norm"] = {
+            "scale": sd["sincnet.wav_norm1d.weight"].astype(np.float32),
+            "bias": sd["sincnet.wav_norm1d.bias"].astype(np.float32)}
     for i in range(len(cfg.sincnet_filters)):
         # torch conv1d [out, in, k] → [k, in, out]; layer 0 may come from the
         # sincnet filterbank export (same layout after materialization)
-        for name in (f"sincnet.conv1d.{i}", f"sincnet.wav_norm1d.{i}", f"conv.{i}"):
+        for name in (f"sincnet.conv1d.{i}", f"conv.{i}"):
             if f"{name}.weight" in sd:
                 w = sd[f"{name}.weight"]
-                params["conv"].append({
+                conv_p = {
                     "kernel": np.transpose(w, (2, 1, 0)).astype(np.float32),
                     "bias": sd.get(f"{name}.bias", np.zeros(w.shape[0])).astype(np.float32),
-                })
+                }
+                if f"sincnet.norm1d.{i}.weight" in sd:
+                    conv_p["norm"] = {
+                        "scale": sd[f"sincnet.norm1d.{i}.weight"].astype(np.float32),
+                        "bias": sd[f"sincnet.norm1d.{i}.bias"].astype(np.float32)}
+                params["conv"].append(conv_p)
                 break
         else:
             raise KeyError(f"sincnet conv layer {i} not found")

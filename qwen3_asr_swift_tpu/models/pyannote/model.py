@@ -112,12 +112,16 @@ def init_segmentation_params(key, cfg: SegmentationConfig, dtype=jnp.float32) ->
 # forward
 # ---------------------------------------------------------------------------
 
-def _instance_norm(x, eps=1e-5):
-    """Normalize each channel over time (reference: InstanceNorm without
-    affine). x: [B, T, C]."""
+def _instance_norm(x, p=None, eps=1e-5):
+    """Per-channel normalization over time with optional affine params
+    (pyannote's SincNet uses InstanceNorm1d(affine=True) for the wave norm
+    and after every conv). x: [B, T, C]; p: {"scale","bias"} or None."""
     mean = jnp.mean(x, axis=1, keepdims=True)
     var = jnp.var(x, axis=1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    if p is not None:
+        y = y * p["scale"] + p["bias"]
+    return y
 
 
 def _max_pool_t(x, k):
@@ -128,7 +132,7 @@ def _max_pool_t(x, k):
 
 def sincnet(params, cfg: SegmentationConfig, wave):
     """wave [B, S] → features [B, frames, 60]."""
-    x = _instance_norm(wave[:, :, None])
+    x = _instance_norm(wave[:, :, None], params.get("wav_norm"))
     for i, p in enumerate(params["conv"]):
         x = jax.lax.conv_general_dilated(
             x, p["kernel"], window_strides=(cfg.sincnet_strides[i],), padding="VALID",
@@ -138,7 +142,7 @@ def sincnet(params, cfg: SegmentationConfig, wave):
         if i == 0:
             x = jnp.abs(x)
         x = _max_pool_t(x, cfg.sincnet_pools[i])
-        x = jax.nn.leaky_relu(_instance_norm(x), 0.01)
+        x = jax.nn.leaky_relu(_instance_norm(x, p.get("norm")), 0.01)
     return x
 
 

@@ -289,3 +289,88 @@ class TestFireRedConvert:
         p2 = m2.frame_probabilities(audio)
         assert len(p1) == len(p2)
         np.testing.assert_allclose(p1, p2, atol=1e-5)
+
+
+class TestPyannoteConvertParity:
+    """PyanNet golden parity: a torch replica in the pyannote naming
+    (sincnet.wav_norm1d / conv1d.{i} / norm1d.{i} with affine instance
+    norms, abs after the sinc layer, pool→norm→leaky_relu order, 4-layer
+    BiLSTM, leaky-relu linears, classifier LogSoftmax) converts through
+    convert_segmentation and must match segmentation_forward."""
+
+    def test_forward_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        nn = torch.nn
+        import dataclasses
+
+        from qwen3_asr_swift_tpu.models.pyannote.convert import convert_segmentation
+        from qwen3_asr_swift_tpu.models.pyannote.model import (
+            SegmentationConfig,
+            segmentation_forward,
+        )
+
+        cfg = SegmentationConfig(
+            sincnet_filters=(8, 6, 6), sincnet_kernels=(21, 5, 5),
+            sincnet_strides=(5, 1, 1), sincnet_pools=(3, 3, 3),
+            lstm_layers=2, lstm_hidden=8, linear_layers=2, linear_hidden=8,
+            num_classes=7, num_speakers=3, window_s=0.5)
+
+        class SincNet(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.wav_norm1d = nn.InstanceNorm1d(1, affine=True)
+                chans = (1,) + cfg.sincnet_filters[:-1]
+                self.conv1d = nn.ModuleList(
+                    nn.Conv1d(cin, cout, k, stride=s)
+                    for cin, cout, k, s in zip(chans, cfg.sincnet_filters,
+                                               cfg.sincnet_kernels, cfg.sincnet_strides))
+                self.pool1d = nn.ModuleList(nn.MaxPool1d(p, p) for p in cfg.sincnet_pools)
+                self.norm1d = nn.ModuleList(
+                    nn.InstanceNorm1d(c, affine=True) for c in cfg.sincnet_filters)
+
+            def forward(self, wave):  # [B, 1, S]
+                x = self.wav_norm1d(wave)
+                for i, (conv, pool, norm) in enumerate(
+                        zip(self.conv1d, self.pool1d, self.norm1d)):
+                    x = conv(x)
+                    if i == 0:
+                        x = torch.abs(x)
+                    x = torch.nn.functional.leaky_relu(norm(pool(x)))
+                return x
+
+        class PyanNet(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.sincnet = SincNet()
+                self.lstm = nn.LSTM(cfg.sincnet_filters[-1], cfg.lstm_hidden,
+                                    cfg.lstm_layers, bidirectional=True,
+                                    batch_first=True)
+                self.linear = nn.ModuleList([
+                    nn.Linear(2 * cfg.lstm_hidden, cfg.linear_hidden),
+                    nn.Linear(cfg.linear_hidden, cfg.linear_hidden)])
+                self.classifier = nn.Linear(cfg.linear_hidden, cfg.num_classes)
+
+            def forward(self, wave):  # [B, S]
+                x = self.sincnet(wave.unsqueeze(1)).permute(0, 2, 1)
+                x, _ = self.lstm(x)
+                for lin in self.linear:
+                    x = torch.nn.functional.leaky_relu(lin(x))
+                return torch.log_softmax(self.classifier(x), dim=-1)
+
+        torch.manual_seed(0)
+        net = PyanNet().eval()
+        # randomize the affine norms so the mapping is actually exercised
+        for mod in net.modules():
+            if isinstance(mod, nn.InstanceNorm1d):
+                mod.weight.data.uniform_(0.5, 1.5)
+                mod.bias.data.uniform_(-0.3, 0.3)
+
+        sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+        params = convert_segmentation(sd, cfg)
+
+        rng = np.random.default_rng(1)
+        wave = (0.3 * rng.standard_normal(4000)).astype(np.float32)
+        with torch.no_grad():
+            ref = torch.exp(net(torch.from_numpy(wave)[None]))[0].numpy()
+        out = np.asarray(segmentation_forward(params, cfg, jnp.asarray(wave)[None]))[0]
+        np.testing.assert_allclose(out, ref, rtol=5e-4, atol=5e-5)
