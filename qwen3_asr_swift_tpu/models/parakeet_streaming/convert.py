@@ -68,6 +68,10 @@ def convert_streaming_encoder(sd: Dict[str, np.ndarray],
                 "v": _lin(sd, f"{l}.self_attn.linear_v"),
                 "o": _lin(sd, f"{l}.self_attn.linear_out"),
                 "pos": _lin(sd, f"{l}.self_attn.linear_pos", bias=False),
+                # per-layer Transformer-XL biases (NeMo carries one pair per
+                # layer; the top-level copy is only a fallback)
+                "pos_u": sd[f"{l}.self_attn.pos_bias_u"].astype(np.float32),
+                "pos_v": sd[f"{l}.self_attn.pos_bias_v"].astype(np.float32),
             },
             "conv_ln": _ln(sd, f"{l}.norm_conv"),
             "conv": {

@@ -248,7 +248,9 @@ def encode_chunk(params, cfg: StreamingConformerConfig, mel_chunk,
         # cache the *layer input* tokens as future left context
         cat = jnp.concatenate([caches.channel[li], att_in], axis=1)
         new_channel.append(cat[:, -cfg.att_context:])
-        x = x + _cached_attention(p["att"], params["pos_u"], params["pos_v"],
+        pos_u = p["att"].get("pos_u", params["pos_u"])
+        pos_v = p["att"].get("pos_v", params["pos_v"])
+        x = x + _cached_attention(p["att"], pos_u, pos_v,
                                   att_in, caches.channel[li], caches.channel_len, cfg)
 
         conv_in = layer_norm(x, p["conv_ln"]["weight"], p["conv_ln"]["bias"])
