@@ -213,3 +213,83 @@ class TestE2EQuality:
             capture_output=True, text=True, timeout=1800)
         assert r.returncode == 0, r.stderr[-2000:]
         assert "wer" in r.stdout.lower()
+
+
+class TestE2EConvertsMore:
+    """Remaining families' real-checkpoint load gates."""
+
+    def test_qwen3_tts(self):
+        d = require_weights("aufklarer/Qwen3-TTS-0.6B-MLX-4bit")
+        import jax.numpy as jnp
+
+        from qwen3_asr_swift_tpu.models.qwen3_tts import Qwen3TTS
+
+        m = Qwen3TTS.from_pretrained(str(d), dtype=jnp.bfloat16)
+        out = m.synthesize("hello there", max_frames=50)
+        assert len(out.samples) > 1000 and np.isfinite(out.samples).all()
+
+    def test_chat(self):
+        d = require_weights("mlx-community/Qwen3.5-0.8B-4bit")
+        import jax.numpy as jnp
+
+        from qwen3_asr_swift_tpu.models.chat import Qwen3Chat
+
+        import itertools
+
+        m = Qwen3Chat.from_pretrained(str(d), dtype=jnp.bfloat16)
+        pieces = list(itertools.islice(
+            m.chat([{"role": "user", "content": "Say hi."}]), 16))
+        assert pieces and all(isinstance(t, str) for t in pieces)
+
+    def test_translation(self):
+        d = require_weights("mlx-community/madlad400-3b-mt-4bit")
+        import jax.numpy as jnp
+
+        from qwen3_asr_swift_tpu.models.translation import MADLADTranslator
+
+        m = MADLADTranslator.from_pretrained(str(d), dtype=jnp.bfloat16)
+        out = m.translate("hello world", target_lang="de")
+        assert isinstance(out, str) and out
+
+    def test_omnilingual(self):
+        d = require_weights("facebook/omnilingual-asr-300m")
+        from qwen3_asr_swift_tpu.models.omnilingual import OmnilingualASR
+
+        m = OmnilingualASR.from_pretrained(str(d))
+        r = m.transcribe(_speechish())
+        assert isinstance(r.text, str)
+
+    def test_pyannote(self):
+        d = require_weights("pyannote/segmentation-3.0")
+        from qwen3_asr_swift_tpu.models.pyannote import PyannoteSegmentation
+
+        m = PyannoteSegmentation.from_pretrained(str(d))
+        tracks = m.speaker_activity(_speechish(seconds=5.0))
+        assert tracks.shape[1] >= 1 and np.isfinite(tracks).all()
+
+    def test_wespeaker(self):
+        d = require_weights("wespeaker/resnet34")
+        from qwen3_asr_swift_tpu.models.speaker import WeSpeaker
+
+        m = WeSpeaker.from_pretrained(str(d))
+        e = m.embed(_speechish())
+        assert len(e) >= 128 and np.isfinite(e).all()
+
+    def test_separation(self):
+        d = require_weights("open-unmix/umxhq")
+        from qwen3_asr_swift_tpu.models.separation import SourceSeparator
+
+        m = SourceSeparator.from_pretrained(str(d))
+        audio = np.stack([_speechish(sr=44100)] * 2)
+        stems = m.separate(audio, 44100)
+        assert set(stems) >= {"vocals"}
+
+    def test_vibevoice(self):
+        d = require_weights("microsoft/VibeVoice-Realtime-0.5B")
+        import jax.numpy as jnp
+
+        from qwen3_asr_swift_tpu.models.vibevoice import VibeVoiceTTS
+
+        m = VibeVoiceTTS.from_pretrained(str(d), dtype=jnp.bfloat16)
+        out = m.synthesize("hello", max_frames=20)
+        assert np.isfinite(out.samples).all()
