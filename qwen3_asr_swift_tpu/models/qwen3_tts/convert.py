@@ -79,6 +79,23 @@ class _Loader:
             p["bias"] = self.flat[f"{name}.bias"].astype(self.dtype)
         return p
 
+    def convt(self, name: str) -> dict:
+        """MLX ConvTransposed1d weight [out, width, in] → taps flipped →
+        [width, in, out].  codec.causal_transpose_conv1d runs
+        jax.lax.conv_transpose with transpose_kernel=False, which
+        cross-correlates the lhs-dilated input with the kernel as given;
+        the upstream op (reference Sources/Qwen3TTS/
+        SpeechTokenizerDecoder.swift:51-66 CausalTransposeConv1d) is the
+        conv adjoint, so the taps must be mirrored — same convention as
+        every other transpose-conv converter in this repo (kokoro,
+        personaplex, vibevoice, voxcpm2)."""
+        w = self.flat[f"{name}.weight"][:, ::-1, :]
+        p = {"kernel": np.ascontiguousarray(
+            np.transpose(w, (1, 2, 0))).astype(self.dtype)}
+        if f"{name}.bias" in self.flat:
+            p["bias"] = self.flat[f"{name}.bias"].astype(self.dtype)
+        return p
+
     def has(self, name: str) -> bool:
         return f"{name}.weight" in self.flat
 
@@ -167,9 +184,9 @@ def convert_tts_checkpoint(flat: Dict[str, np.ndarray], cfg: Qwen3TTSConfig,
             "layers": [],
         },
         "pre_upsample": [
-            {"upsample": DL.conv("decoder.upsample.0.0.conv"),
+            {"upsample": DL.convt("decoder.upsample.0.0.conv"),
              "convnext": _convnext_from(DL, "decoder.upsample.0.1")},
-            {"upsample": DL.conv("decoder.upsample.1.0.conv"),
+            {"upsample": DL.convt("decoder.upsample.1.0.conv"),
              "convnext": _convnext_from(DL, "decoder.upsample.1.1")},
         ],
         "input_conv": DL.conv("decoder.decoder.0.conv"),
@@ -198,7 +215,7 @@ def convert_tts_checkpoint(flat: Dict[str, np.ndarray], cfg: Qwen3TTSConfig,
         p = f"decoder.decoder.{bi}"
         block = {
             "snake": _snake_from(other, f"{p}.block.0" if f"{p}.block.0.alpha" in other else f"{p}.snake"),
-            "upsample": DL.conv(f"{p}.block.1.conv" if DL.has(f"{p}.block.1.conv") else f"{p}.upsample.conv"),
+            "upsample": DL.convt(f"{p}.block.1.conv" if DL.has(f"{p}.block.1.conv") else f"{p}.upsample.conv"),
             "units": [],
         }
         for ui in range(3):

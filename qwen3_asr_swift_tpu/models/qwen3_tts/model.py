@@ -296,7 +296,10 @@ class Qwen3TTS(SpeechGenerationModel):
 
     def synthesize(self, text: str, voice: Optional[str] = None, language: str = "english",
                    instruct: Optional[str] = None, sampling: Optional[TTSSamplingConfig] = None,
-                   seed: int = 0, **kwargs) -> AudioChunk:
+                   seed: int = 0, max_frames: Optional[int] = None, **kwargs) -> AudioChunk:
+        if max_frames is not None:  # convenience alias into the sampling config
+            sampling = dataclasses.replace(sampling or TTSSamplingConfig(),
+                                           max_frames=max_frames)
         t0 = time.perf_counter()
         codes, n = self.generate_codes(text, language, voice, instruct, sampling, seed)
         if n == 0:
@@ -308,8 +311,10 @@ class Qwen3TTS(SpeechGenerationModel):
         return AudioChunk(np.asarray(wav, np.float32), self.cfg.codec.sample_rate)
 
     def synthesize_stream(self, text: str, voice: Optional[str] = None, language: str = "english",
-                          **kwargs) -> Iterator[AudioChunk]:
-        codes, n = self.generate_codes(text, language, voice)
+                          max_frames: Optional[int] = None, **kwargs) -> Iterator[AudioChunk]:
+        sampling = (dataclasses.replace(TTSSamplingConfig(), max_frames=max_frames)
+                    if max_frames is not None else None)
+        codes, n = self.generate_codes(text, language, voice, sampling=sampling)
         if n == 0:
             return
         for chunk in self.codec.decode_stream(codes):

@@ -450,6 +450,35 @@ class TestVibeVoiceTokenizer:
         np.testing.assert_allclose(chunked, full, atol=1e-5)
 
 
+class TestVibeVoiceTransposeConv:
+    """_sconv_transpose ∘ _Keys.convtr must reproduce torch ConvTranspose1d
+    semantics (y[s·t+j] += x[t,i]·W[i,o,j], then (k−s) right trim — the
+    upstream SConvTranspose1d with trim_right_ratio=1).  A naive
+    scatter-sum reference pins the tap-flip convention numerically; shape
+    checks alone cannot see a mirrored kernel."""
+
+    @pytest.mark.parametrize("k,s", [(4, 2), (16, 8), (9, 3)])
+    def test_matches_adjoint_scatter(self, k, s):
+        from qwen3_asr_swift_tpu.models.vibevoice.convert import _Keys
+        from qwen3_asr_swift_tpu.models.vibevoice.tokenizer import _sconv_transpose
+
+        rng = np.random.default_rng(k + s)
+        cin, cout, t = 3, 5, 6
+        w = rng.standard_normal((cin, cout, k)).astype(np.float32)  # torch layout
+        b = rng.standard_normal(cout).astype(np.float32)
+        x = rng.standard_normal((1, t, cin)).astype(np.float32)
+
+        full = np.zeros((s * (t - 1) + k, cout), np.float32)
+        for ti in range(t):
+            for ji in range(k):
+                full[s * ti + ji] += x[0, ti] @ w[:, :, ji]
+        want = (full + b)[: s * t]
+
+        keys = _Keys({"up.convtr.convtr.weight": w, "up.convtr.convtr.bias": b})
+        got = np.asarray(_sconv_transpose(jnp.asarray(x), keys.convtr("up"), s))
+        np.testing.assert_allclose(got[0], want, rtol=1e-5, atol=1e-5)
+
+
 class TestDPMSolver:
     def test_coefficients_monotonic(self):
         from qwen3_asr_swift_tpu.models.vibevoice.diffusion import (

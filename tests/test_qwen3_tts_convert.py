@@ -42,6 +42,15 @@ def _export_conv(flat, name, p):
         flat[f"{name}.bias"] = p["bias"]
 
 
+def _export_convt(flat, name, p):
+    # canonical flipped [width, in, out] → MLX ConvTransposed1d [out, width, in]
+    # (the converter's convt() mirrors the taps; invert the flip here)
+    flat[f"{name}.weight"] = np.ascontiguousarray(
+        np.transpose(p["kernel"][::-1], (2, 0, 1)))
+    if "bias" in p:
+        flat[f"{name}.bias"] = p["bias"]
+
+
 def _export_layers(flat, prefix, layers):
     for i, lp in enumerate(layers):
         p = f"{prefix}.layers.{i}"
@@ -121,13 +130,13 @@ def roundtrip():
         flat[f"{p}.self_attn_layer_scale.scale"] = lp["attn_scale"]
         flat[f"{p}.mlp_layer_scale.scale"] = lp["mlp_scale"]
     for u in range(2):
-        _export_conv(flat, f"decoder.upsample.{u}.0.conv", codec["pre_upsample"][u]["upsample"])
+        _export_convt(flat, f"decoder.upsample.{u}.0.conv", codec["pre_upsample"][u]["upsample"])
         _export_convnext(flat, f"decoder.upsample.{u}.1", codec["pre_upsample"][u]["convnext"])
     _export_conv(flat, "decoder.decoder.0.conv", codec["input_conv"])
     for bi, block in enumerate(codec["blocks"], start=1):
         p = f"decoder.decoder.{bi}"
         _export_snake(flat, f"{p}.block.0", block["snake"])
-        _export_conv(flat, f"{p}.block.1.conv", block["upsample"])
+        _export_convt(flat, f"{p}.block.1.conv", block["upsample"])
         for ui, unit in enumerate(block["units"]):
             base = f"{p}.block.{2 + ui}"
             _export_snake(flat, f"{base}.snake1", unit["snake1"])
@@ -185,3 +194,37 @@ class TestRoundTrip:
                          speaker_encoder_params=init_speaker_encoder(k))
         out = model.synthesize("hello", max_frames=3)
         assert np.isfinite(out.samples).all()
+
+
+class TestTransposeConvSemantics:
+    """causal_transpose_conv1d ∘ convt() must reproduce the upstream op.
+
+    The upstream CausalTransposeConv1d (reference Sources/Qwen3TTS/
+    SpeechTokenizerDecoder.swift:51-82) is MLX ConvTransposed1d (the conv
+    adjoint: y[s·t+k] += x[t]·W[o,k,i]) followed by a (K−s) right trim.
+    A naive scatter-sum reference implements those semantics directly;
+    round-trip tree equality alone cannot see a tap-flip error because
+    both directions would share it.
+    """
+
+    @pytest.mark.parametrize("k,s", [(4, 2), (16, 8), (10, 5), (9, 3)])
+    def test_matches_adjoint_scatter(self, k, s):
+        from qwen3_asr_swift_tpu.models.qwen3_tts.codec import causal_transpose_conv1d
+        from qwen3_asr_swift_tpu.models.qwen3_tts.convert import _Loader
+
+        rng = np.random.default_rng(k * 100 + s)
+        cin, cout, t = 3, 5, 7
+        w_mlx = rng.standard_normal((cout, k, cin)).astype(np.float32)
+        b = rng.standard_normal(cout).astype(np.float32)
+        x = rng.standard_normal((1, t, cin)).astype(np.float32)
+
+        # naive upstream semantics
+        full = np.zeros((s * (t - 1) + k, cout), np.float32)
+        for ti in range(t):
+            for ki in range(k):
+                full[s * ti + ki] += x[0, ti] @ w_mlx[:, ki, :].T
+        want = (full + b)[: s * t]  # right-trim K−s
+
+        L = _Loader({"up.weight": w_mlx, "up.bias": b}, bits=4, group=64)
+        got = np.asarray(causal_transpose_conv1d(jnp.asarray(x), L.convt("up"), s))
+        np.testing.assert_allclose(got[0], want, rtol=1e-5, atol=1e-5)
