@@ -180,7 +180,9 @@ def encode(params, mel, n_valid_frames, cfg: AudioEncoderConfig,
             ``shard_map``ped over ``sp_axis`` with each device running the
             conv + attention stack on its own contiguous window span and
             zero collectives (SURVEY.md §2h).  Window counts that don't
-            divide the axis fall back to single-program execution.  (A
+            divide the axis are zero-padded up to the next multiple (the
+            pad windows ride along on otherwise-idle devices; their tokens
+            are sliced off and ``n_valid_tokens`` never reaches them).  (A
             plain sharding *constraint* on the conv batch is NOT used: the
             13-tokens-per-chunk → 104-token-window regroup only lines up
             with a chunk sharding when each shard holds a multiple of 8
@@ -196,26 +198,31 @@ def encode(params, mel, n_valid_frames, cfg: AudioEncoderConfig,
 
     n_win = t_frames // cfg.n_window_infer
     if sp_mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
         sp_size = sp_mesh.shape[sp_axis]
-        if n_win % sp_size == 0:
-            from jax.sharding import PartitionSpec as P
+        n_tokens = (t_frames // cfg.chunk_frames) * cfg.tokens_per_chunk
+        pad_win = -n_win % sp_size
+        if pad_win:
+            mel = jnp.pad(mel, ((0, 0), (0, pad_win * cfg.n_window_infer)))
+            t_frames += pad_win * cfg.n_window_infer
 
-            frames_local = t_frames // sp_size
-            tokens_local = (frames_local // cfg.chunk_frames) * cfg.tokens_per_chunk
+        frames_local = t_frames // sp_size
+        tokens_local = (frames_local // cfg.chunk_frames) * cfg.tokens_per_chunk
 
-            def body(p, mel_local, n_valid_tok):
-                off = jax.lax.axis_index(sp_axis) * tokens_local
-                return _encode_core(p, mel_local, n_valid_tok, cfg, off)
+        def body(p, mel_local, n_valid_tok):
+            off = jax.lax.axis_index(sp_axis) * tokens_local
+            return _encode_core(p, mel_local, n_valid_tok, cfg, off)
 
-            kwargs = dict(mesh=sp_mesh, in_specs=(P(), P(None, sp_axis), P()),
-                          out_specs=P(sp_axis, None))
-            try:
-                from jax import shard_map           # jax ≥ 0.6
-                mapped = shard_map(body, **kwargs)
-            except ImportError:
-                from jax.experimental.shard_map import shard_map
-                mapped = shard_map(body, check_rep=False, **kwargs)
-            out = mapped(params, mel, n_valid_tokens)
-            return out, n_valid_tokens
+        kwargs = dict(mesh=sp_mesh, in_specs=(P(), P(None, sp_axis), P()),
+                      out_specs=P(sp_axis, None))
+        try:
+            from jax import shard_map           # jax ≥ 0.6
+            mapped = shard_map(body, **kwargs)
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+            mapped = shard_map(body, check_rep=False, **kwargs)
+        out = mapped(params, mel, n_valid_tokens)
+        return out[:n_tokens], n_valid_tokens
 
     return _encode_core(params, mel, n_valid_tokens, cfg), n_valid_tokens

@@ -198,6 +198,31 @@ class TestSequenceParallelEncoder:
         lowered = sp_fn.lower(params, mel, n_valid).as_text()
         assert "sharding" in lowered
 
+    def test_sp_encode_nondivisible_windows(self):
+        """n_win % sp_size != 0: the window axis is zero-padded to the next
+        multiple (idle devices run pure-pad windows), the pad tokens are
+        sliced off, and the result still matches single-device exactly."""
+        import jax
+        from qwen3_asr_swift_tpu.models.qwen3_asr.encoder import encode, init_encoder_params
+        from qwen3_asr_swift_tpu.parallel import make_mesh
+
+        cfg = config_tiny().encoder
+        params = init_encoder_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        mesh = make_mesh(8, dp=8, tp=1)
+        for n_win in (5, 11):  # under- and over-subscribed
+            t_frames = cfg.n_window_infer * n_win
+            mel = jnp.asarray(
+                np.random.default_rng(n_win).standard_normal((cfg.n_mels, t_frames)),
+                jnp.float32)
+            n_valid = jnp.asarray(t_frames - 53, jnp.int32)
+            ref, n_ref = jax.jit(lambda p, m, n: encode(p, m, n, cfg))(params, mel, n_valid)
+            out, n_out = jax.jit(lambda p, m, n: encode(p, m, n, cfg, sp_mesh=mesh))(
+                params, mel, n_valid)
+            assert int(n_out) == int(n_ref)
+            assert out.shape == ref.shape
+            assert np.isfinite(np.asarray(out)).all()
+            assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
 
 class TestInt8KVCache:
     def test_int8_cache_step_logits_close(self):
