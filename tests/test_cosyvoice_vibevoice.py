@@ -290,6 +290,27 @@ class TestConvert:
                               tokens, jax.random.PRNGKey(0))
         np.testing.assert_allclose(np.asarray(mel_a), np.asarray(mel_b), atol=2e-5)
 
+    def test_weight_norm_fusion_matches_torch(self):
+        """_fuse_weight_norm vs torch's own materialized weight (dim=0),
+        in both the legacy weight_g/weight_v and the new parametrizations
+        naming — round-trip tests share the fusion axes in both directions
+        and could not catch a wrong-dim norm."""
+        import warnings
+
+        import torch
+
+        from qwen3_asr_swift_tpu.models.cosyvoice.convert import _fuse_weight_norm
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", FutureWarning)
+            old = torch.nn.utils.weight_norm(torch.nn.Conv1d(3, 6, 5))
+        new = torch.nn.utils.parametrizations.weight_norm(torch.nn.Conv1d(3, 6, 5))
+        for mod in (old, new):
+            flat = {f"x.{k}": v.detach().numpy() for k, v in mod.state_dict().items()}
+            want = mod.weight.detach().numpy()
+            np.testing.assert_allclose(_fuse_weight_norm(flat)["x.weight"], want,
+                                       rtol=0, atol=1e-6)
+
     def test_hift_roundtrip_with_weight_norm(self):
         from qwen3_asr_swift_tpu.models.cosyvoice.convert import convert_hift
         cfg = cosy_tiny().hift
