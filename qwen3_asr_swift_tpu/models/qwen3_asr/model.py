@@ -91,6 +91,7 @@ class Qwen3ASR(SpeechRecognitionModel):
             return encode(enc_params, mel, n_valid_frames, self.cfg.encoder)
 
         self._encode_audio = _encode_audio
+        self._encode_audio_sp = None  # set by shard() on a dp>1 mesh
         self._encode_audio_batch = jax.jit(
             jax.vmap(
                 lambda p, a, n, n_frames: _encode_audio(p, a, n, n_frames=n_frames),
@@ -318,9 +319,18 @@ class Qwen3ASR(SpeechRecognitionModel):
             timings["host_prep"] = time.perf_counter() - t_start
             t_stage = time.perf_counter()
 
-        audio_tokens, n_audio = self._encode_audio_batch(
-            self.encoder_params, padded_dev, n_valid_dev, bucket
-        )
+        if (len(audios) == 1 and self._encode_audio_sp is not None
+                and bucket >= 2 * self.cfg.encoder.n_window_infer):
+            # long single utterance on a sharded model: sequence-parallel
+            # encode over the dp axis (bit-identical to the batch path)
+            tok, n_tok = self._encode_audio_sp(
+                self.encoder_params, padded_dev[0], n_valid_dev[0], bucket
+            )
+            audio_tokens, n_audio = tok[None], n_tok[None]
+        else:
+            audio_tokens, n_audio = self._encode_audio_batch(
+                self.encoder_params, padded_dev, n_valid_dev, bucket
+            )
         if timings is not None:
             jax.block_until_ready(audio_tokens)
             timings["encode"] = time.perf_counter() - t_stage
@@ -396,6 +406,23 @@ class Qwen3ASR(SpeechRecognitionModel):
         mesh = mesh or make_mesh(dp=dp, tp=tp)
         self.encoder_params = shard_pytree(self.encoder_params, mesh, QWEN3_ENCODER_RULES)
         self.decoder_params = shard_pytree(self.decoder_params, mesh, QWEN3_DECODER_RULES)
+        if mesh.shape.get("dp", 1) > 1:
+            # single long utterances additionally shard the encoder's
+            # attention windows over the dp axis (encoder.encode sp_mesh);
+            # transcribe_batch routes through this when batch == 1 and the
+            # bucket spans multiple windows
+            from .encoder import encode as _sp_encode
+
+            def _encode_audio_sp(enc_params, padded_audio, n_valid_frames, n_frames):
+                if padded_audio.dtype == jnp.int16:
+                    padded_audio = padded_audio.astype(jnp.float32) / 32767.0
+                mel = log_mel_kernel(padded_audio, n_valid_frames, self.mel_cfg, n_frames)
+                return _sp_encode(enc_params, mel.astype(self.dtype),
+                                  n_valid_frames, self.cfg.encoder, sp_mesh=mesh)
+
+            self._encode_audio_sp = jax.jit(_encode_audio_sp, static_argnums=(3,))
+        else:
+            self._encode_audio_sp = None
         return self
 
     def warm_up(self) -> None:

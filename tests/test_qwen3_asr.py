@@ -198,6 +198,39 @@ class TestSequenceParallelEncoder:
         lowered = sp_fn.lower(params, mel, n_valid).as_text()
         assert "sharding" in lowered
 
+    def test_sharded_model_auto_sp_long_transcribe(self):
+        """model.shard(mesh) + a single multi-window utterance routes the
+        encode through the sequence-parallel path automatically, with
+        tokens identical to the batch (vmapped) encode."""
+        import jax
+        from qwen3_asr_swift_tpu.models.qwen3_asr.model import Qwen3ASR
+        from qwen3_asr_swift_tpu.parallel import make_mesh
+
+        model = Qwen3ASR.init_random(config_tiny(), dtype=jnp.float32,
+                                     audio_buckets_s=(8, 16))
+        rng = np.random.default_rng(3)
+        audio = (0.1 * rng.standard_normal(10 * 16000)).astype(np.float32)  # 16 s bucket
+
+        prepared = model._prepare_audio(audio, 16000)
+        bucket = prepared[2]
+        assert bucket >= 2 * model.cfg.encoder.n_window_infer  # multi-window
+
+        ref, n_ref = model._encode_audio_batch(
+            model.encoder_params, jnp.asarray(prepared[0])[None],
+            jnp.asarray([prepared[1]], np.int32), bucket)
+
+        model.shard(mesh=make_mesh(8, dp=8, tp=1))
+        assert model._encode_audio_sp is not None
+        tok, n_tok = model._encode_audio_sp(
+            model.encoder_params, jnp.asarray(prepared[0]),
+            jnp.asarray(prepared[1], jnp.int32), bucket)
+        assert int(n_tok) == int(n_ref[0])
+        assert np.allclose(np.asarray(tok), np.asarray(ref[0]), atol=1e-5)
+
+        # and the public path runs end-to-end through auto-SP
+        text = model.transcribe(audio, max_tokens=4).text
+        assert isinstance(text, str)
+
     def test_sp_encode_nondivisible_windows(self):
         """n_win % sp_size != 0: the window axis is zero-padded to the next
         multiple (idle devices run pure-pad windows), the pad tokens are
