@@ -64,16 +64,26 @@ def main():
     # jitted device programs (encode, generate) from host work and transfer
     # jitter — under the remote-TPU tunnel the host↔device RPC dominates the
     # run-to-run spread, which stage timings make visible.
-    times, device_times = [], []
-    n_runs = int(os.environ.get("BENCH_RUNS", "7"))
+    # Headline timing runs measure the NATURAL path — no per-stage syncs, so
+    # host staging pipelines against device compute exactly as in serving.
+    # (Passing ``timings`` inserts block_until_ready at stage boundaries,
+    # which both serializes that pipelining and adds sync RPCs — measured
+    # ~40-70% wall inflation under the remote tunnel.)
+    times = []
+    n_runs = int(os.environ.get("BENCH_RUNS", "9"))
     for i in range(n_runs):
-        timings = {}
         t0 = time.perf_counter()
-        results = model.transcribe_batch(clips, options=opts, timings=timings)
+        results = model.transcribe_batch(clips, options=opts)
         times.append(time.perf_counter() - t0)
-        dev = timings.get("encode", 0.0) + timings.get("generate", 0.0)
-        device_times.append(dev)
-        print(f"run {i}: total {times[-1]:.3f}s | host_prep {timings.get('host_prep', 0):.3f} "
+        print(f"run {i}: total {times[-1]:.3f}s", file=sys.stderr)
+
+    # Separate synced runs attribute wall time to stages (diagnostics only).
+    device_times = []
+    for i in range(3):
+        timings = {}
+        model.transcribe_batch(clips, options=opts, timings=timings)
+        device_times.append(timings.get("encode", 0.0) + timings.get("generate", 0.0))
+        print(f"staged run {i}: host_prep {timings.get('host_prep', 0):.3f} "
               f"encode {timings.get('encode', 0):.3f} generate {timings.get('generate', 0):.3f} "
               f"post {timings.get('postprocess', 0):.3f}", file=sys.stderr)
 
