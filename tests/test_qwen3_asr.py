@@ -163,6 +163,28 @@ class TestModel:
         batch = [r.text for r in model.transcribe_batch([a, b], max_tokens=4)]
         assert batch == singles
 
+    def test_concurrent_transcribe_thread_safe(self, model):
+        """Concurrent submitters (bench.py steady-state; a loaded server)
+        must produce exactly the serial results — params are read-only and
+        every call builds its own host state."""
+        import threading
+
+        rng = np.random.default_rng(11)
+        audios = [(0.1 * rng.standard_normal(16000)).astype(np.float32) for _ in range(4)]
+        serial = [model.transcribe(a, max_tokens=4).text for a in audios]
+
+        results = [None] * 4
+
+        def work(i):
+            results[i] = model.transcribe(audios[i], max_tokens=4).text
+
+        threads = [threading.Thread(target=work, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert results == serial
+
     def test_greedy_determinism(self, model):
         audio = (0.1 * np.random.default_rng(6).standard_normal(16000)).astype(np.float32)
         t1 = model.transcribe(audio, max_tokens=6).text
