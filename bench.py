@@ -38,6 +38,10 @@ def main():
     from qwen3_asr_swift_tpu.models.qwen3_asr import CONFIG_SMALL, Qwen3ASR
     from qwen3_asr_swift_tpu.ops.sampling import SamplingOptions
 
+    # batch 16 default: batch 32 has the higher device ceiling (925x vs
+    # 741x device-program p50) and hits 638x steady-state when the tunnel
+    # is healthy, but stages 2x the PCM bytes so congested-tunnel floors
+    # are worse (289x vs 321x) — 16 is the better one-shot default here
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     clip_s = int(os.environ.get("BENCH_CLIP_S", "30"))
     max_tokens = int(os.environ.get("BENCH_TOKENS", "100"))
