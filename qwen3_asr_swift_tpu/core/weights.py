@@ -71,9 +71,44 @@ def relist(tree):
     lists of layer params."""
     if isinstance(tree, dict):
         if tree and all(isinstance(k, str) and k.isdigit() for k in tree):
-            return [relist(tree[str(i)]) for i in range(len(tree))]
+            # only a dense 0..n-1 index set is a flattened list; a gapped or
+            # offset set (e.g. "0","1","3") stays a dict rather than KeyError
+            indices = sorted(int(k) for k in tree)
+            if indices == list(range(len(tree))):
+                return [relist(tree[str(i)]) for i in indices]
         return {k: relist(v) for k, v in tree.items()}
     return tree
+
+
+def fuse_weight_norm(flat: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Collapse torch weight-norm parameter pairs into plain ``X.weight``.
+
+    Handles both the legacy ``weight_g``/``weight_v`` naming and the
+    parametrize-era ``parametrizations.weight.original0/1`` naming, for
+    ``dim=0`` weight norm (torch's default for conv/linear). Shared by the
+    CosyVoice, Kokoro, and VoxCPM2 converters; pinned against torch's own
+    materialized weights in tests/test_cosyvoice_vibevoice.py."""
+    out = dict(flat)
+    for key in list(flat):
+        base = None
+        if key.endswith(".weight_v"):
+            base = key[: -len(".weight_v")]
+            g, v = flat.get(base + ".weight_g"), flat[key]
+        elif key.endswith(".parametrizations.weight.original1"):
+            base = key[: -len(".parametrizations.weight.original1")]
+            g = flat.get(base + ".parametrizations.weight.original0")
+            v = flat[key]
+        if base is None or g is None:
+            continue
+        norm = np.sqrt(np.sum(np.square(v.astype(np.float64)),
+                              axis=tuple(range(1, v.ndim)), keepdims=True))
+        g = g.astype(np.float64).reshape(norm.shape)
+        out[base + ".weight"] = (g * v.astype(np.float64)
+                                 / np.maximum(norm, 1e-12)).astype(np.float32)
+        for suffix in (".weight_g", ".weight_v", ".parametrizations.weight.original0",
+                       ".parametrizations.weight.original1"):
+            out.pop(base + suffix, None)
+    return out
 
 
 def flatten(tree: dict, prefix: str = "", sep: str = ".") -> Dict[str, np.ndarray]:

@@ -43,7 +43,7 @@ def _load_state_dict(path: Path) -> Dict[str, np.ndarray]:
         return {k.replace("module.", ""): v for k, v in load_file(str(path)).items()}
     import torch
 
-    obj = torch.load(str(path), map_location="cpu", weights_only=False)
+    obj = torch.load(str(path), map_location="cpu", weights_only=True)
     for key in ("model", "model_state_dict", "state_dict"):
         if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
             obj = obj[key]

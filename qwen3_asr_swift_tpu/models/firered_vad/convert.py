@@ -60,7 +60,7 @@ def _load_state_dict(src: Path) -> Dict[str, np.ndarray]:
     else:
         import torch
 
-        obj = torch.load(str(src), map_location="cpu", weights_only=False)
+        obj = torch.load(str(src), map_location="cpu", weights_only=True)
         for key in ("state_dict", "model", "model_state_dict"):
             if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
                 obj = obj[key]

@@ -27,27 +27,7 @@ import numpy as np
 from .model import CONFIG_82M, KokoroConfig
 
 
-def _fuse_weight_norm(flat: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    out = dict(flat)
-    for key in list(flat):
-        base = None
-        if key.endswith(".weight_v"):
-            base = key[: -len(".weight_v")]
-            g, v = flat.get(base + ".weight_g"), flat[key]
-        elif key.endswith(".parametrizations.weight.original1"):
-            base = key[: -len(".parametrizations.weight.original1")]
-            g = flat.get(base + ".parametrizations.weight.original0")
-            v = flat[key]
-        if base is None or g is None:
-            continue
-        norm = np.sqrt(np.sum(np.square(v.astype(np.float64)),
-                              axis=tuple(range(1, v.ndim)), keepdims=True))
-        out[base + ".weight"] = (g.astype(np.float64) * v.astype(np.float64)
-                                 / np.maximum(norm, 1e-12)).astype(np.float32)
-        for sfx in (".weight_g", ".weight_v", ".parametrizations.weight.original0",
-                    ".parametrizations.weight.original1"):
-            out.pop(base + sfx, None)
-    return out
+from ...core.weights import fuse_weight_norm as _fuse_weight_norm  # noqa: E402
 
 
 def _strip_module(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:

@@ -41,7 +41,7 @@ def _load_state_dict(src: Path) -> Dict[str, np.ndarray]:
     else:
         import torch
 
-        obj = torch.load(str(src), map_location="cpu", weights_only=False)
+        obj = torch.load(str(src), map_location="cpu", weights_only=True)
         for k in ("state_dict", "model"):
             if isinstance(obj, dict) and k in obj and isinstance(obj[k], dict):
                 obj = obj[k]

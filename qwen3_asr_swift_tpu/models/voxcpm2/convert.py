@@ -42,25 +42,10 @@ from .vae import AudioVAEConfig
 
 
 def _fuse_weight_norm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    out: Dict[str, np.ndarray] = {}
-    done = set()
-    for key in sorted(sd):
-        if key in done or "fc_logvar" in key:
-            continue
-        if key.endswith(".weight_g"):
-            base = key[: -len(".weight_g")]
-            v = sd.get(base + ".weight_v")
-            if v is not None:
-                g = sd[key]
-                norm = np.sqrt((v.reshape(v.shape[0], -1) ** 2).sum(axis=1)).reshape(g.shape)
-                out[base + ".weight"] = (g * (v / (norm + 1e-9))).astype(np.float32)
-                done.add(key)
-                done.add(base + ".weight_v")
-                continue
-        if key.endswith(".weight_v"):
-            continue
-        out[key] = sd[key]
-    return out
+    from ...core.weights import fuse_weight_norm
+
+    # the VAE's fc_logvar head is train-time only — drop it after fusing
+    return {k: v for k, v in fuse_weight_norm(sd).items() if "fc_logvar" not in k}
 
 
 def _load_state_dict(src: Path) -> Dict[str, np.ndarray]:
@@ -75,7 +60,7 @@ def _load_state_dict(src: Path) -> Dict[str, np.ndarray]:
             cands = sorted(src.glob("*.pt")) + sorted(src.glob("*.pth")) + sorted(src.glob("*.bin"))
             if not cands:
                 raise
-            obj = torch.load(str(cands[0]), map_location="cpu", weights_only=False)
+            obj = torch.load(str(cands[0]), map_location="cpu", weights_only=True)
             for k in ("state_dict", "model"):
                 if isinstance(obj, dict) and k in obj and isinstance(obj[k], dict):
                     obj = obj[k]

@@ -35,6 +35,9 @@ class KeywordDetection:
     token_ids: List[int]
     timestamps: List[int]
     frame_index: int
+    #: mean per-token acoustic probability over the matched window — the
+    #: confidence the beam search actually thresholded on
+    score: float = 1.0
 
     def time(self, frame_shift_seconds: float = 0.04) -> float:
         return self.frame_index * frame_shift_seconds
@@ -163,7 +166,8 @@ class StreamingKwsDecoder:
                         phrase=matched.phrase,
                         token_ids=top.ys[-matched.level:],
                         timestamps=top.timestamps[-matched.level:],
-                        frame_index=self._t))
+                        frame_index=self._t,
+                        score=float(ac_prob)))
                     self.reset()
                     self._t += 1
                     return emissions

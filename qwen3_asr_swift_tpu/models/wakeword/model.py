@@ -103,7 +103,7 @@ class WakeWordDetector(WakeWordModel):
         (protocol surface); the richer KeywordDetection list is available
         via ``detect_keywords``."""
         hits = self.detect_keywords(audio, sample_rate)
-        return [(h.phrase, h.time(), 1.0) for h in hits]
+        return [(h.phrase, h.time(), h.score) for h in hits]
 
     def detect_keywords(self, audio: np.ndarray, sample_rate: int = 16000
                         ) -> List[KeywordDetection]:

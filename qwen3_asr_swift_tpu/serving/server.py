@@ -72,12 +72,17 @@ class SpeechServer:
 
     def __init__(self, registry: ModelRegistry, host: str = "127.0.0.1", port: int = 8321,
                  max_batch: int = 16, max_body: int = 256 * 1024 * 1024,
-                 keep_alive_timeout_s: float = 75.0):
+                 keep_alive_timeout_s: float = 75.0,
+                 request_read_timeout_s: float = 120.0):
         self.registry = registry
         self.host = host
         self.port = port
         self.max_body = max_body
         self.keep_alive_timeout_s = keep_alive_timeout_s
+        # deadline for reading one request's headers + body once the
+        # request line has arrived — a slow-loris client trickling header
+        # or body bytes cannot hold a handler task open indefinitely
+        self.request_read_timeout_s = request_read_timeout_s
         self._batchers: Dict[int, ContinuousBatcher] = {}
         self._tts_batchers: Dict[int, TTSBatcher] = {}
         self._max_batch = max_batch
@@ -157,17 +162,25 @@ class SpeechServer:
                 except ValueError:
                     await self._respond(writer, 400, {"error": "bad request line"})
                     break
-                headers = {}
-                header_error = None
-                while True:
-                    line = await reader.readline()
-                    if line in (b"\r\n", b"\n", b""):
-                        break
-                    if len(headers) >= self.MAX_HEADERS:
-                        header_error = (431, "too many headers")
-                        continue  # keep draining to the blank line
-                    k, _, v = line.decode("latin-1").partition(":")
-                    headers[k.strip().lower()] = v.strip()
+                async def _read_headers():
+                    headers = {}
+                    header_error = None
+                    while True:
+                        line = await reader.readline()
+                        if line in (b"\r\n", b"\n", b""):
+                            break
+                        if len(headers) >= self.MAX_HEADERS:
+                            header_error = (431, "too many headers")
+                            continue  # keep draining to the blank line
+                        k, _, v = line.decode("latin-1").partition(":")
+                        headers[k.strip().lower()] = v.strip()
+                    return headers, header_error
+
+                try:
+                    headers, header_error = await asyncio.wait_for(
+                        _read_headers(), timeout=self.request_read_timeout_s)
+                except asyncio.TimeoutError:
+                    break
                 if header_error:
                     await self._respond(writer, header_error[0], {"error": header_error[1]})
                     break
@@ -182,7 +195,9 @@ class SpeechServer:
 
                 try:
                     if "chunked" in headers.get("transfer-encoding", "").lower():
-                        body = await self._read_chunked_body(reader)
+                        body = await asyncio.wait_for(
+                            self._read_chunked_body(reader),
+                            timeout=self.request_read_timeout_s)
                     else:
                         try:
                             length = int(headers.get("content-length", "0"))
@@ -197,7 +212,11 @@ class SpeechServer:
                         if length > self.max_body:
                             await self._respond(writer, 413, {"error": "body too large"})
                             break
-                        body = await reader.readexactly(length) if length else b""
+                        body = (await asyncio.wait_for(
+                            reader.readexactly(length),
+                            timeout=self.request_read_timeout_s) if length else b"")
+                except asyncio.TimeoutError:
+                    break
                 except _BodyTooLarge:
                     await self._respond(writer, 413, {"error": "body too large"})
                     break
