@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...audio.companding import mulaw_decode, mulaw_encode_np
 from ...audio.resample import resample
 from ...core import SpeechRecognitionModel, TranscriptionResult
 from ...core.logging import inference as log
@@ -64,7 +65,9 @@ class Qwen3ASR(SpeechRecognitionModel):
         kv_dtype=None,
     ):
         # host→device audio format: int16 halves PCM transfer (audio is
-        # natively 16-bit; conversion happens on device inside the jit).
+        # natively 16-bit), "mulaw"/int8 halves it again via G.711 µ-law
+        # companding (~38 dB SNR — transparent to the log-mel front-end);
+        # decode back to float happens on device inside the jit.
         # kv_dtype=jnp.int8 quantizes the KV cache per slot — decode is
         # HBM-bound and the KV read is the max_len-scaling traffic term
         # (docs/benchmarks.md), so int8 halves it at ~1e-2 logit noise.
@@ -73,7 +76,10 @@ class Qwen3ASR(SpeechRecognitionModel):
         self.kv_dtype = kv_dtype or dtype
         self.mel_cfg = mel_cfg
         self.tokenizer = tokenizer
-        self.wire_dtype = np.dtype(wire_dtype)
+        self.wire_dtype = np.dtype(np.int8 if wire_dtype == "mulaw" else wire_dtype)
+        self._mesh = None  # set by shard()
+        #: introspection: sharding + per-device shape of the last staged batch
+        self.last_staging: dict = {}
         from ...ops.quant import cast_tree
 
         self.encoder_params = cast_tree(encoder_params, dtype)
@@ -84,7 +90,9 @@ class Qwen3ASR(SpeechRecognitionModel):
         @functools.partial(jax.jit, static_argnames=("n_frames",))
         def _encode_audio(enc_params, padded_audio, n_valid_frames, *, n_frames):
             """reflect-padded audio → mel → encoder tokens. One program."""
-            if padded_audio.dtype == jnp.int16:
+            if padded_audio.dtype == jnp.int8:
+                padded_audio = mulaw_decode(padded_audio)
+            elif padded_audio.dtype == jnp.int16:
                 padded_audio = padded_audio.astype(jnp.float32) / 32767.0
             mel = log_mel_kernel(padded_audio, n_valid_frames, self.mel_cfg, n_frames)
             mel = mel.astype(dtype)
@@ -304,23 +312,56 @@ class Qwen3ASR(SpeechRecognitionModel):
         t_start = time.perf_counter()
         opts = options or SamplingOptions(max_tokens=max_tokens)
         durations = [len(a) / sample_rate for a in audios]
+        n_req = len(audios)
 
         prepared = [self._prepare_audio(a, sample_rate) for a in audios]
         bucket = max(p[2] for p in prepared)
         need = (bucket - 1) * self.mel_cfg.hop_length + self.mel_cfg.n_fft
-        padded = np.stack([np.pad(p[0], (0, need - len(p[0]))) for p in prepared])
-        if self.wire_dtype == np.int16:
-            padded = np.round(np.clip(padded, -1.0, 1.0) * 32767.0).astype(np.int16)
+
+        # single long utterance on a sharded model: sequence-parallel encode
+        # over the dp axis instead of dp batch splitting
+        use_sp = (n_req == 1 and self._encode_audio_sp is not None
+                  and bucket >= 2 * self.cfg.encoder.n_window_infer)
+
+        # data parallelism: on a dp>1 mesh the batch axis is sharded over
+        # the dp rows (each device computes B/dp utterances); pad the batch
+        # with copies of the last clip so dp divides it (extras discarded)
+        dp = self._mesh.shape.get("dp", 1) if self._mesh is not None else 1
+        if use_sp:
+            dp = 1
+        if dp > 1 and n_req % dp:
+            prepared = prepared + [prepared[-1]] * (dp - n_req % dp)
+        b = len(prepared)
+
+        # single-pass host staging: one preallocated buffer, one wire cast
+        stage = np.zeros((b, need), np.float32)
+        for i, (clip, _, _) in enumerate(prepared):
+            stage[i, : len(clip)] = clip[:need]
+        if self.wire_dtype == np.int8:
+            stage = mulaw_encode_np(stage)
+        elif self.wire_dtype == np.int16:
+            stage = np.round(np.clip(stage, -1.0, 1.0) * 32767.0).astype(np.int16)
         n_valid = np.array([p[1] for p in prepared], np.int32)
-        padded_dev = jnp.asarray(padded)
-        n_valid_dev = jnp.asarray(n_valid)
+        if dp > 1:
+            from ...parallel import batch_sharding
+
+            sh = batch_sharding(self._mesh)
+            padded_dev = jax.device_put(stage, sh)
+            n_valid_dev = jax.device_put(n_valid, sh)
+        else:
+            padded_dev = jnp.asarray(stage)
+            n_valid_dev = jnp.asarray(n_valid)
+        self.last_staging = {
+            "batch": b,
+            "sharding": str(padded_dev.sharding),
+            "per_device_shape": tuple(padded_dev.addressable_shards[0].data.shape),
+        }
         if timings is not None:
             jax.block_until_ready(padded_dev)
             timings["host_prep"] = time.perf_counter() - t_start
             t_stage = time.perf_counter()
 
-        if (len(audios) == 1 and self._encode_audio_sp is not None
-                and bucket >= 2 * self.cfg.encoder.n_window_infer):
+        if use_sp:
             # long single utterance on a sharded model: sequence-parallel
             # encode over the dp axis (bit-identical to the batch path)
             tok, n_tok = self._encode_audio_sp(
@@ -340,7 +381,6 @@ class Qwen3ASR(SpeechRecognitionModel):
         prefix, suffix = self._build_prompt(a_pad, language, context)
         pb = _round_block(len(prefix))
         sb = _round_block(len(suffix))
-        b = len(audios)
         prefix_ids = np.zeros((b, pb), np.int32)
         prefix_ids[:, : len(prefix)] = prefix
         suffix_ids = np.zeros((b, sb), np.int32)
@@ -348,10 +388,14 @@ class Qwen3ASR(SpeechRecognitionModel):
         prefix_len = np.full((b,), len(prefix), np.int32)
         suffix_len = np.full((b,), len(suffix), np.int32)
 
+        if dp > 1:
+            put = lambda x: jax.device_put(x, sh)  # noqa: E731 — batch-dim inputs
+        else:
+            put = jnp.asarray
         tokens, n_gen, logprobs = self._generate(
             self.decoder_params,
-            jnp.asarray(prefix_ids), jnp.asarray(prefix_len),
-            jnp.asarray(suffix_ids), jnp.asarray(suffix_len),
+            put(prefix_ids), put(prefix_len),
+            put(suffix_ids), put(suffix_len),
             audio_tokens, n_audio,
             jax.random.PRNGKey(seed),
             a_pad=a_pad, prefix_block=pb, suffix_block=sb,
@@ -369,7 +413,7 @@ class Qwen3ASR(SpeechRecognitionModel):
         elapsed = time.perf_counter() - t_start
 
         results = []
-        for i in range(b):
+        for i in range(n_req):
             ids = [t for t in tokens[i, : n_gen[i]].tolist() if t != self.cfg.eos_id]
             if self.tokenizer:
                 text = self.tokenizer.decode(ids, skip_special=True)
@@ -383,7 +427,7 @@ class Qwen3ASR(SpeechRecognitionModel):
             results.append(
                 TranscriptionResult(
                     text=text, language=language, confidence=conf,
-                    duration=durations[i], processing_time=elapsed / b,
+                    duration=durations[i], processing_time=elapsed / n_req,
                 )
             )
         return results
@@ -404,6 +448,7 @@ class Qwen3ASR(SpeechRecognitionModel):
         )
 
         mesh = mesh or make_mesh(dp=dp, tp=tp)
+        self._mesh = mesh
         self.encoder_params = shard_pytree(self.encoder_params, mesh, QWEN3_ENCODER_RULES)
         self.decoder_params = shard_pytree(self.decoder_params, mesh, QWEN3_DECODER_RULES)
         if mesh.shape.get("dp", 1) > 1:
@@ -414,7 +459,9 @@ class Qwen3ASR(SpeechRecognitionModel):
             from .encoder import encode as _sp_encode
 
             def _encode_audio_sp(enc_params, padded_audio, n_valid_frames, n_frames):
-                if padded_audio.dtype == jnp.int16:
+                if padded_audio.dtype == jnp.int8:
+                    padded_audio = mulaw_decode(padded_audio)
+                elif padded_audio.dtype == jnp.int16:
                     padded_audio = padded_audio.astype(jnp.float32) / 32767.0
                 mel = log_mel_kernel(padded_audio, n_valid_frames, self.mel_cfg, n_frames)
                 return _sp_encode(enc_params, mel.astype(self.dtype),

@@ -43,10 +43,21 @@ class _Request:
 
 
 class ContinuousBatcher:
-    """Groups concurrent transcription requests into batched model calls."""
+    """Groups concurrent transcription requests into batched model calls.
+
+    ``workers`` > 1 runs several dispatcher threads over the shared queue:
+    while one group's batch computes on device, another group stages its
+    audio over the host→device link, so a long-bucket group no longer
+    stalls the queue behind it and host I/O pipelines against device
+    compute (the device itself serializes the compute; JAX dispatch is
+    thread-safe). On a dp-sharded model each ``transcribe_batch`` call
+    already splits its batch across the dp rows (models/qwen3_asr), so
+    the batcher needs no dp routing of its own — size ``max_batch`` to
+    dp × per-device batch."""
 
     def __init__(self, model, max_batch: int = 16, max_wait_ms: float = 30.0,
-                 group_key: Optional[Callable[[_Request], Any]] = None):
+                 group_key: Optional[Callable[[_Request], Any]] = None,
+                 workers: int = 2):
         self.model = model
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
@@ -56,8 +67,12 @@ class ContinuousBatcher:
         self.requests_served = 0
         self.batches_run = 0
         self._stop = False
-        self._thread = threading.Thread(target=self._run, daemon=True, name="batcher")
-        self._thread.start()
+        self._threads = [
+            threading.Thread(target=self._run, daemon=True, name=f"batcher-{i}")
+            for i in range(max(1, workers))
+        ]
+        for t in self._threads:
+            t.start()
 
     def _default_group_key(self, req: _Request):
         # same kwargs → same prompt shape / sampling program
@@ -73,8 +88,10 @@ class ContinuousBatcher:
 
     def shutdown(self):
         self._stop = True
-        self._queue.put(None)
-        self._thread.join(timeout=5)
+        for _ in self._threads:
+            self._queue.put(None)
+        for t in self._threads:
+            t.join(timeout=5)
 
     # ------------------------------------------------------------------ #
 
@@ -95,6 +112,7 @@ class ContinuousBatcher:
             except queue.Empty:
                 break
             if req is None:
+                self._queue.put(None)  # re-queue another worker's shutdown sentinel
                 break
             if self._group_key(req) == key:
                 batch.append(req)
