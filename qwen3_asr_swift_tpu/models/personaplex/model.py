@@ -13,8 +13,23 @@ Configuration.swift:29-123):
   16 agent codebooks sequentially within each frame — implemented as a
   ``lax.scan`` over stacked banks (same shape as Qwen3-TTS's code
   predictor);
-- stream delay pattern: semantic codebook delay 0, acoustic delay 1
-  (agent audio written into the input ring with a 1-frame lag);
+- stream delay pattern (Configuration.swift:18, personaplex.md:108-121):
+  delays = [0, 0,1,1,1,1,1,1,1, 0,1,1,1,1,1,1,1] — text and the two
+  semantic codebooks (user cb0 / agent cb0) at delay 0, acoustic cb1-7 at
+  delay 1. Generated tokens are written at the CURRENT position with no
+  delay and every step reads position step-1, so the delays only shift
+  EXTERNAL inputs: at step t the temporal input sees user cb0 from frame
+  t-1 and user cb1-7 from frame t-2 (see ``user_stream_reads``), while
+  agent streams always carry the previous step's generated codes;
+- 5-phase prefill (PersonaPlex.swift:179-287): voice prompt embeddings |
+  0.5 s silence spacer | SentencePiece'd text system prompt | second
+  spacer | user audio consumed per-step during generation;
+- during the user phase the depformer's user-codebook steps (8-15) are
+  forced to the real user tokens (PersonaPlex.swift:432-455); afterwards
+  its own user predictions feed back as the user-stream reads;
+- silence early-stop: 15 consecutive all-silence agent frames end the
+  response (personaplex.md:134), implemented as an on-device counter in
+  the ``lax.while_loop`` cond;
 - sampling: audio top-k 250 / T 0.8 / repetition 1.2; text top-k 25 /
   T 0.7 (reference docs/models/personaplex.md:130-135).
 
@@ -40,6 +55,19 @@ from ...ops.nn import init_linear, linear, rms_norm, swiglu_mlp
 from ...ops.rope import apply_rope, rope_angles
 from .mimi import MimiConfig, init_mimi_params, mimi_decode, mimi_encode
 from .mimi import config_tiny as mimi_tiny
+
+#: 440 Hz reference-tone codes fed on the user streams during prompting
+#: (reference: Configuration.swift:82)
+SINE_TOKENS = (430, 1268, 381, 1611, 1095, 1495, 56, 472)
+#: silence codes fed on the agent streams during prompting and matched by
+#: the silence early-stop (reference: Configuration.swift:85)
+SILENCE_TOKENS = (948, 243, 1178, 546, 1736, 1030, 1978, 2008)
+#: "<system> You are a helpful assistant. ..." pre-tokenized with the
+#: upstream tokenizer_spm_32k_3.model (reference: Configuration.swift:90)
+DEFAULT_SYSTEM_PROMPT_TOKENS = (
+    607, 4831, 578, 493, 298, 272, 3850, 5019, 263,
+    506, 1292, 2366, 267, 22876, 362, 263, 934, 4831, 578,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -98,6 +126,9 @@ class PersonaSampling:
     text_top_k: int = 25
     text_temperature: float = 0.7
     max_steps: int = 500
+    #: stop after this many consecutive all-silence agent frames once the
+    #: user audio has been consumed; 0 disables (personaplex.md:134)
+    silence_stop_frames: int = 15
 
 
 def init_personaplex_params(key, cfg: PersonaPlexConfig, dtype=jnp.float32) -> dict:
@@ -154,16 +185,61 @@ def init_personaplex_params(key, cfg: PersonaPlexConfig, dtype=jnp.float32) -> d
 
 def embed_frame(params, cfg: PersonaPlexConfig, text_tok, user_codes, agent_codes):
     """Sum the 17 stream embeddings for one frame.
-    text_tok: [B]; user_codes, agent_codes: [B, K]. → [B, d]."""
-    e = jnp.take(params["text_embed"], text_tok, axis=0)
+    text_tok: [B]; user_codes, agent_codes: [B, K]. Negative audio codes
+    contribute zero (the reference masks -1 inputs to zero,
+    PersonaPlex.swift:381-388). → [B, d]."""
+    e = jnp.take(params["text_embed"], jnp.maximum(text_tok, 0), axis=0)
     k = cfg.temporal_codebooks
 
     def gather(stream_idx, code):
-        return jnp.take(params["audio_embed"][stream_idx], code, axis=0)
+        emb = jnp.take(params["audio_embed"][stream_idx], jnp.maximum(code, 0), axis=0)
+        return jnp.where((code >= 0)[..., None], emb, 0)
 
     user = jax.vmap(gather, in_axes=(0, 1), out_axes=1)(jnp.arange(k), user_codes)  # [B,K,d]
     agent = jax.vmap(gather, in_axes=(0, 1), out_axes=1)(jnp.arange(k, 2 * k), agent_codes)
     return e + user.sum(axis=1) + agent.sum(axis=1)
+
+
+def user_stream_reads(user_codes, pred_user_prev, step, user_frames, k):
+    """User-stream values the temporal input reads at generation step
+    ``step`` (cache position ``step-1``), honoring the published delay
+    pattern (Configuration.swift:18): user cb0 has delay 0 — position p
+    holds frame p — and cb1-7 have delay 1 — position p holds frame p-1.
+    Before the user audio (p<0 / p<1) the positions hold the prompt
+    phases' sine tokens; after it (p >= user_frames) the generation loop
+    has overwritten them with the depformer's own user predictions
+    (written at the current position with NO delay,
+    PersonaPlex.swift:471-503).
+
+    user_codes: [B, >=k, T]; pred_user_prev: [B, k] (previous step's
+    depformer user-bank output); step: traced int. → [B, k]."""
+    sine = jnp.asarray(SINE_TOKENS[:k], jnp.int32)
+    p = step - 1
+    real_cb0 = user_codes[:, 0, jnp.clip(p, 0, user_frames - 1)]
+    real_ac = user_codes[:, 1:k, jnp.clip(p - 1, 0, user_frames - 1)]
+    cb0 = jnp.where(p < 0, sine[0],
+                    jnp.where(p < user_frames, real_cb0, pred_user_prev[:, 0]))
+    ac = jnp.where(p < 1, sine[1:][None],
+                   jnp.where(p < user_frames, real_ac, pred_user_prev[:, 1:]))
+    return jnp.concatenate([cb0[:, None], ac], axis=1)
+
+
+def depformer_provided_tokens(user_codes, step, user_frames, cfg: PersonaPlexConfig):
+    """Teacher-forced depformer tokens for generation step ``step``: during
+    the user phase the user-codebook steps (8-15) are forced to the REAL
+    user tokens at the current target position (cb0 = frame step, cb1-7 =
+    frame step-1 via their delay; PersonaPlex.swift:432-455); -1 = sample.
+    → [B, num_codebooks]."""
+    k = cfg.temporal_codebooks
+    b = user_codes.shape[0]
+    sine = jnp.asarray(SINE_TOKENS[:k], jnp.int32)
+    cb0 = user_codes[:, 0, jnp.clip(step, 0, user_frames - 1)]
+    ac = jnp.where(step < 1, sine[1:][None],
+                   user_codes[:, 1:k, jnp.clip(step - 1, 0, user_frames - 1)])
+    user_bank = jnp.concatenate([cb0[:, None], ac], axis=1)
+    user_bank = jnp.where(step < user_frames, user_bank, -1)
+    agent_bank = jnp.full((b, cfg.num_codebooks - k), -1, jnp.int32)
+    return jnp.concatenate([agent_bank, user_bank], axis=1)
 
 
 def _temporal_layer(p, x, positions, mask, cache_layer, cfg, decode, cursor=None):
@@ -230,8 +306,40 @@ def _sample_topk(logits, key, top_k: int, temperature: float):
     return jnp.argmax(lg, axis=-1).astype(jnp.int32)
 
 
+def _depformer_step(params, cfg: PersonaPlexConfig, x, step, k_caches, v_caches):
+    """One depformer forward (t=1) at codebook position ``step``: per-step
+    MultiLinear banks, ``dep_context``-window attention with no positional
+    encoding, gated-SiLU FFN (reference: Depformer.swift:187-249)."""
+    b = x.shape[0]
+    dd, nh = cfg.dep_d_model, cfg.dep_heads
+    dh = dd // nh
+    s_total = cfg.num_codebooks
+    cols = jnp.arange(s_total)[None, None, None, :]
+    mask = jnp.where((cols <= step) & (cols > step - cfg.dep_context),
+                     0.0, NEG_INF).astype(jnp.float32)
+    for li, p in enumerate(params["dep_layers"]):
+        h = rms_norm(x, p["norm1"]["weight"], cfg.rms_norm_eps)
+        qkv = jnp.einsum("bti,io->bto", h, p["in_proj"][step]).reshape(b, 1, 3, nh, dh)
+        q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+        kk = qkv[:, :, 1].transpose(0, 2, 1, 3)
+        vv = qkv[:, :, 2].transpose(0, 2, 1, 3)
+        k_caches = k_caches.at[li].set(jax.lax.dynamic_update_slice_in_dim(
+            k_caches[li], kk.astype(k_caches.dtype), step, axis=2))
+        v_caches = v_caches.at[li].set(jax.lax.dynamic_update_slice_in_dim(
+            v_caches[li], vv.astype(v_caches.dtype), step, axis=2))
+        attn = sdpa(q, k_caches[li], v_caches[li], 1.0 / np.sqrt(dh), mask)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, dd)
+        x = x + jnp.einsum("bti,io->bto", attn, p["out_proj"][step])
+        h2 = rms_norm(x, p["norm2"]["weight"], cfg.rms_norm_eps)
+        gv = jnp.einsum("bti,io->bto", h2, p["gating_in"][step])
+        gate, value = jnp.split(gv, 2, axis=-1)
+        x = x + jnp.einsum("bti,io->bto", jax.nn.silu(gate) * value,
+                           p["gating_out"][step])
+    return x, k_caches, v_caches
+
+
 def depformer_generate(params, cfg: PersonaPlexConfig, temporal_hidden, text_token,
-                       key, sampling: PersonaSampling):
+                       key, sampling: PersonaSampling, provided=None):
     """Generate 16 agent codebooks for one frame
     (reference: Depformer.swift:249-296). Step k input =
     ``dep_in[k](temporal_hidden) + emb(prev_token)`` where prev is the
@@ -239,6 +347,11 @@ def depformer_generate(params, cfg: PersonaPlexConfig, temporal_hidden, text_tok
     after; every layer projection is a per-step weight bank; attention has
     no positional encoding and a ``dep_context``-step window; heads apply
     directly on the hidden state (no final norm).
+
+    ``provided``: optional [B, 16] teacher-forced tokens (-1 = sample) —
+    the reference forces user-codebook steps to real user audio during the
+    user phase so the in-frame autoregressive chain sees real codes
+    (PersonaPlex.swift:432-455).
 
     temporal_hidden: [B, d_model]; text_token: [B] → codes [B, 16]."""
     b = temporal_hidden.shape[0]
@@ -251,41 +364,26 @@ def depformer_generate(params, cfg: PersonaPlexConfig, temporal_hidden, text_tok
     v_caches = jnp.zeros_like(k_caches)
 
     def forward(x, step, k_caches, v_caches):
-        """One depformer step (t=1) at codebook position ``step``."""
-        cols = jnp.arange(s_total)[None, None, None, :]
-        mask = jnp.where((cols <= step) & (cols > step - cfg.dep_context),
-                         0.0, NEG_INF).astype(jnp.float32)
-        for li, p in enumerate(params["dep_layers"]):
-            h = rms_norm(x, p["norm1"]["weight"], cfg.rms_norm_eps)
-            qkv = jnp.einsum("bti,io->bto", h, p["in_proj"][step]).reshape(b, 1, 3, nh, dh)
-            q = qkv[:, :, 0].transpose(0, 2, 1, 3)
-            kk = qkv[:, :, 1].transpose(0, 2, 1, 3)
-            vv = qkv[:, :, 2].transpose(0, 2, 1, 3)
-            k_caches = k_caches.at[li].set(jax.lax.dynamic_update_slice_in_dim(
-                k_caches[li], kk.astype(k_caches.dtype), step, axis=2))
-            v_caches = v_caches.at[li].set(jax.lax.dynamic_update_slice_in_dim(
-                v_caches[li], vv.astype(v_caches.dtype), step, axis=2))
-            attn = sdpa(q, k_caches[li], v_caches[li], 1.0 / np.sqrt(dh), mask)
-            attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, dd)
-            x = x + jnp.einsum("bti,io->bto", attn, p["out_proj"][step])
-            h2 = rms_norm(x, p["norm2"]["weight"], cfg.rms_norm_eps)
-            gv = jnp.einsum("bti,io->bto", h2, p["gating_in"][step])
-            gate, value = jnp.split(gv, 2, axis=-1)
-            x = x + jnp.einsum("bti,io->bto", jax.nn.silu(gate) * value,
-                               p["gating_out"][step])
-        return x, k_caches, v_caches
+        return _depformer_step(params, cfg, x, step, k_caches, v_caches)
 
     def step_input(step, prev_emb):
         cond = jnp.einsum("bi,io->bo", temporal_hidden, params["dep_in"][step])
         return (cond + prev_emb)[:, None].astype(dtype)
+
+    if provided is None:
+        provided = jnp.full((b, cfg.num_codebooks), -1, jnp.int32)
+
+    def force(step, sampled):
+        tok = provided[:, step]
+        return jnp.where(tok >= 0, tok, sampled)
 
     # step 0: conditioned on the sampled text token
     zero = jnp.asarray(0, jnp.int32)
     x0 = step_input(zero, jnp.take(params["dep_text_emb"], text_token, axis=0))
     h0, k_caches, v_caches = forward(x0, zero, k_caches, v_caches)
     key, k0 = jax.random.split(key)
-    code = _sample_topk(h0[:, 0] @ params["dep_heads_bank"][0], k0,
-                        sampling.audio_top_k, sampling.audio_temperature)
+    code = force(zero, _sample_topk(h0[:, 0] @ params["dep_heads_bank"][0], k0,
+                                    sampling.audio_top_k, sampling.audio_temperature))
 
     def body(carry, cb_idx):
         code_prev, k_caches, v_caches, key = carry
@@ -293,14 +391,44 @@ def depformer_generate(params, cfg: PersonaPlexConfig, temporal_hidden, text_tok
         x, k_caches, v_caches = forward(step_input(cb_idx, emb), cb_idx,
                                         k_caches, v_caches)
         key, kk = jax.random.split(key)
-        code_next = _sample_topk(x[:, 0] @ params["dep_heads_bank"][cb_idx], kk,
-                                 sampling.audio_top_k, sampling.audio_temperature)
+        code_next = force(cb_idx, _sample_topk(x[:, 0] @ params["dep_heads_bank"][cb_idx], kk,
+                                               sampling.audio_top_k, sampling.audio_temperature))
         return (code_next, k_caches, v_caches, key), code_prev
 
     (last, _, _, _), prev = jax.lax.scan(
         body, (code, k_caches, v_caches, key),
         jnp.arange(1, cfg.num_codebooks, dtype=jnp.int32))
     return jnp.concatenate([prev.T, last[:, None]], axis=1)  # [B, 16]
+
+
+def depformer_forward_logits(params, cfg: PersonaPlexConfig, temporal_hidden,
+                             text_token, audio_tokens):
+    """Teacher-forced depformer logits for parity testing: step k's input is
+    the GIVEN previous token (text at k=0, audio_tokens[k-1] after), and the
+    per-step logits are returned instead of sampled — the oracle surface
+    pinned against transformers' MoshiDepthDecoder
+    (tests/test_personaplex_convert.py). → [B, num_codebooks, audio_card]."""
+    b = temporal_hidden.shape[0]
+    dd, nl, nh = cfg.dep_d_model, cfg.dep_layers, cfg.dep_heads
+    dh = dd // nh
+    s_total = cfg.num_codebooks
+    dtype = temporal_hidden.dtype
+
+    k_caches = jnp.zeros((nl, b, nh, s_total, dh), dtype)
+    v_caches = jnp.zeros_like(k_caches)
+
+    logits = []
+    prev_emb = jnp.take(params["dep_text_emb"], text_token, axis=0)
+    for step in range(s_total):
+        st = jnp.asarray(step, jnp.int32)
+        cond = jnp.einsum("bi,io->bo", temporal_hidden, params["dep_in"][step])
+        x = (cond + prev_emb)[:, None].astype(dtype)
+        x, k_caches, v_caches = _depformer_step(params, cfg, x, st,
+                                                k_caches, v_caches)
+        logits.append(x[:, 0] @ params["dep_heads_bank"][step])
+        if step < s_total - 1:
+            prev_emb = jnp.take(params["dep_embed"][step], audio_tokens[:, step], axis=0)
+    return jnp.stack(logits, axis=1)
 
 
 class PersonaPlex(SpeechToSpeechModel):
@@ -333,60 +461,85 @@ class PersonaPlex(SpeechToSpeechModel):
         self._embed_voice_codes = _embed_voice_codes
 
         @functools.partial(jax.jit, static_argnames=("user_frames", "max_steps", "sampling"))
-        def _converse(p, user_codes, voice_embeds, n_voice, agent_init, key, *,
-                      user_frames, max_steps, sampling: PersonaSampling):
+        def _converse(p, user_codes, voice_embeds, n_voice, prompt_reads, n_prompt,
+                      key, *, user_frames, max_steps, sampling: PersonaSampling):
             """user_codes: [1, 16, user_frames]; voice_embeds [1, V_cap, d]
             precomputed temporal-input embeddings for the voice-prompt
-            prefix with n_voice valid frames, and agent_init [1, 16] the
-            delay-ring snapshot's newest agent codes (reference: voice
-            .safetensors ``embeddings`` + ``cache``,
-            PersonaPlex.swift:131-223, 289-342). Returns agent codes
-            [1, 16, max_steps]."""
+            prefix with n_voice valid frames; prompt_reads [1, 17, P_cap]
+            the per-step READ tokens of the non-voice prompt phases
+            (silence spacer | text system prompt | spacer — built by
+            ``_prompt_reads`` with the per-stream delays and the voice
+            delay-ring overlay baked in; PersonaPlex.swift:179-342) with
+            n_prompt valid steps. Returns (agent codes [1, 16, max_steps],
+            n_steps [1] actually generated before silence early-stop)."""
             b = 1
             k = cfg.temporal_codebooks
-            cache = init_cache(cfg.num_layers, b, cfg.num_heads, cfg.context, cfg.head_dim, self.dtype)
+            # size the KV cache to exactly what this conversation can touch
+            # (voice cap + prompt cap + generation budget — well under the
+            # model's 3000-frame context for any realistic max_steps)
+            cache_len = voice_embeds.shape[1] + prompt_reads.shape[2] + max_steps
+            cache = init_cache(cfg.num_layers, b, cfg.num_heads, cache_len, cfg.head_dim, self.dtype)
 
             agent_out = jnp.full((b, cfg.num_codebooks, max_steps), cfg.audio_pad, jnp.int32)
-            agent_prev = agent_init
-            text_prev = jnp.full((b,), cfg.text_pad, jnp.int32)
+            silence = jnp.asarray(SILENCE_TOKENS[:k], jnp.int32)
 
             def body(s):
-                step, cache, agent_prev, text_prev, agent_out, key = s
-                user_frame = jnp.where(
-                    step < user_frames,
-                    user_codes[:, :k, jnp.clip(step, 0, user_frames - 1)],
-                    jnp.full((b, k), cfg.audio_pad, jnp.int32),
-                )
-                # delay pattern: agent semantic (cb0) from current frame,
-                # acoustic (1..7) delayed one frame — both read from agent_prev
-                # which holds last frame's codes (1-frame ring).
-                embeds = embed_frame(p, cfg, text_prev, user_frame,
-                                     agent_prev[:, :k])[:, None].astype(self.dtype)
+                step, cache, agent_prev, pred_user_prev, text_prev, agent_out, run, n_steps, key = s
+                user_read = user_stream_reads(user_codes, pred_user_prev, step,
+                                              user_frames, k)
+                # agent streams: generated codes are written at the current
+                # position with no delay, so every read sees the previous
+                # step's codes for ALL agent codebooks
+                embeds = embed_frame(p, cfg, text_prev, user_read,
+                                     agent_prev)[:, None].astype(self.dtype)
                 hidden, cache = temporal_step(p, cfg, embeds, cache)
                 key, kt, kd = jax.random.split(key, 3)
                 text_tok = _sample_topk(linear(hidden, p["text_head"]), kt,
                                         sampling.text_top_k, sampling.text_temperature)
-                codes = depformer_generate(p, cfg, hidden, text_tok, kd, sampling)
+                provided = depformer_provided_tokens(user_codes, step, user_frames, cfg)
+                codes = depformer_generate(p, cfg, hidden, text_tok, kd, sampling,
+                                           provided=provided)
                 agent_out = agent_out.at[:, :, step].set(codes)
-                return step + 1, cache, codes, text_tok, agent_out, key
+                # silence early-stop counter (post-user steps only)
+                is_sil = jnp.all(codes[:, :k] == silence[None], axis=1)  # [B]
+                counted = step >= user_frames
+                run = jnp.where(counted & is_sil, run + 1,
+                                jnp.where(counted, 0, run))
+                stopped = (run >= sampling.silence_stop_frames) if sampling.silence_stop_frames > 0 else jnp.zeros((b,), bool)
+                n_steps = jnp.where(stopped & (n_steps >= max_steps), step + 1, n_steps)
+                return (step + 1, cache, codes[:, :k], codes[:, k:], text_tok,
+                        agent_out, run, n_steps, key)
 
             def cond(s):
-                step, *_ = s
-                return step < max_steps
+                step, _, _, _, _, _, _, n_steps, _ = s
+                return (step < max_steps) & jnp.any(n_steps >= max_steps)
 
-            # prefill: voice-prompt embeddings then one pad frame
+            # 5-phase prefill: voice embeddings | spacer+prompt+spacer reads
+            # (user audio is consumed per-step inside the loop, phase 5)
             v_cap = voice_embeds.shape[1]
-            pad0 = embed_frame(p, cfg, jnp.full((b,), cfg.text_pad, jnp.int32),
-                               jnp.full((b, k), cfg.audio_pad, jnp.int32),
-                               jnp.full((b, k), cfg.audio_pad, jnp.int32))[:, None]
-            embeds0 = jnp.concatenate([voice_embeds.astype(self.dtype), pad0.astype(self.dtype)], axis=1)
+            p_cap = prompt_reads.shape[2]
+            prompt_emb = jax.vmap(
+                lambda t: embed_frame(p, cfg, prompt_reads[:, 0, t],
+                                      prompt_reads[:, 1 + k:, t],
+                                      prompt_reads[:, 1: 1 + k, t]),
+                out_axes=1)(jnp.arange(p_cap))
+            embeds0 = jnp.concatenate([voice_embeds.astype(self.dtype),
+                                       prompt_emb.astype(self.dtype)], axis=1)
             valid0 = jnp.concatenate([jnp.arange(v_cap)[None] < n_voice,
-                                      jnp.ones((b, 1), bool)], axis=1)
+                                      jnp.arange(p_cap)[None] < n_prompt], axis=1)
             _, cache = temporal_prefill(p, cfg, embeds0, valid0, cache)
 
-            state = (jnp.asarray(0, jnp.int32), cache, agent_prev, text_prev, agent_out, key)
-            _, _, _, _, agent_out, _ = jax.lax.while_loop(cond, body, state)
-            return agent_out
+            # generation-start read state (cache position promptLen-1):
+            # text PAD, agent silence, user sine (handled inside
+            # user_stream_reads for step 0)
+            state = (jnp.asarray(0, jnp.int32), cache,
+                     jnp.broadcast_to(silence[None], (b, k)),
+                     jnp.broadcast_to(jnp.asarray(SINE_TOKENS[:k], jnp.int32)[None], (b, k)),
+                     jnp.full((b,), cfg.text_pad, jnp.int32),
+                     agent_out, jnp.zeros((b,), jnp.int32),
+                     jnp.full((b,), max_steps, jnp.int32), key)
+            out = jax.lax.while_loop(cond, body, state)
+            return out[5], jnp.minimum(out[7], out[0])
 
         self._converse = _converse
 
@@ -434,6 +587,7 @@ class PersonaPlex(SpeechToSpeechModel):
 
     VOICE_PROMPT_CAP = 32  # frames; fixed so one compiled program serves all prompts
     DELAY_RING = 4         # maxDelay + 3 (PersonaPlex.swift:210)
+    PROMPT_CAP = 64        # spacer+text+spacer steps; fixed for one compiled program
 
     def make_voice_prompt(self, audio: np.ndarray, sample_rate: int = 24000,
                           path: Optional[str] = None) -> dict:
@@ -481,16 +635,16 @@ class PersonaPlex(SpeechToSpeechModel):
 
     def _voice_inputs(self, voice_prompt):
         """voice_prompt (dict with 'embeddings'+'cache', dict with 'codes',
-        raw code array, or None) → (voice_embeds [1, CAP, d], n_voice,
-        agent_init [1, 16])."""
+        raw code array, or None) → (voice_embeds [1, CAP, d], n_voice int,
+        ring [17, DELAY_RING] delay-buffer token snapshot or None)."""
         cfg = self.cfg
         cap = self.VOICE_PROMPT_CAP
         d = cfg.d_model
         embeds = np.zeros((1, cap, d), np.float32)
-        agent_init = np.full((1, cfg.num_codebooks), cfg.audio_pad, np.int32)
+        ring_out = None
         n_voice = 0
         if voice_prompt is None:
-            return jnp.asarray(embeds), jnp.asarray(0, jnp.int32), jnp.asarray(agent_init)
+            return jnp.asarray(embeds), 0, None
         vp = voice_prompt if isinstance(voice_prompt, dict) else {"codes": np.asarray(voice_prompt)}
         if "embeddings" in vp:
             e = np.asarray(vp["embeddings"], np.float32)   # [T, 1, 1, d]
@@ -499,18 +653,89 @@ class PersonaPlex(SpeechToSpeechModel):
             embeds[0, :n_voice] = e[:n_voice]
             ring = vp.get("cache")
             if ring is not None:
-                agent_init[0] = np.asarray(ring, np.float32)[0, 1: 1 + cfg.num_codebooks, -1].astype(np.int32)
+                ring_out = np.asarray(ring, np.float32)[0].astype(np.int32)  # [17, RING]
         else:
             codes = np.asarray(vp["codes"], np.int32)
             n_voice = min(codes.shape[2], cap)
             e = np.asarray(self._embed_voice_codes(self.params,
                                                    jnp.asarray(codes[:, :, :n_voice])))
             embeds[0, :n_voice] = e[0]
-            agent_init[0, : codes.shape[1]] = codes[0, :, n_voice - 1]
-        agent_init = np.clip(agent_init, 0, cfg.audio_vocab - 1)
-        return jnp.asarray(embeds), jnp.asarray(n_voice, jnp.int32), jnp.asarray(agent_init)
+            ring_out = np.full((cfg.num_streams, self.DELAY_RING), cfg.text_pad, np.int32)
+            for j in range(self.DELAY_RING):
+                src = min(max(0, codes.shape[2] - self.DELAY_RING + j), codes.shape[2] - 1)
+                ring_out[1: 1 + codes.shape[1], j] = codes[0, :, src]
+        if ring_out is not None:
+            ring_out[0] = np.clip(ring_out[0], 0, cfg.text_vocab - 1)
+            ring_out[1:] = np.clip(ring_out[1:], 0, cfg.audio_vocab - 1)
+        return jnp.asarray(embeds), n_voice, ring_out
 
-    def _run_converse(self, audio, sample_rate, sampling, max_extra_s, voice_prompt):
+    def _silence_spacer_frames(self) -> int:
+        """0.5 s of frames at the Mimi frame rate (PersonaPlex.swift:154)."""
+        return max(1, int(0.5 * self.cfg.mimi.frame_rate))
+
+    def _prompt_tokens(self, system_prompt) -> list:
+        """system_prompt: None (built-in default), str (SentencePiece'd via
+        the model tokenizer), or a pre-tokenized id sequence."""
+        if system_prompt is None:
+            toks = list(DEFAULT_SYSTEM_PROMPT_TOKENS)
+            if max(toks) >= self.cfg.text_vocab:  # tiny test configs
+                toks = []
+        elif isinstance(system_prompt, str):
+            if self.tokenizer is None:
+                raise ValueError("string system_prompt needs the SentencePiece "
+                                 "tokenizer; pass token ids instead")
+            toks = list(self.tokenizer.encode(system_prompt))
+        else:
+            toks = [int(t) for t in np.asarray(system_prompt).reshape(-1)]
+        budget = self.PROMPT_CAP - 2 * self._silence_spacer_frames()
+        return toks[:budget]
+
+    def _prompt_reads(self, system_prompt, n_voice: int, ring):
+        """Build the per-step READ tokens for the non-voice prompt phases
+        (silence spacer | text prompt | spacer — PersonaPlex.swift:226-287).
+
+        The prompt phases WRITE each frame's tokens at position
+        ``t + delays[stream]`` (text/semantic 0, acoustic 1) and every step
+        READS position step-1, so this materializes the write-side token
+        cache on the host — including the voice delay-ring overlay at the
+        voice boundary (PersonaPlex.swift:203-223) — then shifts by one.
+        Returns (reads [17, PROMPT_CAP] int32 with -1 = no audio input,
+        n_prompt valid steps)."""
+        cfg = self.cfg
+        k = cfg.temporal_codebooks
+        sf = self._silence_spacer_frames()
+        toks = self._prompt_tokens(system_prompt)
+        n_text = len(toks)
+        prompt_len = n_voice + 2 * sf + n_text
+        sil = np.asarray(SILENCE_TOKENS[:k], np.int32)
+        sine = np.asarray(SINE_TOKENS[:k], np.int32)
+
+        cache = np.full((cfg.num_streams, prompt_len + 2), -1, np.int32)
+        cache[0, :prompt_len] = cfg.text_pad
+        ts = n_voice + sf
+        cache[0, ts: ts + n_text] = toks
+        cache[1, :prompt_len] = sil[0]                       # agent semantic, delay 0
+        cache[2: 1 + k, 1: prompt_len + 1] = sil[1:, None]   # agent acoustic, delay 1
+        cache[1 + k, :prompt_len] = sine[0]                  # user semantic, delay 0
+        cache[2 + k: 1 + 2 * k, 1: prompt_len + 1] = sine[1:, None]
+        if ring is not None and n_voice > 0:
+            delays = [0, 0] + [1] * (k - 1) + [0] + [1] * (k - 1)
+            for s in range(cfg.num_streams):
+                for kk in range(delays[s] + 1):
+                    cache[s, n_voice - 1 + kk] = ring[s, (n_voice + kk) % self.DELAY_RING]
+
+        reads = np.full((cfg.num_streams, prompt_len), -1, np.int32)
+        reads[0, 0] = cfg.text_pad  # step 0 has no previous position
+        if prompt_len > 1:
+            reads[:, 1:] = cache[:, : prompt_len - 1]
+        nonvoice = reads[:, n_voice:]
+        out = np.full((cfg.num_streams, self.PROMPT_CAP), -1, np.int32)
+        out[0] = cfg.text_pad
+        out[:, : nonvoice.shape[1]] = nonvoice
+        return out, nonvoice.shape[1]
+
+    def _run_converse(self, audio, sample_rate, sampling, max_extra_s, voice_prompt,
+                      system_prompt=None, seed: int = 0):
         sr = self.cfg.mimi.sample_rate
         if sample_rate != sr:
             from ...audio.resample import resample
@@ -521,13 +746,17 @@ class PersonaPlex(SpeechToSpeechModel):
         audio = np.pad(audio, (0, n_frames * spf - len(audio)))[: n_frames * spf]
 
         user_codes = self._mimi_encode(self.mimi_params, audio=jnp.asarray(audio)[None])
-        voice_embeds, n_voice, agent_init = self._voice_inputs(voice_prompt)
+        voice_embeds, n_voice, ring = self._voice_inputs(voice_prompt)
+        reads, n_prompt = self._prompt_reads(system_prompt, n_voice, ring)
         max_steps = min(sampling.max_steps,
                         n_frames + int(max_extra_s * self.cfg.mimi.frame_rate))
-        agent = self._converse(self.params, user_codes, voice_embeds, n_voice,
-                               agent_init, jax.random.PRNGKey(0),
-                               user_frames=n_frames, max_steps=max_steps, sampling=sampling)
-        return jnp.clip(agent, 0, self.cfg.mimi.codebook_size - 1), n_frames, max_steps
+        agent, n_steps = self._converse(
+            self.params, user_codes, voice_embeds, jnp.asarray(n_voice, jnp.int32),
+            jnp.asarray(reads[None]), jnp.asarray(n_prompt, jnp.int32),
+            jax.random.PRNGKey(seed),
+            user_frames=n_frames, max_steps=max_steps, sampling=sampling)
+        n_done = int(np.asarray(n_steps)[0])
+        return jnp.clip(agent, 0, self.cfg.mimi.codebook_size - 1), n_frames, n_done
 
     def shard(self, mesh=None, dp: Optional[int] = None, tp: Optional[int] = None
               ) -> "PersonaPlex":
@@ -546,25 +775,34 @@ class PersonaPlex(SpeechToSpeechModel):
 
     def respond(self, audio: np.ndarray, sample_rate: int = 16000,
                 sampling: Optional[PersonaSampling] = None, max_extra_s: float = 4.0,
-                voice_prompt: Optional[np.ndarray] = None, **kwargs) -> AudioChunk:
+                voice_prompt: Optional[np.ndarray] = None,
+                system_prompt=None, seed: int = 0, **kwargs) -> AudioChunk:
+        """``system_prompt``: None = the built-in assistant prompt; a str
+        (SentencePiece'd) or pre-tokenized ids steer behavior
+        (personaplex.md:124-128)."""
         t0 = time.perf_counter()
         sampling = sampling or PersonaSampling()
         sr = self.cfg.mimi.sample_rate
-        agent, n_frames, max_steps = self._run_converse(
-            audio, sample_rate, sampling, max_extra_s, voice_prompt)
+        agent, n_frames, n_done = self._run_converse(
+            audio, sample_rate, sampling, max_extra_s, voice_prompt,
+            system_prompt=system_prompt, seed=seed)
+        # decode the full fixed-shape buffer (one compiled program), trim
+        # the early-stopped tail on the host — Mimi is causal so the
+        # leading n_done frames decode identically
         wav = self._mimi_decode(self.mimi_params, codes=agent)
-        out = np.asarray(wav[0], np.float32)
+        out = np.asarray(wav[0], np.float32)[: n_done * self.cfg.mimi.samples_per_frame]
         dur = len(out) / sr
         from ...core.logging import inference as log
 
         log.info("personaplex: %d user frames → %d agent frames, RTF %.2f",
-                 n_frames, max_steps, (time.perf_counter() - t0) / max(dur, 1e-6))
+                 n_frames, n_done, (time.perf_counter() - t0) / max(dur, 1e-6))
         return AudioChunk(out, sr)
 
     def respond_stream(self, audio: np.ndarray, sample_rate: int = 16000,
                        sampling: Optional[PersonaSampling] = None,
                        max_extra_s: float = 4.0,
                        voice_prompt: Optional[np.ndarray] = None,
+                       system_prompt=None,
                        chunk_frames: int = 25, left_context: int = 5):
         """Streaming response: agent codes decode through Mimi in ~2 s
         chunks with left context, trimmed at the seam (reference:
@@ -572,13 +810,14 @@ class PersonaPlex(SpeechToSpeechModel):
         sampling = sampling or PersonaSampling()
         sr = self.cfg.mimi.sample_rate
         spf = self.cfg.mimi.samples_per_frame
-        agent, _, max_steps = self._run_converse(
-            audio, sample_rate, sampling, max_extra_s, voice_prompt)
+        agent, _, n_done = self._run_converse(
+            audio, sample_rate, sampling, max_extra_s, voice_prompt,
+            system_prompt=system_prompt)
         agent = np.asarray(agent)
         emitted = 0
-        while emitted < max_steps:
+        while emitted < n_done:
             ctx = min(left_context, emitted)
-            end = min(emitted + chunk_frames, max_steps)
+            end = min(emitted + chunk_frames, n_done)
             piece = jnp.asarray(agent[:, :, emitted - ctx: end])
             wav = np.asarray(self._mimi_decode(self.mimi_params, codes=piece)[0],
                              np.float32)
@@ -588,13 +827,15 @@ class PersonaPlex(SpeechToSpeechModel):
     def realtime_session(self, sampling: Optional[PersonaSampling] = None,
                          context_frames: int = 8,
                          voice_prompt: Optional[np.ndarray] = None,
+                         system_prompt=None,
                          seed: int = 0) -> "RealtimeSession":
         """Full-duplex frame loop: one user frame in → one agent frame out
         at 12.5 Hz (reference: realtime mode, PersonaPlex.swift:344-…).
         Every Mimi conv is causal, so windowed per-frame encode/decode with
         ``context_frames`` of carried left context is exact."""
         return RealtimeSession(self, sampling or PersonaSampling(),
-                               context_frames, voice_prompt, seed)
+                               context_frames, voice_prompt, seed,
+                               system_prompt=system_prompt)
 
     def warm_up(self) -> None:
         self.respond(np.zeros(self.cfg.mimi.samples_per_frame * 2, np.float32),
@@ -618,7 +859,8 @@ class RealtimeSession:
     docs/models/personaplex.md:224-243)."""
 
     def __init__(self, model: PersonaPlex, sampling: PersonaSampling,
-                 context_frames: int, voice_prompt, seed: int):
+                 context_frames: int, voice_prompt, seed: int,
+                 system_prompt=None):
         self.model = model
         cfg = model.cfg
         self.cfg = cfg
@@ -640,14 +882,15 @@ class RealtimeSession:
             return codes[:, :, -1]  # [1, 16] — the newest frame
 
         @functools.partial(jax.jit, static_argnames=("sampling",))
-        def _frame_step(p, cache, user_codes, agent_prev, text_prev, key, *, sampling):
-            embeds = embed_frame(p, cfg, text_prev,
-                                 user_codes[:, :k], agent_prev[:, :k])[:, None]
+        def _frame_step(p, cache, user_read, provided, agent_prev, text_prev, key, *,
+                        sampling):
+            embeds = embed_frame(p, cfg, text_prev, user_read, agent_prev)[:, None]
             hidden, cache = temporal_step(p, cfg, embeds.astype(model.dtype), cache)
             key, kt, kd = jax.random.split(key, 3)
             text_tok = _sample_topk(linear(hidden, p["text_head"]), kt,
                                     sampling.text_top_k, sampling.text_temperature)
-            codes = depformer_generate(p, cfg, hidden, text_tok, kd, sampling)
+            codes = depformer_generate(p, cfg, hidden, text_tok, kd, sampling,
+                                       provided=provided)
             return codes, text_tok, cache
 
         @jax.jit
@@ -659,44 +902,70 @@ class RealtimeSession:
         self._frame_step = _frame_step
         self._decode_window = _decode_window
 
-        # prefill: voice prompt (embeddings + ring) + one pad frame — the
-        # same layout as respond()
-        cache = init_cache(cfg.num_layers, 1, cfg.num_heads, cfg.context,
+        # 5-phase prefill, same layout as respond(): voice embeddings +
+        # spacer/text-prompt/spacer reads (with ring overlay + delays).
+        # Cache holds prefill caps + cfg.context frames of conversation.
+        cache = init_cache(cfg.num_layers, 1, cfg.num_heads,
+                           model.VOICE_PROMPT_CAP + model.PROMPT_CAP + cfg.context,
                            cfg.head_dim, model.dtype)
 
         @jax.jit
-        def _prefill(p, voice_embeds, n_voice):
+        def _prefill(p, voice_embeds, n_voice, prompt_reads, n_prompt):
             v_cap = voice_embeds.shape[1]
-            pad0 = embed_frame(p, cfg, jnp.full((1,), cfg.text_pad, jnp.int32),
-                               jnp.full((1, k), cfg.audio_pad, jnp.int32),
-                               jnp.full((1, k), cfg.audio_pad, jnp.int32))[:, None]
+            p_cap = prompt_reads.shape[2]
+            prompt_emb = jax.vmap(
+                lambda t: embed_frame(p, cfg, prompt_reads[:, 0, t],
+                                      prompt_reads[:, 1 + k:, t],
+                                      prompt_reads[:, 1: 1 + k, t]),
+                out_axes=1)(jnp.arange(p_cap))
             embeds = jnp.concatenate([voice_embeds.astype(model.dtype),
-                                      pad0.astype(model.dtype)], axis=1)
+                                      prompt_emb.astype(model.dtype)], axis=1)
             valid = jnp.concatenate([jnp.arange(v_cap)[None] < n_voice,
-                                     jnp.ones((1, 1), bool)], axis=1)
+                                     jnp.arange(p_cap)[None] < n_prompt], axis=1)
             _, new_cache = temporal_prefill(p, cfg, embeds, valid, cache)
             return new_cache
 
-        voice_embeds, n_voice, agent_init = model._voice_inputs(voice_prompt)
-        self._cache = _prefill(model.params, voice_embeds, n_voice)
-        self._agent_prev = agent_init
+        voice_embeds, n_voice, ring = model._voice_inputs(voice_prompt)
+        reads, n_prompt = model._prompt_reads(system_prompt, n_voice, ring)
+        self._cache = _prefill(model.params, voice_embeds,
+                               jnp.asarray(n_voice, jnp.int32),
+                               jnp.asarray(reads[None]),
+                               jnp.asarray(n_prompt, jnp.int32))
+        # generation-start read state: agent silence; user history seeded
+        # with sine tokens (the prompt phases' user-stream writes)
+        self._agent_prev = jnp.asarray(np.asarray(SILENCE_TOKENS[:k], np.int32)[None])
         self._text_prev = jnp.full((1,), cfg.text_pad, jnp.int32)
+        sine = np.asarray(SINE_TOKENS[:k], np.int32)[None]
+        self._user_hist1 = sine.copy()  # user codes, frame t-1
+        self._user_hist2 = sine.copy()  # user codes, frame t-2
 
     def push_frame(self, samples: np.ndarray) -> np.ndarray:
         """One 80 ms user frame (samples_per_frame samples @24 kHz) in →
-        one agent frame of audio out."""
+        one agent frame of audio out. The temporal input honors the stream
+        delays: user cb0 from the previous frame, cb1-7 from two frames
+        back (Configuration.swift:18); the depformer's user steps are
+        forced to cb0 of THIS frame + cb1-7 of the previous one."""
         spf = self.cfg.mimi.samples_per_frame
+        k = self.cfg.temporal_codebooks
         if len(samples) != spf:
             raise ValueError(f"push_frame expects exactly {spf} samples")
         self._in_buf = np.concatenate([self._in_buf[spf:],
                                        np.asarray(samples, np.float32)])
-        user_codes = self._encode_window(self.model.mimi_params,
-                                         jnp.asarray(self._in_buf))
+        user_codes = np.asarray(self._encode_window(self.model.mimi_params,
+                                                    jnp.asarray(self._in_buf)))
+        user_read = np.concatenate([self._user_hist1[:, :1],
+                                    self._user_hist2[:, 1:k]], axis=1)
+        provided = np.concatenate(
+            [np.full((1, self.cfg.num_codebooks - k), -1, np.int32),
+             user_codes[:, :1], self._user_hist1[:, 1:k]], axis=1)
         self._key, kf = jax.random.split(self._key)
         codes, self._text_prev, self._cache = self._frame_step(
-            self.model.params, self._cache, user_codes, self._agent_prev,
+            self.model.params, self._cache, jnp.asarray(user_read),
+            jnp.asarray(provided), self._agent_prev,
             self._text_prev, kf, sampling=self.sampling)
-        self._agent_prev = codes
+        self._agent_prev = codes[:, :k]
+        self._user_hist2 = self._user_hist1
+        self._user_hist1 = user_codes[:, :k].astype(np.int32)
 
         codes_np = np.clip(np.asarray(codes), 0, self.cfg.mimi.codebook_size - 1)
         self._code_hist = np.concatenate(

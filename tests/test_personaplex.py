@@ -239,3 +239,175 @@ class TestTensorParallel:
         assert len(out.samples) == len(ref.samples)
         np.testing.assert_allclose(out.samples, ref.samples, atol=2e-4,
                                    err_msg="TP-sharded respond drifted from replicated")
+
+
+class TestDelayPattern:
+    """The published per-stream delay schedule
+    (reference: Configuration.swift:18, personaplex.md:108-121):
+    delays = [0, 0,1x7, 0,1x7]. Generated tokens are written at the
+    current position with no delay; step t reads position t-1; external
+    inputs are written at t+delay. These tests pin exactly which frame's
+    codes condition each generation step."""
+
+    def test_user_stream_reads_schedule(self):
+        from qwen3_asr_swift_tpu.models.personaplex.model import (
+            SINE_TOKENS, user_stream_reads)
+
+        k = 8
+        user_frames = 5
+        # user_codes[b, cb, t] = 100*cb + t — frame identity is readable
+        codes = np.zeros((1, 16, user_frames), np.int32)
+        for cb in range(16):
+            for t in range(user_frames):
+                codes[0, cb, t] = 100 * cb + t
+        pred = np.full((1, k), 7000, np.int32)  # depformer user predictions
+
+        def reads(step):
+            return np.asarray(user_stream_reads(
+                jnp.asarray(codes), jnp.asarray(pred),
+                jnp.asarray(step, jnp.int32), user_frames, k))[0]
+
+        # step 0 reads position -1: prompt-phase sine tokens on all 8
+        np.testing.assert_array_equal(reads(0), np.asarray(SINE_TOKENS[:k]))
+        # step 1 reads position 0: cb0 = frame 0 (delay 0); cb1-7 = sine
+        # (frame -1 does not exist; position 0 holds the spacer's delayed
+        # writes for the acoustic streams)
+        r1 = reads(1)
+        assert r1[0] == 0  # cb0 frame 0
+        np.testing.assert_array_equal(r1[1:], np.asarray(SINE_TOKENS[1:k]))
+        # step 3 reads position 2: cb0 = frame 2; cb1-7 = frame 1 (delay 1)
+        r3 = reads(3)
+        assert r3[0] == 2
+        np.testing.assert_array_equal(r3[1:], [100 * cb + 1 for cb in range(1, k)])
+        # step user_frames reads position user_frames-1: the last real frame
+        r5 = reads(user_frames)
+        assert r5[0] == user_frames - 1
+        np.testing.assert_array_equal(r5[1:], [100 * cb + 3 for cb in range(1, k)])
+        # step user_frames+1 reads position user_frames: the generation
+        # loop has overwritten it with the depformer's user predictions
+        np.testing.assert_array_equal(reads(user_frames + 1), np.full(k, 7000))
+
+    def test_depformer_provided_schedule(self):
+        from qwen3_asr_swift_tpu.models.personaplex.model import (
+            SINE_TOKENS, depformer_provided_tokens)
+
+        cfg = CFG
+        k = cfg.temporal_codebooks
+        user_frames = 4
+        codes = np.zeros((1, 16, user_frames), np.int32)
+        for cb in range(16):
+            for t in range(user_frames):
+                codes[0, cb, t] = 100 * cb + t
+
+        def prov(step):
+            return np.asarray(depformer_provided_tokens(
+                jnp.asarray(codes), jnp.asarray(step, jnp.int32), user_frames, cfg))[0]
+
+        # agent steps 0-7 are never forced
+        assert (prov(0)[:k] == -1).all()
+        # during the user phase: user cb0 forced to THIS frame, cb1-7 to
+        # the previous frame (their delay-1 target position)
+        p0 = prov(0)
+        assert p0[k] == 0  # cb0 frame 0
+        np.testing.assert_array_equal(p0[k + 1:], np.asarray(SINE_TOKENS[1:k]))
+        p2 = prov(2)
+        assert p2[k] == 2
+        np.testing.assert_array_equal(p2[k + 1:], [100 * cb + 1 for cb in range(1, k)])
+        # after the user audio: nothing is forced
+        assert (prov(user_frames) == -1).all()
+
+    def test_forced_depformer_emits_provided_tokens(self):
+        params = init_personaplex_params(jax.random.PRNGKey(0), CFG)
+        hidden = jax.random.normal(jax.random.PRNGKey(1), (1, CFG.d_model))
+        s = PersonaSampling(audio_temperature=0.0)
+        provided = np.full((1, 16), -1, np.int32)
+        provided[0, 8:] = np.arange(8) + 10
+        out = depformer_generate(params, CFG, hidden, jnp.asarray([5], jnp.int32),
+                                 jax.random.PRNGKey(0), s,
+                                 provided=jnp.asarray(provided))
+        np.testing.assert_array_equal(np.asarray(out)[0, 8:], np.arange(8) + 10)
+
+
+class TestPromptPrefill:
+    @pytest.fixture(scope="class")
+    def model(self):
+        return PersonaPlex.init_random(CFG)
+
+    def test_prompt_reads_layout(self, model):
+        """Phases and delays of the host-built prompt READ table
+        (PersonaPlex.swift:226-287): step g reads position g-1; text
+        tokens occupy [sf .. sf+n_text) shifted one step late; agent
+        streams read silence, user streams sine."""
+        from qwen3_asr_swift_tpu.models.personaplex.model import (
+            SILENCE_TOKENS, SINE_TOKENS)
+
+        toks = [5, 7, 9]
+        reads, n_prompt = model._prompt_reads(toks, 0, None)
+        sf = model._silence_spacer_frames()
+        assert n_prompt == 2 * sf + len(toks)
+        k = CFG.temporal_codebooks
+        # step 0: no previous position — text pad, audio -1 (masked)
+        assert reads[0, 0] == CFG.text_pad
+        assert (reads[1:, 0] == -1).all()
+        # text prompt tokens appear shifted one step late (read = pos-1)
+        np.testing.assert_array_equal(reads[0, sf + 1: sf + 1 + len(toks)], toks)
+        # all other text reads are PAD
+        assert (np.delete(reads[0, :n_prompt], range(sf + 1, sf + 1 + len(toks)))
+                == CFG.text_pad).all()
+        # agent streams read silence, user streams sine (from step 1 on;
+        # delay-1 streams' position 0 was never written → -1)
+        assert (reads[1, 1:n_prompt] == SILENCE_TOKENS[0]).all()
+        assert (reads[2: 1 + k, 2:n_prompt]
+                == np.asarray(SILENCE_TOKENS[1:k])[:, None]).all()
+        assert (reads[1 + k, 1:n_prompt] == SINE_TOKENS[0]).all()
+        assert (reads[2 + k:, 2:n_prompt]
+                == np.asarray(SINE_TOKENS[1:k])[:, None]).all()
+
+    def test_prompt_reads_ring_overlay(self, model):
+        """With a voice prompt, the delay-ring snapshot overwrites the
+        positions at the voice boundary (PersonaPlex.swift:203-223), so
+        the first post-voice reads carry real voice tokens."""
+        n_voice = 4
+        ring = np.arange(17 * 4, dtype=np.int32).reshape(17, 4) % 1000
+        reads, n_prompt = model._prompt_reads([], n_voice, ring)
+        # first non-voice step reads position n_voice-1 = ring col n_voice%4
+        col = n_voice % model.DELAY_RING
+        np.testing.assert_array_equal(reads[:, 0], ring[:, col])
+        # second step reads position n_voice — only delay-1 streams carry
+        # ring col (n_voice+1)%4 there
+        col2 = (n_voice + 1) % model.DELAY_RING
+        delays = [0, 0] + [1] * 7 + [0] + [1] * 7
+        for s in range(17):
+            if delays[s] == 1:
+                assert reads[s, 1] == ring[s, col2]
+
+    def test_system_prompt_conditions_response(self, model):
+        """Different system prompts must change the generated codes.
+        Compares the raw (pre-clip) depformer codes: the tiny test mimi's
+        64-entry codebook would clip away most of the 2049-space difference
+        that the real 2048-entry codebook preserves."""
+        spf = CFG.mimi.samples_per_frame
+        audio = (0.2 * np.random.default_rng(3).standard_normal(spf * 3)).astype(np.float32)
+        s = PersonaSampling(audio_temperature=0.0, text_temperature=0.0, max_steps=5)
+        uc = model._mimi_encode(model.mimi_params, audio=jnp.asarray(audio)[None])
+        ve, nv, _ = model._voice_inputs(None)
+        outs = []
+        for prompt in ([5, 7, 9], [11, 2, 4]):
+            reads, n_prompt = model._prompt_reads(prompt, nv, None)
+            codes, _ = model._converse(
+                model.params, uc, ve, jnp.asarray(nv, jnp.int32),
+                jnp.asarray(reads[None]), jnp.asarray(n_prompt, jnp.int32),
+                jax.random.PRNGKey(0), user_frames=3, max_steps=4, sampling=s)
+            outs.append(np.asarray(codes))
+        assert not np.array_equal(outs[0], outs[1])
+
+    def test_string_prompt_requires_tokenizer(self, model):
+        with pytest.raises(ValueError):
+            model._prompt_tokens("hello there")
+
+    def test_silence_stop_disabled_runs_full_budget(self, model):
+        spf = CFG.mimi.samples_per_frame
+        audio = (0.2 * np.random.default_rng(4).standard_normal(spf * 2)).astype(np.float32)
+        s = PersonaSampling(audio_temperature=0.0, max_steps=6, silence_stop_frames=0)
+        out = model.respond(audio, CFG.mimi.sample_rate, sampling=s, max_extra_s=0.5)
+        assert len(out.samples) == 6 * spf  # ran all 6 frames, no early exit
