@@ -638,9 +638,14 @@ class KokoroTTS(SpeechGenerationModel):
 
         model_dir = download_weights(
             model_id, cache_dir=cache_dir, offline_mode=offline_mode,
-            additional_patterns=["*.pth", "voices/*"])
+            additional_patterns=["*.pth", "voices/*", "*_gold.json", "*_silver.json"])
         params = convert_checkpoint(model_dir)
         voices = load_voices(model_dir)
+        # snapshot gold/silver pronunciation dictionaries overlay the
+        # embedded one (reference: Phonemizer.swift loadDictionaries)
+        from .phonemizer import load_dictionaries
+
+        load_dictionaries(model_dir)
         return cls(CONFIG_82M, params, voices=voices or None, dtype=dtype, **kw)
 
     @property

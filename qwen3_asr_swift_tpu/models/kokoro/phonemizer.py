@@ -2,16 +2,33 @@
 
 TPU-native analog of the reference's in-repo phonemizers
 (reference: Sources/KokoroTTS/Phonemizer.swift (673 lines) + per-language
-phonemizers for Latin/Chinese/Japanese/Hindi): a dictionary-first English
-G2P with rule-based letter-to-sound fallback, number expansion, and
-punctuation → prosody marks; CJK falls back to per-character passthrough
-units. Produces IPA-ish phoneme strings over Kokoro's symbol vocabulary.
+phonemizers for Latin/Chinese/Japanese/Hindi). English follows the
+reference's resolution order (Phonemizer.swift:333-455):
+
+1. special cases (the/a/an/to/of/i — Phonemizer.swift:362-374)
+2. dictionary lookup — the embedded ~700-word gold dictionary
+   (en_dict.py), overlaid by snapshot ``{us,gb}_gold/silver.json``
+   dictionaries when :func:`load_dictionaries` finds them (the misaki
+   files the reference downloads with the model)
+3. suffix stemming with voicing-sensitive endings: -s/-es/-ies →
+   s/z/ɪz, -ed/-ied → t/d/ɪd, -ing with consonant de-doubling and
+   silent-e restoration (Phonemizer.swift:378-455)
+4. rule-based letter-to-sound fallback (the reference uses a BART G2P
+   CoreML model here; a neural fallback is not portable to this
+   environment, and the dictionary+stemming tiers take >90% of tokens)
+
+Number expansion and punctuation → prosody marks are shared; CJK/Hindi
+route to the table-driven phonemizers in phonemizer_i18n.py.
 """
 
 from __future__ import annotations
 
+import json
 import re
-from typing import Dict, List
+from pathlib import Path
+from typing import Dict, List, Optional
+
+from .en_dict import EN_GOLD
 
 # Kokoro symbol set (StyleTTS2 convention): pad + punctuation + IPA letters.
 _PAD = "$"
@@ -23,17 +40,98 @@ SYMBOLS = [_PAD] + list(_PUNCT) + list(_LETTERS) + list(_IPA)
 SYMBOL_TO_ID: Dict[str, int] = {s: i for i, s in enumerate(SYMBOLS)}
 VOCAB_SIZE = len(SYMBOLS)
 
-# Small exception dictionary (most-frequent irregulars); the rule engine
-# below covers the regular long tail.
-_DICT = {
-    "the": "ðə", "a": "ɐ", "to": "tə", "of": "ʌv", "and": "ænd", "in": "ɪn",
-    "is": "ɪz", "you": "juː", "that": "ðæt", "it": "ɪt", "he": "hiː",
-    "she": "ʃiː", "was": "wʌz", "for": "fɔːɹ", "are": "ɑːɹ", "with": "wɪð",
-    "his": "hɪz", "they": "ðeɪ", "be": "biː", "have": "hæv", "this": "ðɪs",
-    "one": "wʌn", "what": "wʌt", "said": "sɛd", "do": "duː", "there": "ðɛɹ",
-    "who": "huː", "been": "bɪn", "would": "wʊd", "were": "wɜːɹ", "two": "tuː",
-    "could": "kʊd", "world": "wɜːld", "hello": "həlˈoʊ", "speech": "spiːʧ",
-}
+# Dictionary tiers: the embedded gold dictionary, plus runtime overlays
+# loaded from a model snapshot (misaki us_gold/us_silver.json — the files
+# the reference's loadDictionaries consumes, Phonemizer.swift:82-96).
+_DICT: Dict[str, str] = dict(EN_GOLD)
+_SILVER: Dict[str, str] = {}
+
+# special cases resolved before any dictionary (Phonemizer.swift:362-374;
+# POS-dependent "a" collapses to the determiner reading)
+_SPECIAL = {"the": "ðə", "a": "ɐ", "an": "ən", "to": "tʊ", "of": "ʌv", "i": "aɪ"}
+
+
+def load_dictionaries(directory, british: bool = False) -> int:
+    """Overlay gold/silver pronunciation dictionaries from a model
+    snapshot directory (``us_gold.json``/``us_silver.json``, or ``gb_``
+    with ``british=True``). Entries may be plain IPA strings or
+    POS-keyed heteronym dicts (the ``DEFAULT`` reading is used — this
+    front end does not POS-tag). Returns the number of entries loaded."""
+    prefix = "gb" if british else "us"
+    n = 0
+    for name, target in ((f"{prefix}_gold.json", _DICT), (f"{prefix}_silver.json", _SILVER)):
+        path = Path(directory) / name
+        if not path.exists():
+            continue
+        raw = json.loads(path.read_text())
+        for word, entry in raw.items():
+            if isinstance(entry, dict):
+                entry = entry.get("DEFAULT") or next(iter(entry.values()), None)
+            if isinstance(entry, str):
+                target[word.lower()] = entry
+                n += 1
+    return n
+
+
+def _lookup(word: str) -> Optional[str]:
+    return _DICT.get(word) or _SILVER.get(word)
+
+
+_VOICELESS_S = set("ptkfθ")          # -s → /s/ after these (else /z/)
+_SIBILANT = set("szʃʒʧʤ")            # -es → /ɪz/ after these
+_VOICELESS_ED = set("pkfθsʃʧ")       # -ed → /t/ after these (t/d → /ɪd/)
+
+
+def _ed_suffix(phonemes: str) -> str:
+    last = phonemes[-1] if phonemes else ""
+    if last in "td":
+        return "ɪd"
+    return "t" if last in _VOICELESS_ED else "d"
+
+
+def _stem_and_lookup(word: str) -> Optional[str]:
+    """Suffix stemming with voicing-sensitive endings
+    (Phonemizer.swift:378-455): -s/-es/-ies, -ed/-ied with consonant
+    de-doubling, -ing with de-doubling and silent-e restoration."""
+    if word.endswith("s") and len(word) > 2 and not word.endswith("ss"):
+        if word.endswith("ies"):
+            base = _lookup(word[:-3] + "y")
+            if base:
+                return base + "z"
+        if word.endswith("es") and len(word) > 3:
+            base = _lookup(word[:-2])
+            if base:
+                return base + ("ɪz" if base[-1] in _SIBILANT else "z")
+        base = _lookup(word[:-1])
+        if base:
+            return base + ("s" if base[-1] in _VOICELESS_S else "z")
+    if word.endswith("ed") and len(word) > 3:
+        if word.endswith("ied"):
+            base = _lookup(word[:-3] + "y")
+            if base:
+                return base + "d"
+        stem = word[:-2]
+        if len(stem) >= 2 and stem[-1] == stem[-2]:  # stopped → stop
+            base = _lookup(stem[:-1])
+            if base:
+                return base + _ed_suffix(base)
+        base = _lookup(stem) or _lookup(stem + "e")  # moved → move
+        if base:
+            return base + _ed_suffix(base)
+    if word.endswith("ing") and len(word) > 4:
+        stem = word[:-3]
+        if len(stem) >= 2 and stem[-1] == stem[-2]:  # running → run
+            base = _lookup(stem[:-1])
+            if base:
+                return base + "ɪŋ"
+        base = _lookup(stem) or _lookup(stem + "e")  # making → make
+        if base:
+            return base + "ɪŋ"
+    if word.endswith("ly") and len(word) > 3:
+        base = _lookup(word[:-2])
+        if base:
+            return base + "li"
+    return None
 
 _RULES = [
     ("tion", "ʃən"), ("sion", "ʒən"), ("ough", "oʊ"), ("igh", "aɪ"),
@@ -69,10 +167,7 @@ def number_to_words(n: int) -> str:
     return " ".join(number_to_words(int(d)) for d in str(n))
 
 
-def _word_to_phonemes(word: str) -> str:
-    lw = word.lower()
-    if lw in _DICT:
-        return _DICT[lw]
+def _letter_to_sound(lw: str) -> str:
     out = []
     i = 0
     while i < len(lw):
@@ -87,6 +182,32 @@ def _word_to_phonemes(word: str) -> str:
         else:
             i += 1
     return "".join(out)
+
+
+def _word_to_phonemes(word: str) -> str:
+    """Resolution order per the reference (Phonemizer.swift:333-341):
+    special case → dictionary → suffix stemming → letter-to-sound."""
+    lw = word.lower()
+    special = _SPECIAL.get(lw)
+    if special is not None:
+        return special
+    hit = _lookup(lw)
+    if hit is not None:
+        return hit
+    stemmed = _stem_and_lookup(lw)
+    if stemmed is not None:
+        return stemmed
+    return _letter_to_sound(lw)
+
+
+def dictionary_hit(word: str) -> bool:
+    """True when the word resolves without the letter-to-sound fallback
+    (coverage metric; tests assert >90% on a standard sentence set)."""
+    lw = re.sub(r"[^a-z']", "", word.lower()).strip("'")
+    if not lw:
+        return True
+    return (lw in _SPECIAL or _lookup(lw) is not None
+            or _stem_and_lookup(lw) is not None)
 
 
 def phonemize(text: str, language: str = "en") -> str:
@@ -119,7 +240,7 @@ def phonemize(text: str, language: str = "en") -> str:
         if re.match(r"[;:,.!?]", token):
             parts.append(token)
         else:
-            parts.append(_word_to_phonemes(token.replace("'", "")))
+            parts.append(_word_to_phonemes(token.strip("'")))
     return " ".join(parts)
 
 

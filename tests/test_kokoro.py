@@ -48,7 +48,7 @@ class TestPhonemizer:
         assert len(out) > 5
 
     def test_numbers_expanded(self):
-        assert "twɛnt" in phonemize("25 things")
+        assert "twˈɛnti faɪv" in phonemize("25 things")
         assert number_to_words(125) == "one hundred twenty five"
         assert number_to_words(3000) == "three thousand"
 
@@ -532,3 +532,108 @@ class TestI18nPhonemizers:
         assert out_ja == "katakana"
         out_hi = phonemize("नमस्ते", language="hi")
         assert "ə" in out_hi
+
+
+class TestEnglishG2PDepth:
+    """Dictionary-first English G2P (reference: Phonemizer.swift:333-455 —
+    special cases, gold/silver dicts, voicing-sensitive suffix stemming)."""
+
+    def test_dict_entries_use_valid_symbols(self):
+        from qwen3_asr_swift_tpu.models.kokoro.en_dict import EN_GOLD
+        from qwen3_asr_swift_tpu.models.kokoro.phonemizer import SYMBOL_TO_ID
+
+        bad = {w: p for w, p in EN_GOLD.items()
+               if any(c not in SYMBOL_TO_ID for c in p)}
+        assert not bad, f"entries with out-of-vocab symbols: {list(bad.items())[:5]}"
+
+    def test_special_cases(self):
+        from qwen3_asr_swift_tpu.models.kokoro.phonemizer import _word_to_phonemes
+
+        assert _word_to_phonemes("the") == "ðə"
+        assert _word_to_phonemes("I") == "aɪ"
+        assert _word_to_phonemes("an") == "ən"
+
+    def test_plural_voicing(self):
+        from qwen3_asr_swift_tpu.models.kokoro.phonemizer import _word_to_phonemes
+
+        assert _word_to_phonemes("cats") == _word_to_phonemes("cat") + "s"     # voiceless
+        assert _word_to_phonemes("dogs") == _word_to_phonemes("dog") + "z"     # voiced
+        assert _word_to_phonemes("wishes") == _word_to_phonemes("wish") + "ɪz"  # sibilant
+        assert _word_to_phonemes("stories") == _word_to_phonemes("story") + "z"
+
+    def test_past_tense_voicing(self):
+        from qwen3_asr_swift_tpu.models.kokoro.phonemizer import _word_to_phonemes
+
+        assert _word_to_phonemes("walked") == _word_to_phonemes("walk") + "t"
+        assert _word_to_phonemes("played") == _word_to_phonemes("play") + "d"
+        assert _word_to_phonemes("wanted") == _word_to_phonemes("want") + "ɪd"
+        assert _word_to_phonemes("stopped") == _word_to_phonemes("stop") + "t"  # de-double
+        assert _word_to_phonemes("moved") == _word_to_phonemes("move") + "d"    # silent e
+        assert _word_to_phonemes("carried") == _word_to_phonemes("carry") + "d"
+
+    def test_ing_forms(self):
+        from qwen3_asr_swift_tpu.models.kokoro.phonemizer import _word_to_phonemes
+
+        assert _word_to_phonemes("walking") == _word_to_phonemes("walk") + "ɪŋ"
+        assert _word_to_phonemes("sitting") == _word_to_phonemes("sit") + "ɪŋ"
+
+    def test_contractions(self):
+        from qwen3_asr_swift_tpu.models.kokoro.phonemizer import phonemize
+
+        out = phonemize("don't, it's, we'll")
+        assert "doʊnt" in out and "ɪts" in out and "wiːl" in out
+
+    def test_dictionary_coverage_standard_sentences(self):
+        """>90% of tokens on a standard sentence set must resolve through
+        the dictionary+stemming tiers (the reference's gold/silver+stem
+        coverage bar; letter-to-sound is the last resort)."""
+        from qwen3_asr_swift_tpu.models.kokoro.phonemizer import dictionary_hit
+
+        # Harvard-sentences-style everyday test set
+        sentences = [
+            "The birch canoe slid on the smooth planks",
+            "Glue the sheet to the dark blue background",
+            "It's easy to tell the depth of a well",
+            "These days a chicken leg is a rare dish",
+            "Rice is often served in round bowls",
+            "The juice of lemons makes fine punch",
+            "The box was thrown beside the parked truck",
+            "The hogs were fed chopped corn and garbage",
+            "Four hours of steady work faced us",
+            "A large size in stockings is hard to sell",
+            "The boy was there when the sun rose",
+            "A rod is used to catch pink salmon",
+            "The source of the huge river is the clear spring",
+            "Kick the ball straight and follow through",
+            "Help the woman get back to her feet",
+            "A pot of tea helps to pass the evening",
+            "Smoky fires lack flame and heat",
+            "The soft cushion broke the man's fall",
+            "The salt breeze came across from the sea",
+            "The girl at the booth sold fifty bonds",
+        ]
+        words = [w for s in sentences for w in s.split()]
+        hits = sum(dictionary_hit(w) for w in words)
+        rate = hits / len(words)
+        assert rate > 0.9, f"dictionary coverage {rate:.1%} on {len(words)} tokens"
+
+    def test_load_dictionaries_overlay(self, tmp_path):
+        import json
+
+        from qwen3_asr_swift_tpu.models.kokoro import phonemizer as ph
+
+        (tmp_path / "us_gold.json").write_text(json.dumps({
+            "zyzzyva": "zˈɪzɪvə",
+            "read": {"VERB": "ɹiːd", "DEFAULT": "ɹɛd"},
+        }))
+        before = ph._word_to_phonemes("zyzzyva")
+        n = ph.load_dictionaries(tmp_path)
+        try:
+            assert n == 2
+            assert ph._word_to_phonemes("zyzzyva") == "zˈɪzɪvə"
+            assert ph._word_to_phonemes("read") == "ɹɛd"  # DEFAULT reading
+            assert ph._word_to_phonemes("zyzzyvas") == "zˈɪzɪvəz"  # stems too
+        finally:
+            ph._DICT.pop("zyzzyva", None)
+            ph._DICT["read"] = "ɹiːd"
+        assert before != "zˈɪzɪvə"
