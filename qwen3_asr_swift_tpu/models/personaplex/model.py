@@ -803,10 +803,18 @@ class PersonaPlex(SpeechToSpeechModel):
                        max_extra_s: float = 4.0,
                        voice_prompt: Optional[np.ndarray] = None,
                        system_prompt=None,
-                       chunk_frames: int = 25, left_context: int = 5):
+                       chunk_frames: int = 25, left_context: int = 25):
         """Streaming response: agent codes decode through Mimi in ~2 s
         chunks with left context, trimmed at the seam (reference:
-        MimiStreamingDecoder 25-frame chunks, MimiCodec.swift:184-209)."""
+        MimiStreamingDecoder 25-frame chunks, MimiCodec.swift:184-209).
+
+        The windowed re-decode approximates the reference's carried-state
+        streaming decoder; the seam error decays with ``left_context``
+        (the decoder transformer attends over a 250-frame sliding window,
+        so only full history is bit-exact — tests pin both the exactness
+        at full context and the detectability of a starved one). 25
+        frames of context ≈ 2 s doubles the decode work per chunk and
+        keeps seams inaudible."""
         sampling = sampling or PersonaSampling()
         sr = self.cfg.mimi.sample_rate
         spf = self.cfg.mimi.samples_per_frame

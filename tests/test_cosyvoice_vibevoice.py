@@ -677,3 +677,114 @@ class TestVibeVoice:
         m = VibeVoiceTTS.init_random(vibe_tiny())
         m.unload()
         assert not m.is_loaded
+
+
+class TestStreamSeamQuality:
+    """Seam-quality assertions for multi-window streaming (VERDICT r2 #8):
+    a chunk boundary must not introduce a waveform discontinuity. The
+    metric — seam-step size vs the signal's own 99th-percentile
+    sample-to-sample step — is validated failing-by-construction on a
+    deliberately broken signal."""
+
+    @pytest.fixture(scope="class")
+    def model(self):
+        from qwen3_asr_swift_tpu.models.cosyvoice import CosyVoiceTTS, config_tiny
+
+        return CosyVoiceTTS.init_random(config_tiny())
+
+    @staticmethod
+    def _seam_ratio(samples, seam_indices):
+        d = np.abs(np.diff(samples))
+        if not len(d):
+            return 0.0
+        typical = max(np.percentile(d, 99), 1e-9)
+        seams = [d[i - 1] for i in seam_indices if 0 < i < len(samples)]
+        return max(seams, default=0.0) / typical
+
+    def test_metric_flags_constructed_discontinuity(self):
+        rng = np.random.default_rng(0)
+        t = np.arange(24000)
+        smooth = np.sin(2 * np.pi * 220 * t / 24000).astype(np.float32)
+        broken = smooth.copy()
+        broken[8000:] += 1.0  # DC jump at the "seam"
+        assert self._seam_ratio(smooth, [8000]) < 2.0
+        assert self._seam_ratio(broken, [8000]) > 5.0
+
+    def test_cosyvoice_stream_seams_are_smooth(self, model):
+        chunks = list(model.synthesize_stream("seam quality check sentence",
+                                              seed=9, chunk_tokens=3, left_context=2))
+        samples = np.concatenate([c.samples for c in chunks])
+        seams = np.cumsum([len(c.samples) for c in chunks])[:-1]
+        ratio = self._seam_ratio(samples, list(seams))
+        assert ratio < 5.0, f"seam discontinuity ratio {ratio:.1f}"
+
+    def test_personaplex_mimi_chunked_decode_matches_offline(self):
+        """Chunked Mimi decode with left context ≥ the decoder's receptive
+        field must reproduce the offline decode EXACTLY (the decoder is
+        causal — verified separately by the prefix check) — content
+        equality, not just sample counts. At the tiny config the receptive
+        field spans ~9 frames (measured: ctx=4 → 0.17 rel err, ctx=10 →
+        3e-7), which is why respond_stream's default left_context is sized
+        above it."""
+        from qwen3_asr_swift_tpu.models.personaplex import (
+            init_mimi_params, mimi_decode)
+        from qwen3_asr_swift_tpu.models.personaplex.mimi import config_tiny as mimi_tiny
+        import jax
+        import jax.numpy as jnp
+
+        cfg = mimi_tiny()
+        params = init_mimi_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(1)
+        frames = 12
+        codes = rng.integers(0, cfg.codebook_size, (1, 16, frames)).astype(np.int32)
+        offline = np.asarray(mimi_decode(params, cfg, jnp.asarray(codes))[0])
+
+        # causality: a prefix decodes to the offline prefix
+        head = np.asarray(mimi_decode(params, cfg, jnp.asarray(codes[:, :, :6]))[0])
+        np.testing.assert_allclose(head, offline[: len(head)], atol=1e-5)
+
+        spf = cfg.samples_per_frame
+        chunk_frames, left_context = 5, 10
+        pieces = []
+        emitted = 0
+        while emitted < frames:
+            ctx = min(left_context, emitted)
+            end = min(emitted + chunk_frames, frames)
+            piece = np.asarray(mimi_decode(
+                params, cfg, jnp.asarray(codes[:, :, emitted - ctx: end]))[0])
+            pieces.append(piece[ctx * spf:])
+            emitted = end
+        streamed = np.concatenate(pieces)
+        assert streamed.shape == offline.shape
+        err = np.abs(streamed - offline).max() / max(np.abs(offline).max(), 1e-9)
+        assert err < 1e-4, f"chunked Mimi decode drifts from offline by {err:.2e}"
+        seams = np.cumsum([len(p) for p in pieces])[:-1]
+        assert self._seam_ratio(streamed, list(seams)) < 5.0
+
+    def test_insufficient_context_detected(self):
+        """The same comparison with context below the receptive field must
+        show the drift (the failing-by-construction half of the gate)."""
+        from qwen3_asr_swift_tpu.models.personaplex import (
+            init_mimi_params, mimi_decode)
+        from qwen3_asr_swift_tpu.models.personaplex.mimi import config_tiny as mimi_tiny
+        import jax
+        import jax.numpy as jnp
+
+        cfg = mimi_tiny()
+        params = init_mimi_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(1)
+        codes = rng.integers(0, cfg.codebook_size, (1, 16, 12)).astype(np.int32)
+        offline = np.asarray(mimi_decode(params, cfg, jnp.asarray(codes))[0])
+        spf = cfg.samples_per_frame
+        pieces = []
+        emitted = 0
+        while emitted < 12:
+            ctx = min(2, emitted)
+            end = min(emitted + 5, 12)
+            piece = np.asarray(mimi_decode(
+                params, cfg, jnp.asarray(codes[:, :, emitted - ctx: end]))[0])
+            pieces.append(piece[ctx * spf:])
+            emitted = end
+        streamed = np.concatenate(pieces)
+        err = np.abs(streamed - offline).max() / np.abs(offline).max()
+        assert err > 1e-2  # starved context IS detectable by this gate
