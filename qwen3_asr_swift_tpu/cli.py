@@ -123,7 +123,9 @@ def cmd_respond(args):
         model = PersonaPlex.from_pretrained(args.model)
         sampling = PersonaSampling()
     audio, rate = _load_audio(args.audio, rate=model.cfg.mimi.sample_rate)
-    out = model.respond(audio, rate, sampling=sampling)
+    voice = PersonaPlex.load_voice_prompt(args.voice_prompt) if args.voice_prompt else None
+    out = model.respond(audio, rate, sampling=sampling, voice_prompt=voice,
+                        system_prompt=args.system_prompt)
     write_wav(args.output, out.samples, out.sample_rate)
     _print({"output": args.output, "seconds": len(out.samples) / out.sample_rate})
 
@@ -377,7 +379,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--output": dict(default="out.wav")})
     add("respond", cmd_respond, audio={}, **{
         "--model": dict(default="nvidia/personaplex-7b-v1"),
-        "--output": dict(default="response.wav")})
+        "--output": dict(default="response.wav"),
+        "--voice-prompt": dict(default=None, help="voice .safetensors/.npz"),
+        "--system-prompt": dict(default=None,
+                                help="text steering prompt (SentencePiece'd; "
+                                     "default: built-in assistant prompt)")})
     add("vad", cmd_vad, audio={}, **{
         "--model": dict(default="silero-vad-v5"),
         "--engine": dict(default="silero", choices=["silero", "pyannote", "firered"])})

@@ -31,12 +31,17 @@ size are inferred from shapes at trace time (static under jit).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-_DEFAULT_TILE_OUT = 128  # best v5e wall-clock in the 8k×8k GEMV sweep
+# QUANT_TILE_OUT / QUANT_PATH=xla|pallas: perf-tuning overrides used by the
+# bench harness to A/B the dispatch on real hardware (model-level staged
+# timing is the only trustworthy measurement on the tunneled backend)
+_DEFAULT_TILE_OUT = int(os.environ.get("QUANT_TILE_OUT", "128"))  # best v5e wall-clock in the 8k×8k GEMV sweep
+_FORCE_PATH = os.environ.get("QUANT_PATH", "")
 
 
 def infer_quant_dims(in_dim: int, codes_shape, scales_shape):
@@ -214,6 +219,8 @@ def quant_matmul_pallas(x, p, tile_out: int = _DEFAULT_TILE_OUT, interpret: bool
 def _use_pallas() -> bool:
     # single-chip TPU only: pallas_call is not GSPMD-partitionable, so
     # sharded multi-chip params take the XLA group-decomposition path
+    if _FORCE_PATH == "xla":
+        return False
     try:
         return jax.default_backend() == "tpu" and jax.device_count() == 1
     except Exception:  # noqa: BLE001
