@@ -28,7 +28,8 @@ import numpy as np
 from ...ops.attention import NEG_INF, sdpa
 from ...ops.kv_cache import (KVCache, after_prefill, after_token, cache_kv,
                              init_cache, write_prompt, write_token)
-from ...ops.nn import embedding_lookup, init_linear, linear, rms_norm, swiglu_mlp, tied_lm_head
+from ...ops.nn import (embedding_lookup, fuse_linears, init_linear, linear,
+                       rms_norm, swiglu_mlp, tied_lm_head)
 from ...ops.rope import apply_rope, rope_angles
 from .config import TextDecoderConfig
 
@@ -63,14 +64,93 @@ def init_decoder_params(key, cfg: TextDecoderConfig, dtype=jnp.float32) -> dict:
     return params
 
 
+def fuse_for_inference(params, cfg: TextDecoderConfig) -> dict:
+    """Fuse q/k/v → "qkv_proj" and gate/up → "gate_up_proj" along the
+    output axis in every layer (ops.nn.fuse_linears; exact for both dense
+    and group-quantized params).
+
+    Why: the quantized decode step's cost is dominated by the per-call
+    fixed work of 7 packed matmuls per layer (activation re-striding +
+    per-tile scale expansion), not by the contraction FLOPs — measured
+    bisect in docs/benchmarks.md. Fusing drops it to 5 calls per layer
+    and lets q/k/v (and gate/up) share one activation pass.
+
+    Only valid when the projections are unsharded or replicated — tensor
+    parallelism partitions q/k/v along heads with per-projection rules, so
+    TP meshes keep the unfused tree (Qwen3ASR gates on mesh shape)."""
+    out = dict(params)
+    layers = []
+    for p in params["layers"]:
+        p = dict(p)
+        qkv = fuse_linears([p["q_proj"], p["k_proj"], p["v_proj"]])
+        if qkv is not None:
+            p["qkv_proj"] = qkv
+            del p["q_proj"], p["k_proj"], p["v_proj"]
+        mlp = dict(p["mlp"])
+        gu = fuse_linears([mlp["gate_proj"], mlp["up_proj"]])
+        if gu is not None:
+            mlp["gate_up_proj"] = gu
+            del mlp["gate_proj"], mlp["up_proj"]
+            p["mlp"] = mlp
+        layers.append(p)
+    out["layers"] = layers
+    return out
+
+
+def unfuse_for_sharding(params, cfg: TextDecoderConfig) -> dict:
+    """Exact inverse of :func:`fuse_for_inference`: slice the fused rows
+    back into separate q/k/v and gate/up projections so the per-projection
+    TP partition rules (parallel/mesh.py QWEN3_DECODER_RULES) apply.
+    No-op on an already-unfused tree."""
+    nq, nkv = cfg.num_heads * cfg.head_dim, cfg.num_kv_heads * cfg.head_dim
+
+    def split(p, bounds):
+        """Split a linear param at output-row ``bounds`` (exact: quantized
+        codes/scales/biases rows are per-output; dense kernels are
+        [in, out])."""
+        lo_hi = list(zip((0,) + bounds, bounds + (None,)))
+        if "codes" in p:
+            parts = [{k: p[k][lo:hi] for k in ("codes", "scales", "biases")}
+                     for lo, hi in lo_hi]
+        else:
+            parts = [{"kernel": p["kernel"][:, lo:hi]} for lo, hi in lo_hi]
+        if "bias" in p:
+            for part, (lo, hi) in zip(parts, lo_hi):
+                part["bias"] = p["bias"][lo:hi]
+        return parts
+
+    out = dict(params)
+    layers = []
+    for p in params["layers"]:
+        p = dict(p)
+        if "qkv_proj" in p:
+            p["q_proj"], p["k_proj"], p["v_proj"] = split(p.pop("qkv_proj"), (nq, nq + nkv))
+        mlp = dict(p["mlp"])
+        if "gate_up_proj" in mlp:
+            inter = (mlp["gate_up_proj"]["codes"].shape[0] // 2 if "codes" in mlp["gate_up_proj"]
+                     else mlp["gate_up_proj"]["kernel"].shape[1] // 2)
+            mlp["gate_proj"], mlp["up_proj"] = split(mlp.pop("gate_up_proj"), (inter,))
+            p["mlp"] = mlp
+        layers.append(p)
+    out["layers"] = layers
+    return out
+
+
 def _qkv(p, h, positions, cfg: TextDecoderConfig):
     """Project + per-head RMS-normalize + rotate. h: [B, T, hidden];
     positions: [B, T] int32. Returns q [B,Hq,T,D], k,v [B,Hkv,T,D]."""
     b, t, _ = h.shape
     hd = cfg.head_dim
-    q = linear(h, p["q_proj"]).reshape(b, t, cfg.num_heads, hd)
-    k = linear(h, p["k_proj"]).reshape(b, t, cfg.num_kv_heads, hd)
-    v = linear(h, p["v_proj"]).reshape(b, t, cfg.num_kv_heads, hd)
+    if "qkv_proj" in p:
+        nq, nkv = cfg.num_heads * hd, cfg.num_kv_heads * hd
+        qkv = linear(h, p["qkv_proj"])
+        q = qkv[..., :nq].reshape(b, t, cfg.num_heads, hd)
+        k = qkv[..., nq:nq + nkv].reshape(b, t, cfg.num_kv_heads, hd)
+        v = qkv[..., nq + nkv:].reshape(b, t, cfg.num_kv_heads, hd)
+    else:
+        q = linear(h, p["q_proj"]).reshape(b, t, cfg.num_heads, hd)
+        k = linear(h, p["k_proj"]).reshape(b, t, cfg.num_kv_heads, hd)
+        v = linear(h, p["v_proj"]).reshape(b, t, cfg.num_kv_heads, hd)
     q = rms_norm(q, p["q_norm"]["weight"], cfg.rms_norm_eps)
     k = rms_norm(k, p["k_norm"]["weight"], cfg.rms_norm_eps)
     cos, sin = rope_angles(positions, hd, cfg.rope_theta)  # [B, T, hd/2]

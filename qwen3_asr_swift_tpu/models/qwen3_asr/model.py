@@ -37,7 +37,8 @@ from ...ops.nn import embedding_lookup, tied_lm_head
 from ...ops.sampling import SamplingOptions, log_softmax_confidence, sample_token
 from ...tokenizers.bpe import BPETokenizer
 from .config import CONFIG_SMALL, Qwen3ASRConfig, detect_config
-from .decoder import decode_step, init_decoder_params, make_cache, prefill
+from .decoder import (decode_step, fuse_for_inference, init_decoder_params,
+                      make_cache, prefill, unfuse_for_sharding)
 from .encoder import conv_output_length, encode, init_encoder_params
 
 # Audio buckets in seconds — multiples of 8 s so mel frames divide the
@@ -83,7 +84,11 @@ class Qwen3ASR(SpeechRecognitionModel):
         from ...ops.quant import cast_tree
 
         self.encoder_params = cast_tree(encoder_params, dtype)
-        self.decoder_params = cast_tree(decoder_params, dtype)
+        # q/k/v and gate/up fuse into single wider projections (exact; the
+        # per-call fixed cost of 7 packed matmuls/layer dominated int4
+        # batched decode — docs/benchmarks.md). shard() unfuses for TP.
+        self.decoder_params = fuse_for_inference(
+            cast_tree(decoder_params, dtype), cfg.decoder)
         self._audio_buckets_s = tuple(audio_buckets_s)
         self._loaded = True
 
@@ -450,7 +455,13 @@ class Qwen3ASR(SpeechRecognitionModel):
         mesh = mesh or make_mesh(dp=dp, tp=tp)
         self._mesh = mesh
         self.encoder_params = shard_pytree(self.encoder_params, mesh, QWEN3_ENCODER_RULES)
-        self.decoder_params = shard_pytree(self.decoder_params, mesh, QWEN3_DECODER_RULES)
+        # TP partitions q/k/v and gate/up per projection: unfuse, shard,
+        # and re-fuse only when tp leaves them whole (dp-only meshes).
+        dec = unfuse_for_sharding(self.decoder_params, self.cfg.decoder)
+        dec = shard_pytree(dec, mesh, QWEN3_DECODER_RULES)
+        if mesh.shape.get("tp", 1) == 1:
+            dec = fuse_for_inference(dec, self.cfg.decoder)
+        self.decoder_params = dec
         if mesh.shape.get("dp", 1) > 1:
             # single long utterances additionally shard the encoder's
             # attention windows over the dp axis (encoder.encode sp_mesh);

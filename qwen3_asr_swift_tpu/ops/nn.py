@@ -64,8 +64,39 @@ def silu(x):
 
 def swiglu_mlp(x, p):
     """down(silu(gate(x)) * up(x)) — the Qwen MLP
-    (reference: QuantizedTextMLP, QuantizedTextDecoder.swift:132-137)."""
+    (reference: QuantizedTextMLP, QuantizedTextDecoder.swift:132-137).
+
+    Accepts either separate gate/up projections or a fused "gate_up_proj"
+    (built by :func:`fuse_linears` — halves the projection call count,
+    which is the fixed-cost term in quantized decode)."""
+    if "gate_up_proj" in p:
+        gu = linear(x, p["gate_up_proj"])
+        gate, up = jnp.split(gu, 2, axis=-1)
+        return linear(silu(gate) * up, p["down_proj"])
     return linear(silu(linear(x, p["gate_proj"])) * linear(x, p["up_proj"]), p["down_proj"])
+
+
+def fuse_linears(ps):
+    """Concatenate linear params (all fed the same input) along the output
+    axis into one projection, so N matmuls become one wider matmul.
+
+    For group-quantized params this is exact: codes/scales/biases rows are
+    per-output, so row-concat is the fused weight. Returns None when the
+    params are not uniformly fusable (mixed dense/quant, mixed bias)."""
+    quant = [("codes" in p) for p in ps]
+    has_bias = [("bias" in p) for p in ps]
+    if any(has_bias) and not all(has_bias):
+        return None
+    if all(quant):
+        fused = {k: jnp.concatenate([p[k] for p in ps], axis=0)
+                 for k in ("codes", "scales", "biases")}
+    elif not any(quant):
+        fused = {"kernel": jnp.concatenate([p["kernel"] for p in ps], axis=1)}
+    else:
+        return None
+    if all(has_bias):
+        fused["bias"] = jnp.concatenate([p["bias"] for p in ps], axis=0)
+    return fused
 
 
 def embedding_lookup(table, ids, dim: Optional[int] = None):

@@ -157,6 +157,51 @@ def _quant_matmul_kernel(x_parts_ref, xsum_ref, codes_ref, scales_ref, biases_re
     out_ref[:] = acc
 
 
+def _quant_matmul_kernel_fused(x_perm_ref, xsum_ref, codes_ref, scales_ref,
+                               biases_ref, out_ref, *, bits: int, repeat: int):
+    """One output tile via ONE MXU contraction over the full input depth.
+
+    The plane kernel above issues per_word shallow [B,PK]×[PK,T] dots whose
+    PK-deep contraction underfills the MXU pipeline at decode batch sizes.
+    Here the packed codes unpack into a PLANE-PERMUTED dense bf16 tile
+    [T, per_word*PK] inside VMEM (column j*PK+p holds true input column
+    p*per_word+j), the activations arrive pre-permuted to match, and a
+    single [B, in]×[in, T] dot runs at full contraction depth. HBM traffic
+    is still the packed codes (4× less than bf16 weights)."""
+    per_word = 32 // bits
+    mask = jnp.uint32((1 << bits) - 1)
+    codes = codes_ref[:]                                   # [T, PK] u32
+    n_groups = scales_ref.shape[1]
+    pk = codes.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n_groups, pk), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n_groups, pk), 1)
+    expand = (cols // repeat == rows).astype(jnp.float32)  # [G, PK]
+    s_exp = jnp.dot(scales_ref[:].astype(jnp.float32), expand,
+                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    b_exp = jnp.dot(biases_ref[:].astype(jnp.float32), expand,
+                    preferred_element_type=jnp.float32)
+
+    acc = jax.lax.dot_general(
+        xsum_ref[:], b_exp, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    planes = []
+    for j in range(per_word):
+        wj = ((codes >> jnp.uint32(bits * j)) & mask).astype(jnp.int32).astype(jnp.bfloat16)
+        planes.append(wj * s_exp)
+    w = jnp.concatenate(planes, axis=1)                    # [T, pw*PK] permuted dense
+    acc = acc + jax.lax.dot_general(
+        x_perm_ref[:], w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[:] = acc
+
+
+#: kernel strategy: "fused" (single deep dot, default) or "plane"
+#: (per-bit-plane dots — the original layout, kept for A/B)
+_KERNEL = os.environ.get("QUANT_KERNEL", "fused")
+
+
 @functools.partial(jax.jit, static_argnames=("bits", "gs", "tile_out", "interpret"))
 def _quant_matmul_pallas_2d(xf, codes, scales, biases, *, bits, gs, tile_out, interpret):
     from jax.experimental import pallas as pl
@@ -172,12 +217,20 @@ def _quant_matmul_pallas_2d(xf, codes, scales, biases, *, bits, gs, tile_out, in
     xsum = x_parts.sum(axis=0)                                  # [B, PK]
 
     n_tiles = pl.cdiv(out_dim, tile_out)
-    kernel = functools.partial(_quant_matmul_kernel, bits=bits, repeat=repeat)
+    if _KERNEL == "fused":
+        x_perm = x_parts.transpose(1, 0, 2).reshape(b, in_dim).astype(jnp.bfloat16)
+        kernel = functools.partial(_quant_matmul_kernel_fused, bits=bits, repeat=repeat)
+        x_spec = pl.BlockSpec((b, in_dim), lambda i: (0, 0))
+        x_in = x_perm
+    else:
+        kernel = functools.partial(_quant_matmul_kernel, bits=bits, repeat=repeat)
+        x_spec = pl.BlockSpec((per_word, b, pk), lambda i: (0, 0, 0))
+        x_in = x_parts
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((per_word, b, pk), lambda i: (0, 0, 0)),
+            x_spec,
             pl.BlockSpec((b, pk), lambda i: (0, 0)),
             pl.BlockSpec((tile_out, pk), lambda i: (i, 0)),
             pl.BlockSpec((tile_out, scales.shape[1]), lambda i: (i, 0)),
@@ -186,7 +239,7 @@ def _quant_matmul_pallas_2d(xf, codes, scales, biases, *, bits, gs, tile_out, in
         out_specs=pl.BlockSpec((b, tile_out), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((b, out_dim), jnp.float32),
         interpret=interpret,
-    )(x_parts, xsum, codes, scales, biases)
+    )(x_in, xsum, codes, scales, biases)
 
 
 def quant_matmul_pallas(x, p, tile_out: int = _DEFAULT_TILE_OUT, interpret: bool = False):

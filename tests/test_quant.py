@@ -188,7 +188,8 @@ class TestQuantizedASR:
         q_model, _ = pair
         assert "codes" in q_model.decoder_params["embed_tokens"]
         assert q_model.decoder_params["embed_tokens"]["codes"].dtype == jnp.uint32
-        assert "codes" in q_model.decoder_params["layers"][0]["mlp"]["gate_proj"]
+        # layer projections are packed AND fused (gate/up concat rows)
+        assert "codes" in q_model.decoder_params["layers"][0]["mlp"]["gate_up_proj"]
 
 
 class TestQuantizedTensorParallel:
@@ -220,8 +221,7 @@ class TestQuantizedTensorParallel:
         ref = model.transcribe(audio, max_tokens=4).text
 
         mesh = make_mesh(8, dp=4, tp=2)
-        model.decoder_params = shard_pytree(model.decoder_params, mesh,
-                                            QWEN3_DECODER_RULES)
+        model.shard(mesh=mesh)  # unfuses qkv/gate_up, then applies TP rules
         # quantized leaves actually got a tp sharding (not just replicated)
         gate = model.decoder_params["layers"][0]["mlp"]["gate_proj"]["codes"]
         assert "tp" in str(gate.sharding.spec)

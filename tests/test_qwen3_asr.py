@@ -141,6 +141,44 @@ class TestDecoder:
         assert np.asarray(cache_gap.positions).tolist() == [5]
 
 
+class TestFusedProjections:
+    def test_fused_decode_matches_unfused(self, dec_params):
+        """qkv/gate_up fusion is exact: identical prefill + decode logits."""
+        from qwen3_asr_swift_tpu.models.qwen3_asr.decoder import (
+            fuse_for_inference,
+            unfuse_for_sharding,
+        )
+
+        dcfg = CFG.decoder
+        fused = fuse_for_inference(dec_params, dcfg)
+        lp = fused["layers"][0]
+        assert "qkv_proj" in lp and "q_proj" not in lp
+        assert "gate_up_proj" in lp["mlp"] and "gate_proj" not in lp["mlp"]
+
+        rng = np.random.default_rng(9)
+        seq = jnp.asarray(rng.integers(5, 100, size=4).astype(np.int32))
+        table = dec_params["embed_tokens"]
+        embeds = jnp.take(table, seq[None], axis=0)
+        valid = jnp.ones((1, 4), bool)
+        for params in (dec_params, fused):
+            cache = make_cache(dcfg, 1, 8, jnp.float32)
+            h, cache = prefill(params, dcfg, embeds, valid, cache)
+            logits, _ = decode_step(params, dcfg, seq[:1], cache)
+            if params is dec_params:
+                h_ref, logits_ref = np.asarray(h), np.asarray(logits)
+        np.testing.assert_allclose(np.asarray(h), h_ref, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(logits), logits_ref, atol=1e-4)
+
+        # unfuse is the exact inverse
+        back = unfuse_for_sharding(fused, dcfg)
+        ref0 = dec_params["layers"][0]
+        got0 = back["layers"][0]
+        np.testing.assert_array_equal(np.asarray(got0["k_proj"]["kernel"]),
+                                      np.asarray(ref0["k_proj"]["kernel"]))
+        np.testing.assert_array_equal(np.asarray(got0["mlp"]["up_proj"]["kernel"]),
+                                      np.asarray(ref0["mlp"]["up_proj"]["kernel"]))
+
+
 class TestModel:
     @pytest.fixture(scope="class")
     def model(self):
