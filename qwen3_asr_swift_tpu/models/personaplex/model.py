@@ -183,6 +183,59 @@ def init_personaplex_params(key, cfg: PersonaPlexConfig, dtype=jnp.float32) -> d
     return params
 
 
+def fuse_temporal_params(params) -> dict:
+    """Fuse q/k/v → "qkv_proj" and gate/up → "gate_up_proj" in every
+    temporal layer (exact output-row concat — ops.nn.fuse_linears). The
+    80 ms frame step is a batch-1 GEMV chain where per-call fixed cost
+    dominates; fusing drops 7 projections per layer to 4. Only valid
+    replicated/unsharded — shard() unfuses for the per-projection TP
+    rules. No-op on already-fused trees."""
+    from ...ops.nn import fuse_linears
+
+    out = dict(params)
+    layers = []
+    for p in params["layers"]:
+        p = dict(p)
+        if "q_proj" in p:
+            qkv = fuse_linears([p["q_proj"], p["k_proj"], p["v_proj"]])
+            if qkv is not None:
+                p["qkv_proj"] = qkv
+                del p["q_proj"], p["k_proj"], p["v_proj"]
+        mlp = dict(p["mlp"])
+        if "gate_proj" in mlp:
+            gu = fuse_linears([mlp["gate_proj"], mlp["up_proj"]])
+            if gu is not None:
+                mlp["gate_up_proj"] = gu
+                del mlp["gate_proj"], mlp["up_proj"]
+                p["mlp"] = mlp
+        layers.append(p)
+    out["layers"] = layers
+    return out
+
+
+def unfuse_temporal_params(params, cfg: PersonaPlexConfig) -> dict:
+    """Exact inverse of :func:`fuse_temporal_params` (output-row slices)."""
+    from ...ops.nn import split_linear
+
+    d = cfg.num_heads * cfg.head_dim
+    out = dict(params)
+    layers = []
+    for p in params["layers"]:
+        p = dict(p)
+        if "qkv_proj" in p:
+            p["q_proj"], p["k_proj"], p["v_proj"] = split_linear(
+                p.pop("qkv_proj"), (d, 2 * d))
+        mlp = dict(p["mlp"])
+        if "gate_up_proj" in mlp:
+            gu = mlp.pop("gate_up_proj")
+            inter = (gu["codes"].shape[0] if "codes" in gu else gu["kernel"].shape[1]) // 2
+            mlp["gate_proj"], mlp["up_proj"] = split_linear(gu, (inter,))
+            p["mlp"] = mlp
+        layers.append(p)
+    out["layers"] = layers
+    return out
+
+
 def embed_frame(params, cfg: PersonaPlexConfig, text_tok, user_codes, agent_codes):
     """Sum the 17 stream embeddings for one frame.
     text_tok: [B]; user_codes, agent_codes: [B, K]. Negative audio codes
@@ -246,9 +299,13 @@ def _temporal_layer(p, x, positions, mask, cache_layer, cfg, decode, cursor=None
     b, t, _ = x.shape
     hd = cfg.head_dim
     h = rms_norm(x, p["input_layernorm"]["weight"], cfg.rms_norm_eps)
-    q = linear(h, p["q_proj"]).reshape(b, t, cfg.num_heads, hd)
-    k = linear(h, p["k_proj"]).reshape(b, t, cfg.num_heads, hd)
-    v = linear(h, p["v_proj"]).reshape(b, t, cfg.num_heads, hd)
+    if "qkv_proj" in p:  # fused projection (fuse_temporal_params)
+        qkv = linear(h, p["qkv_proj"]).reshape(b, t, 3, cfg.num_heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    else:
+        q = linear(h, p["q_proj"]).reshape(b, t, cfg.num_heads, hd)
+        k = linear(h, p["k_proj"]).reshape(b, t, cfg.num_heads, hd)
+        v = linear(h, p["v_proj"]).reshape(b, t, cfg.num_heads, hd)
     cos, sin = rope_angles(positions, hd, cfg.rope_theta)
     cos, sin = cos[:, None], sin[:, None]
     q = apply_rope(q.transpose(0, 2, 1, 3), cos, sin)
@@ -436,8 +493,14 @@ class PersonaPlex(SpeechToSpeechModel):
                  dtype=jnp.bfloat16):
         self.cfg = cfg
         self.tokenizer = tokenizer  # SentencePieceModel for text stream
-        cast = lambda t: jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), t)
-        self.params = cast(params)
+        from ...ops.quant import cast_tree
+
+        # cast preserves packed quantized tensors (uint32 codes + fp32
+        # group scales); q/k/v and gate/up fuse for the batch-1 GEMV frame
+        # step — shard() unfuses for TP partition rules. Fuse BEFORE the
+        # device cast so the chip never holds fused+unfused copies at once
+        # (the int8 7B leaves <4 GB HBM headroom).
+        self.params = cast_tree(fuse_temporal_params(params), dtype)
         self.mimi_params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float32), mimi_params)
         self.dtype = dtype
         self._loaded = True
@@ -545,20 +608,34 @@ class PersonaPlex(SpeechToSpeechModel):
 
     @classmethod
     def init_random(cls, cfg: Optional[PersonaPlexConfig] = None, seed: int = 0,
-                    dtype=jnp.float32, **kw) -> "PersonaPlex":
+                    dtype=jnp.float32, quant_bits: Optional[int] = None,
+                    **kw) -> "PersonaPlex":
+        """``quant_bits`` packs the temporal-stack linears + text head into
+        the MLX group-64 format (the reference serves 7B 8-bit — its ~9.5 GB
+        footprint analog fits a single 16 GB v5e chip, where bf16 cannot;
+        personaplex.md:166-182). Depformer banks and embeddings stay dense."""
         cfg = cfg or config_tiny()
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
-        return cls(cfg, init_personaplex_params(k1, cfg),
-                   init_mimi_params(k2, cfg.mimi), dtype=dtype, **kw)
+        params = init_personaplex_params(k1, cfg)
+        if quant_bits:
+            from ...ops.quant import quantize_tree
+
+            params = quantize_tree(params, quant_bits, embed_keys=())
+        return cls(cfg, params, init_mimi_params(k2, cfg.mimi), dtype=dtype, **kw)
 
     @classmethod
     def from_pretrained(cls, model_id: str = "nvidia/personaplex-7b-v1", cache_dir=None,
                         offline_mode: bool = False, dtype=jnp.bfloat16,
-                        cfg: Optional[PersonaPlexConfig] = None, **kw) -> "PersonaPlex":
+                        cfg: Optional[PersonaPlexConfig] = None,
+                        quant_bits: Optional[int] = None, **kw) -> "PersonaPlex":
         """Load the upstream split-safetensors layout: ``temporal.safetensors``
         (4-bit MLX-quantized), ``embeddings.safetensors``,
         ``depformer.safetensors``, ``mimi.safetensors``
-        (reference: Sources/PersonaPlex/WeightLoading.swift:12-90)."""
+        (reference: Sources/PersonaPlex/WeightLoading.swift:12-90).
+
+        ``quant_bits`` re-packs the temporal linears + text head to int8/4
+        group-64 after conversion — 8-bit fits the 7B on one 16 GB chip
+        (the reference's own serving config, personaplex.md:166)."""
         from pathlib import Path
 
         from safetensors import safe_open
@@ -582,6 +659,10 @@ class PersonaPlex(SpeechToSpeechModel):
                                        **read("embeddings.safetensors"),
                                        **read("depformer.safetensors")})
         params = convert_moshi_tree(lm_sd, cfg)
+        if quant_bits:
+            from ...ops.quant import quantize_tree
+
+            params = quantize_tree(params, quant_bits, embed_keys=())
         mimi_params = convert_mimi_tree(read("mimi.safetensors"), cfg.mimi)
         return cls(cfg, params, mimi_params, dtype=dtype, **kw)
 
@@ -769,7 +850,11 @@ class PersonaPlex(SpeechToSpeechModel):
         from ...parallel import PERSONAPLEX_RULES, make_mesh, replicate, shard_pytree
 
         mesh = mesh or make_mesh(dp=dp, tp=tp)
-        self.params = shard_pytree(self.params, mesh, PERSONAPLEX_RULES)
+        p = unfuse_temporal_params(self.params, self.cfg)
+        p = shard_pytree(p, mesh, PERSONAPLEX_RULES)
+        if mesh.shape.get("tp", 1) == 1:
+            p = fuse_temporal_params(p)
+        self.params = p
         self.mimi_params = replicate(self.mimi_params, mesh)
         return self
 

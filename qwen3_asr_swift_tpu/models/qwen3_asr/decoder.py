@@ -29,7 +29,7 @@ from ...ops.attention import NEG_INF, sdpa
 from ...ops.kv_cache import (KVCache, after_prefill, after_token, cache_kv,
                              init_cache, write_prompt, write_token)
 from ...ops.nn import (embedding_lookup, fuse_linears, init_linear, linear,
-                       rms_norm, swiglu_mlp, tied_lm_head)
+                       rms_norm, split_linear, swiglu_mlp, tied_lm_head)
 from ...ops.rope import apply_rope, rope_angles
 from .config import TextDecoderConfig
 
@@ -103,22 +103,7 @@ def unfuse_for_sharding(params, cfg: TextDecoderConfig) -> dict:
     TP partition rules (parallel/mesh.py QWEN3_DECODER_RULES) apply.
     No-op on an already-unfused tree."""
     nq, nkv = cfg.num_heads * cfg.head_dim, cfg.num_kv_heads * cfg.head_dim
-
-    def split(p, bounds):
-        """Split a linear param at output-row ``bounds`` (exact: quantized
-        codes/scales/biases rows are per-output; dense kernels are
-        [in, out])."""
-        lo_hi = list(zip((0,) + bounds, bounds + (None,)))
-        if "codes" in p:
-            parts = [{k: p[k][lo:hi] for k in ("codes", "scales", "biases")}
-                     for lo, hi in lo_hi]
-        else:
-            parts = [{"kernel": p["kernel"][:, lo:hi]} for lo, hi in lo_hi]
-        if "bias" in p:
-            for part, (lo, hi) in zip(parts, lo_hi):
-                part["bias"] = p["bias"][lo:hi]
-        return parts
-
+    split = split_linear
     out = dict(params)
     layers = []
     for p in params["layers"]:

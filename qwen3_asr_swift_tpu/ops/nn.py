@@ -99,6 +99,22 @@ def fuse_linears(ps):
     return fused
 
 
+def split_linear(p, bounds):
+    """Exact inverse of :func:`fuse_linears`: split a linear param at
+    output-row ``bounds`` (ascending offsets). Quantized codes/scales/
+    biases rows are per-output; dense kernels are [in, out]."""
+    lo_hi = list(zip((0,) + tuple(bounds), tuple(bounds) + (None,)))
+    if "codes" in p:
+        parts = [{k: p[k][lo:hi] for k in ("codes", "scales", "biases")}
+                 for lo, hi in lo_hi]
+    else:
+        parts = [{"kernel": p["kernel"][:, lo:hi]} for lo, hi in lo_hi]
+    if "bias" in p:
+        for part, (lo, hi) in zip(parts, lo_hi):
+            part["bias"] = p["bias"][lo:hi]
+    return parts
+
+
 def embedding_lookup(table, ids, dim: Optional[int] = None):
     """table: [vocab, dim] array, or a quantized table dict (then ``dim``
     is required); ids int32 [...]."""

@@ -26,8 +26,11 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, default=32)
-    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--cache-frames", type=int, default=750)  # 60 s conversation
+    ap.add_argument("--bits", type=int, default=0,
+                    help="group-quantize the temporal linears (8 = the "
+                         "reference's own 7B serving config; fits one chip)")
     args = ap.parse_args()
 
     import jax
@@ -50,11 +53,41 @@ def main():
     from qwen3_asr_swift_tpu.ops.nn import linear
 
     cfg = dataclasses.replace(CONFIG_7B, num_layers=args.layers)
-    print(f"init 7B-config params (layers={cfg.num_layers}, d={cfg.d_model}) in bf16...",
+    tag = f"int{args.bits}" if args.bits else "bf16"
+    print(f"init 7B-config params (layers={cfg.num_layers}, d={cfg.d_model}) in {tag}...",
           file=sys.stderr)
     t0 = time.perf_counter()
-    params = init_personaplex_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    from qwen3_asr_swift_tpu.models.personaplex.model import fuse_temporal_params
+    from qwen3_asr_swift_tpu.ops.quant import cast_tree
+
+    if args.bits:
+        # init on host: 32 bf16 layers (14 GB) exceed the chip before
+        # quantization can shrink them, and single-core threefry init of
+        # 8.3B params times out — so init ONE layer, quantize it once, and
+        # replicate. The walk below creates a DISTINCT device buffer per
+        # layer (cast_tree processes each occurrence separately), so HBM
+        # capacity and per-step weight traffic are exercised honestly;
+        # only the (irrelevant-to-speed) values repeat.
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            params = init_personaplex_params(
+                jax.random.PRNGKey(0), dataclasses.replace(cfg, num_layers=1),
+                dtype=jnp.bfloat16)
+        from qwen3_asr_swift_tpu.ops.quant import quantize_tree
+
+        with jax.default_device(cpu):
+            params = quantize_tree(params, args.bits, embed_keys=())
+            params["layers"] = params["layers"] * cfg.num_layers
+            params = fuse_temporal_params(params)
+        params = cast_tree(params, jnp.bfloat16)  # single host→HBM pass
+    else:
+        params = init_personaplex_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+        params = cast_tree(fuse_temporal_params(params), jnp.bfloat16)
     params = jax.tree_util.tree_map(jax.block_until_ready, params)
+    stats = jax.local_devices()[0].memory_stats() or {}
+    if "bytes_in_use" in stats:
+        print(f"  device bytes in use: {stats['bytes_in_use']/2**30:.2f} GiB",
+              file=sys.stderr)
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
     print(f"  {n_params/1e9:.2f}B params in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
@@ -86,15 +119,22 @@ def main():
     jax.block_until_ready(codes)
     print(f"  compile+first step {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
-    times = []
-    for i in range(args.steps):
-        key, kf = jax.random.split(key)
+    # bulk wall over step chunks: per-step sync over the tunneled backend
+    # under-reports device time (measured 1.2 ms "synced" vs 5.0 ms true
+    # at 16 layers), so the honest number is N dispatched steps between
+    # two syncs divided by N.
+    chunk = 25
+    rounds = max(2, args.steps // chunk)
+    per_step = []
+    for _ in range(rounds):
         t0 = time.perf_counter()
-        codes, text, cache = frame_step(params, cache, codes[:, :k], codes[:, :k],
-                                        text, kf, s=sampling)
+        for _ in range(chunk):
+            key, kf = jax.random.split(key)
+            codes, text, cache = frame_step(params, cache, codes[:, :k], codes[:, :k],
+                                            text, kf, s=sampling)
         jax.block_until_ready(codes)
-        times.append(time.perf_counter() - t0)
-    times = sorted(times)
+        per_step.append((time.perf_counter() - t0) / chunk)
+    times = sorted(per_step)
     p50 = times[len(times) // 2] * 1e3
     best = times[0] * 1e3
     frame_ms = 1000.0 / cfg.mimi.frame_rate

@@ -134,6 +134,59 @@ class TestRespond:
         assert np.isfinite(out.samples).all()
 
 
+class TestFusedTemporal:
+    def test_fuse_unfuse_roundtrip_and_step_parity(self):
+        """qkv/gate_up fusion of the temporal stack is exact, and
+        unfuse_temporal_params is its inverse (the TP-sharding path)."""
+        import jax
+
+        from qwen3_asr_swift_tpu.models.personaplex.model import (
+            fuse_temporal_params,
+            init_personaplex_params,
+            temporal_step,
+            unfuse_temporal_params,
+        )
+        from qwen3_asr_swift_tpu.ops.kv_cache import init_cache
+
+        params = init_personaplex_params(jax.random.PRNGKey(0), CFG)
+        fused = fuse_temporal_params(params)
+        assert "qkv_proj" in fused["layers"][0]
+        assert "gate_up_proj" in fused["layers"][0]["mlp"]
+
+        embeds = jax.random.normal(jax.random.PRNGKey(1), (1, 1, CFG.d_model))
+        outs = []
+        for p in (params, fused):
+            cache = init_cache(CFG.num_layers, 1, CFG.num_heads, 8,
+                               CFG.head_dim, jnp.float32)
+            h, _ = temporal_step(p, CFG, embeds, cache)
+            outs.append(np.asarray(h))
+        np.testing.assert_allclose(outs[1], outs[0], atol=1e-5)
+
+        back = unfuse_temporal_params(fused, CFG)
+        np.testing.assert_array_equal(
+            np.asarray(back["layers"][0]["k_proj"]["kernel"]),
+            np.asarray(params["layers"][0]["k_proj"]["kernel"]))
+        np.testing.assert_array_equal(
+            np.asarray(back["layers"][0]["mlp"]["up_proj"]["kernel"]),
+            np.asarray(params["layers"][0]["mlp"]["up_proj"]["kernel"]))
+
+    def test_quantized_respond_runs(self):
+        """int8 temporal stack (the reference's 7B serving precision) runs
+        end-to-end; tiny dims below the quantize min_dim stay dense, so
+        force eligible dims for the temporal layers."""
+        import dataclasses
+
+        cfg = dataclasses.replace(CFG, d_model=128, num_heads=4, head_dim=32,
+                                  intermediate_size=128, text_vocab=128)
+        model = PersonaPlex.init_random(cfg, quant_bits=8)
+        assert "codes" in model.params["layers"][0]["qkv_proj"]
+        spf = cfg.mimi.samples_per_frame
+        audio = (0.2 * np.random.default_rng(0).standard_normal(spf * 2)).astype(np.float32)
+        out = model.respond(audio, cfg.mimi.sample_rate, max_extra_s=0.2,
+                            sampling=PersonaSampling(audio_temperature=0.0, max_steps=4))
+        assert len(out.samples) > 0 and np.isfinite(out.samples).all()
+
+
 class TestVoicePromptAndStreaming:
     @pytest.fixture(scope="class")
     def model(self):
