@@ -51,15 +51,22 @@ def main():
     # (transparent to the log-mel front-end) — the tunnel transfer is the
     # steady-state bottleneck, so wire bytes convert 1:1 into throughput
     wire = os.environ.get("BENCH_WIRE", "mulaw")
+    # resumable chunked decode: bound each dispatched decode program to N
+    # tokens so a newly arriving request interleaves at chunk boundaries
+    # instead of waiting out a full batch generate (loaded first-token).
+    # 0 = monolithic single-program decode.
+    chunk = int(os.environ.get("BENCH_DECODE_CHUNK", "25"))
     sr = 16000
 
     print(f"building 0.6B model (random weights), batch={batch} clip={clip_s}s "
-          f"tokens={max_tokens} quant={quant or 'bf16'} kv={kv or 'bf16'} wire={wire}",
+          f"tokens={max_tokens} quant={quant or 'bf16'} kv={kv or 'bf16'} wire={wire} "
+          f"decode_chunk={chunk or 'off'}",
           file=sys.stderr)
     model = Qwen3ASR.init_random(CONFIG_SMALL, dtype=jnp.bfloat16, audio_buckets_s=(8, 16, 32, 64),
                                  wire_dtype=wire if wire == "mulaw" else np.dtype(wire),
                                  quant_bits=quant or None,
-                                 kv_dtype=jnp.int8 if kv == "int8" else None)
+                                 kv_dtype=jnp.int8 if kv == "int8" else None,
+                                 decode_chunk_tokens=chunk or None)
 
     rng = np.random.default_rng(0)
     clips = [(0.1 * rng.standard_normal(clip_s * sr)).astype(np.float32) for _ in range(batch)]

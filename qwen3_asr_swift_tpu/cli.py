@@ -320,11 +320,12 @@ def cmd_serve(args):
             b2u = _bytes_to_unicode()
             tok = BPETokenizer({ch: i for i, ch in enumerate(b2u[b] for b in range(256))}, [])
             return Qwen3ASR.init_random(config_tiny(), dtype=jnp.float32, tokenizer=tok,
-                                        audio_buckets_s=(8,))
+                                        audio_buckets_s=(8,),
+                                        decode_chunk_tokens=args.decode_chunk or None)
 
         registry.register("asr", load_asr)
     else:
-        registry = build_default_registry()
+        registry = build_default_registry(decode_chunk_tokens=args.decode_chunk or None)
     server = SpeechServer(registry, host=args.host, port=args.port)
     asyncio.run(server.serve_forever())
 
@@ -423,7 +424,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--instruct": dict(default=None, help="voice-design instruction"),
         "--output": dict(default="out.wav")})
     add("serve", cmd_serve, **{
-        "--host": dict(default="127.0.0.1"), "--port": dict(type=int, default=8321)})
+        "--host": dict(default="127.0.0.1"), "--port": dict(type=int, default=8321),
+        "--decode-chunk": dict(
+            type=int, default=25,
+            help="tokens per dispatched ASR decode program; bounds how long "
+                 "a newly arriving request waits behind an in-flight batch "
+                 "(loaded first-token latency). 0 = monolithic decode")})
     return p
 
 

@@ -64,6 +64,7 @@ class Qwen3ASR(SpeechRecognitionModel):
         audio_buckets_s: Sequence[int] = ASR_AUDIO_BUCKETS_S,
         wire_dtype=np.float32,
         kv_dtype=None,
+        decode_chunk_tokens: Optional[int] = None,
     ):
         # host→device audio format: int16 halves PCM transfer (audio is
         # natively 16-bit), "mulaw"/int8 halves it again via G.711 µ-law
@@ -72,7 +73,12 @@ class Qwen3ASR(SpeechRecognitionModel):
         # kv_dtype=jnp.int8 quantizes the KV cache per slot — decode is
         # HBM-bound and the KV read is the max_len-scaling traffic term
         # (docs/benchmarks.md), so int8 halves it at ~1e-2 logit noise.
+        # decode_chunk_tokens bounds each dispatched decode program to N
+        # tokens (resumable state between chunks) so concurrent requests
+        # interleave at chunk granularity — the serving knob for loaded
+        # first-token latency; None = one program per generate.
         self.cfg = cfg
+        self.decode_chunk_tokens = decode_chunk_tokens
         self.dtype = dtype
         self.kv_dtype = kv_dtype or dtype
         self.mel_cfg = mel_cfg
@@ -116,7 +122,7 @@ class Qwen3ASR(SpeechRecognitionModel):
         @functools.partial(
             jax.jit, static_argnames=("a_pad", "prefix_block", "suffix_block", "max_new", "opts")
         )
-        def _generate(
+        def _gen_start(
             dec_params,
             prefix_ids,      # [B, prefix_block] int32 (0-padded)
             prefix_len,      # [B] int32
@@ -166,9 +172,23 @@ class Qwen3ASR(SpeechRecognitionModel):
             logprobs = logprobs.at[:, 0].set(lp0)
             done0 = tok0 == self.cfg.eos_id
 
+            return (jnp.asarray(1, jnp.int32), tokens, logprobs, cache, done0, tok0, key)
+
+        @functools.partial(jax.jit, static_argnames=("opts",), donate_argnums=(1,))
+        def _gen_chunk(dec_params, state, end, *, opts):
+            """Run the decode while_loop up to step ``end`` (dynamic) and
+            return the carried state. Decode is resumable: the host loop
+            below calls this per chunk, so under load a newly arriving
+            request's program interleaves at chunk boundaries instead of
+            waiting out one monolithic generate (loaded first-token
+            latency). A chunk dispatched after all rows hit EOS exits its
+            while_loop immediately — near-zero cost, no host sync needed."""
+            dcfg = self.cfg.decoder
+            b = state[1].shape[0]
+
             def cond(state):
                 step, _, _, _, done, _, _ = state
-                return (step < max_new) & ~jnp.all(done)
+                return (step < end) & ~jnp.all(done)
 
             def body(state):
                 step, tokens, logprobs, cache, done, last_tok, key = state
@@ -182,8 +202,23 @@ class Qwen3ASR(SpeechRecognitionModel):
                 done = done | (tok == self.cfg.eos_id)
                 return step + 1, tokens, logprobs, cache, done, tok, key
 
-            state = (jnp.asarray(1, jnp.int32), tokens, logprobs, cache, done0, tok0, key)
-            _, tokens, logprobs, _, done, _, _ = jax.lax.while_loop(cond, body, state)
+            return jax.lax.while_loop(cond, body, state)
+
+        def _generate(dec_params, prefix_ids, prefix_len, suffix_ids, suffix_len,
+                      audio_tokens, n_audio, key, *, a_pad, prefix_block,
+                      suffix_block, max_new, opts):
+            state = _gen_start(
+                dec_params, prefix_ids, prefix_len, suffix_ids, suffix_len,
+                audio_tokens, n_audio, key, a_pad=a_pad, prefix_block=prefix_block,
+                suffix_block=suffix_block, max_new=max_new, opts=opts)
+            chunk = self.decode_chunk_tokens or max_new
+            step = 1
+            while step < max_new:
+                end = min(step + chunk, max_new)
+                state = _gen_chunk(dec_params, state, jnp.asarray(end, jnp.int32),
+                                   opts=opts)
+                step = end
+            _, tokens, logprobs, _, _, _, _ = state
             n_gen = jnp.sum(tokens != self.cfg.pad_id, axis=1)
             return tokens, n_gen, logprobs
 

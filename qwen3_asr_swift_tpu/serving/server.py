@@ -510,14 +510,19 @@ class RealtimeSession:
                           "response": {"status": "completed"}})
 
 
-def build_default_registry() -> ModelRegistry:
-    """Registry wired to the real model loaders (lazy)."""
+def build_default_registry(decode_chunk_tokens: Optional[int] = 25) -> ModelRegistry:
+    """Registry wired to the real model loaders (lazy).
+
+    ``decode_chunk_tokens`` bounds each dispatched ASR decode program so a
+    newly arriving request interleaves at chunk boundaries instead of
+    waiting out an in-flight batch's full generate (loaded first-token
+    latency); None = monolithic decode."""
     reg = ModelRegistry()
 
     def load_asr():
         from ..models.qwen3_asr import Qwen3ASR
 
-        return Qwen3ASR.from_pretrained()
+        return Qwen3ASR.from_pretrained(decode_chunk_tokens=decode_chunk_tokens)
 
     reg.register("asr", load_asr)
     return reg

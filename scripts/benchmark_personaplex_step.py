@@ -79,7 +79,12 @@ def main():
             params = quantize_tree(params, args.bits, embed_keys=())
             params["layers"] = params["layers"] * cfg.num_layers
             params = fuse_temporal_params(params)
-        params = cast_tree(params, jnp.bfloat16)  # single host→HBM pass
+        # cast_tree alone is NOT enough here: same-dtype asarray/astype are
+        # no-ops on arrays already placed on the cpu device, so the tree
+        # would stay host-side and every dispatch would re-upload it over
+        # the tunnel (measured 30-40 s/step). device_put pins it to HBM.
+        params = jax.device_put(cast_tree(params, jnp.bfloat16),
+                                jax.devices()[0])
     else:
         params = init_personaplex_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
         params = cast_tree(fuse_temporal_params(params), jnp.bfloat16)

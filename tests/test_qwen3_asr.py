@@ -229,6 +229,25 @@ class TestModel:
         t2 = model.transcribe(audio, max_tokens=6).text
         assert t1 == t2
 
+    def test_chunked_decode_matches_monolithic(self, model):
+        """Resumable chunked decode (decode_chunk_tokens — the loaded
+        first-token latency knob) is exactly the monolithic program: same
+        tokens, same confidences, for every chunk size incl. non-dividing
+        and larger-than-max_new ones."""
+        rng = np.random.default_rng(7)
+        audios = [(0.1 * rng.standard_normal(16000)).astype(np.float32) for _ in range(2)]
+        base = model.transcribe_batch(audios, max_tokens=7)
+        assert model.decode_chunk_tokens is None
+        try:
+            for chunk in (1, 3, 7, 100):
+                model.decode_chunk_tokens = chunk
+                got = model.transcribe_batch(audios, max_tokens=7)
+                assert [r.text for r in got] == [r.text for r in base], chunk
+                for g, b in zip(got, base):
+                    assert g.confidence == pytest.approx(b.confidence), chunk
+        finally:
+            model.decode_chunk_tokens = None
+
 
 class TestSequenceParallelEncoder:
     """Long-audio sequence parallelism: sharding the window axis over a
