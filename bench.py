@@ -46,6 +46,10 @@ def main():
     clip_s = int(os.environ.get("BENCH_CLIP_S", "30"))
     max_tokens = int(os.environ.get("BENCH_TOKENS", "100"))
     quant = int(os.environ.get("BENCH_QUANT_BITS", "0"))  # 0 = bf16
+    # "dequant" executes 4/8-bit weights as dense bf16 (same quantized
+    # values, token-identical output) — the batched-decode win; "packed"
+    # keeps the 4x-smaller HBM footprint + GEMV Pallas kernel.
+    qcompute = os.environ.get("BENCH_QUANT_COMPUTE", "dequant")
     kv = os.environ.get("BENCH_KV", "")                    # "int8" quantizes the KV cache
     # µ-law int8 wire: half of int16's staged bytes at ~38 dB SNR
     # (transparent to the log-mel front-end) — the tunnel transfer is the
@@ -59,14 +63,16 @@ def main():
     sr = 16000
 
     print(f"building 0.6B model (random weights), batch={batch} clip={clip_s}s "
-          f"tokens={max_tokens} quant={quant or 'bf16'} kv={kv or 'bf16'} wire={wire} "
+          f"tokens={max_tokens} quant={quant or 'bf16'}"
+          f"{f'/{qcompute}' if quant else ''} kv={kv or 'bf16'} wire={wire} "
           f"decode_chunk={chunk or 'off'}",
           file=sys.stderr)
     model = Qwen3ASR.init_random(CONFIG_SMALL, dtype=jnp.bfloat16, audio_buckets_s=(8, 16, 32, 64),
                                  wire_dtype=wire if wire == "mulaw" else np.dtype(wire),
                                  quant_bits=quant or None,
                                  kv_dtype=jnp.int8 if kv == "int8" else None,
-                                 decode_chunk_tokens=chunk or None)
+                                 decode_chunk_tokens=chunk or None,
+                                 quant_compute=qcompute)
 
     rng = np.random.default_rng(0)
     clips = [(0.1 * rng.standard_normal(clip_s * sr)).astype(np.float32) for _ in range(batch)]

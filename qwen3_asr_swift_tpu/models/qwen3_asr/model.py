@@ -65,6 +65,7 @@ class Qwen3ASR(SpeechRecognitionModel):
         wire_dtype=np.float32,
         kv_dtype=None,
         decode_chunk_tokens: Optional[int] = None,
+        quant_compute: str = "packed",
     ):
         # host→device audio format: int16 halves PCM transfer (audio is
         # natively 16-bit), "mulaw"/int8 halves it again via G.711 µ-law
@@ -77,8 +78,14 @@ class Qwen3ASR(SpeechRecognitionModel):
         # tokens (resumable state between chunks) so concurrent requests
         # interleave at chunk granularity — the serving knob for loaded
         # first-token latency; None = one program per generate.
+        # quant_compute="dequant" materializes packed 4/8-bit weights back
+        # to dense ``dtype`` at load: same quantized VALUES (token-identical
+        # output), dense-matmul execution — wins at batched decode where the
+        # packed path's per-call fixed cost dominates; "packed" keeps the
+        # 4×-smaller HBM footprint and the GEMV Pallas kernel.
         self.cfg = cfg
         self.decode_chunk_tokens = decode_chunk_tokens
+        self.quant_compute = quant_compute
         self.dtype = dtype
         self.kv_dtype = kv_dtype or dtype
         self.mel_cfg = mel_cfg
@@ -90,6 +97,11 @@ class Qwen3ASR(SpeechRecognitionModel):
         from ...ops.quant import cast_tree
 
         self.encoder_params = cast_tree(encoder_params, dtype)
+        if quant_compute == "dequant":
+            from ...ops.quant import dequantize_tree
+
+            decoder_params = dequantize_tree(
+                decoder_params, cfg.decoder.bits, cfg.decoder.group_size, dtype)
         # q/k/v and gate/up fuse into single wider projections (exact; the
         # per-call fixed cost of 7 packed matmuls/layer dominated int4
         # batched decode — docs/benchmarks.md). shard() unfuses for TP.
@@ -242,6 +254,11 @@ class Qwen3ASR(SpeechRecognitionModel):
             from ...ops.quant import quantize_tree
 
             dec = quantize_tree(dec, quant_bits)
+            # keep cfg's source-quantization fields consistent with the
+            # actual packing (quant_compute="dequant" reads them)
+            cfg = dataclasses.replace(
+                cfg, decoder=dataclasses.replace(cfg.decoder, bits=quant_bits,
+                                                 group_size=64))
         return cls(cfg, enc, dec, tokenizer=tokenizer, dtype=dtype, **kw)
 
     @classmethod

@@ -385,6 +385,42 @@ def quantize_tree(params, bits: int, group_size: int = 64,
     return walk(params)
 
 
+def dequantize_tree(params, bits: int, group_size: int = 64,
+                    dtype=jnp.bfloat16, embed_keys=("embed_tokens",)):
+    """Materialize every packed quantized tensor back to a dense ``dtype``
+    tree — the hybrid serving mode: 4/8-bit checkpoints keep their
+    quantized VALUES (outputs are token-identical to the packed compute
+    path — tests/test_quant.py int4≡dequant) but execute as ordinary
+    dense matmuls, which win at batched decode shapes where the packed
+    path's per-call fixed cost dominates (docs/benchmarks.md). The packed
+    path remains the memory-bound win at GEMV/small batch and for HBM
+    footprint.
+
+    Packed linears become {"kernel": [in, out]}; arrays named in
+    ``embed_keys`` become dense [vocab, dim]. ``bits``/``group_size``
+    must match the packing (they disambiguate in_dim, which packed
+    shapes alone cannot)."""
+
+    def walk(node, name=""):
+        if isinstance(node, dict):
+            if "codes" in node:
+                in_dim = node["codes"].shape[-1] * 32 // bits
+                w = dequantize(node, in_dim, dtype)  # [rows, in_dim]
+                if name in embed_keys:
+                    return w
+                out = {"kernel": w.T}
+                if "bias" in node:
+                    out["bias"] = jnp.asarray(node["bias"], dtype)
+                return out
+            return {k: walk(v, k) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            seq = [walk(v, name) for v in node]
+            return type(node)(seq) if isinstance(node, tuple) else seq
+        return node
+
+    return walk(params)
+
+
 def quant_tied_lm_head(hidden, p):
     """Quantized-embedding-as-LM-head (reference: PreQuantizedEmbedding
     .asLinear): logits = hidden @ dequant(table)^T — the same GEMV the

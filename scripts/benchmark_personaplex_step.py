@@ -121,13 +121,15 @@ def main():
     print("compiling frame step...", file=sys.stderr)
     t0 = time.perf_counter()
     codes, text, cache = frame_step(params, cache, user, agent, text, key, s=sampling)
-    jax.block_until_ready(codes)
+    np.asarray(codes)  # host fetch = true end-to-end sync
     print(f"  compile+first step {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
-    # bulk wall over step chunks: per-step sync over the tunneled backend
-    # under-reports device time (measured 1.2 ms "synced" vs 5.0 ms true
-    # at 16 layers), so the honest number is N dispatched steps between
-    # two syncs divided by N.
+    # bulk wall over step chunks, closed by a VALUE FETCH: on the tunneled
+    # backend block_until_ready returns before device execution completes
+    # (measured 1.2 ms/step "synced" for a 32-layer int8 frame whose weight
+    # read alone is ≥8 GB ≈ 10 ms — physically impossible), so the only
+    # honest sync is np.asarray(codes), a 16-int transfer that carries a
+    # data dependency on the whole chunk's compute.
     chunk = 25
     rounds = max(2, args.steps // chunk)
     per_step = []
@@ -137,7 +139,7 @@ def main():
             key, kf = jax.random.split(key)
             codes, text, cache = frame_step(params, cache, codes[:, :k], codes[:, :k],
                                             text, kf, s=sampling)
-        jax.block_until_ready(codes)
+        np.asarray(codes)  # host fetch = true end-to-end sync
         per_step.append((time.perf_counter() - t0) / chunk)
     times = sorted(per_step)
     p50 = times[len(times) // 2] * 1e3

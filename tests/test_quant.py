@@ -192,6 +192,39 @@ class TestQuantizedASR:
         assert "codes" in q_model.decoder_params["layers"][0]["mlp"]["gate_up_proj"]
 
 
+class TestQuantComputeMode:
+    """quant_compute="dequant" (hybrid serving mode: 4-bit values, dense
+    execution) is token-identical to the packed path and actually runs
+    dense kernels."""
+
+    def test_dequant_mode_token_identical_and_dense(self):
+        import dataclasses
+
+        from qwen3_asr_swift_tpu.models.qwen3_asr import Qwen3ASR, config_tiny
+
+        cfg = config_tiny()
+        cfg = dataclasses.replace(
+            cfg, decoder=dataclasses.replace(
+                cfg.decoder, hidden_size=128, intermediate_size=256,
+                num_heads=4, num_kv_heads=2, head_dim=32),
+            encoder=dataclasses.replace(cfg.encoder, output_dim=128),
+        )
+        mp = Qwen3ASR.init_random(cfg, quant_bits=4, dtype=jnp.float32,
+                                  audio_buckets_s=(8,))
+        md = Qwen3ASR.init_random(cfg, quant_bits=4, dtype=jnp.float32,
+                                  audio_buckets_s=(8,), quant_compute="dequant")
+        l0 = md.decoder_params["layers"][0]
+        assert "kernel" in l0["mlp"]["gate_up_proj"] and "codes" not in l0["mlp"]["gate_up_proj"]
+        assert getattr(md.decoder_params["embed_tokens"], "ndim", 0) == 2
+        assert "codes" in mp.decoder_params["layers"][0]["mlp"]["gate_up_proj"]
+
+        audio = (0.1 * np.sin(np.linspace(0, 300, 16000))).astype(np.float32)
+        rp = mp.transcribe(audio, max_tokens=6)
+        rd = md.transcribe(audio, max_tokens=6)
+        assert rp.text == rd.text
+        assert rp.confidence == pytest.approx(rd.confidence, abs=1e-4)
+
+
 class TestQuantizedTensorParallel:
     def test_quantized_decoder_sharded_matches_replicated(self):
         """4-bit decoder params sharded by the TP rules over an 8-device
