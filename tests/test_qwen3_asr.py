@@ -249,6 +249,33 @@ class TestModel:
             model.decode_chunk_tokens = None
 
 
+class TestDataParallelBatch:
+    def test_dp_sharded_batch_matches_unsharded_incl_chunked(self):
+        """On a dp>1 mesh transcribe_batch splits the batch across dp rows
+        (per-device shard = B/dp) with results identical to unsharded —
+        including with resumable chunked decode, whose donated carried
+        state must round-trip through the dp shardings."""
+        from qwen3_asr_swift_tpu.parallel import make_mesh
+
+        ref = Qwen3ASR.init_random(config_tiny(), dtype=jnp.float32,
+                                   audio_buckets_s=(8,))
+        rng = np.random.default_rng(17)
+        audios = [(0.1 * rng.standard_normal(16000)).astype(np.float32)
+                  for _ in range(8)]
+        base = [r.text for r in ref.transcribe_batch(audios, max_tokens=6)]
+
+        model = Qwen3ASR.init_random(config_tiny(), dtype=jnp.float32,
+                                     audio_buckets_s=(8,))
+        model.shard(mesh=make_mesh(8, dp=4, tp=2))
+        got = [r.text for r in model.transcribe_batch(audios, max_tokens=6)]
+        assert got == base
+        assert model.last_staging["per_device_shape"][0] == 2  # 8 / dp4
+
+        model.decode_chunk_tokens = 2
+        chunked = [r.text for r in model.transcribe_batch(audios, max_tokens=6)]
+        assert chunked == base
+
+
 class TestSequenceParallelEncoder:
     """Long-audio sequence parallelism: sharding the window axis over a
     mesh must be numerically identical to the single-device encoder
