@@ -45,7 +45,10 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     clip_s = int(os.environ.get("BENCH_CLIP_S", "30"))
     max_tokens = int(os.environ.get("BENCH_TOKENS", "100"))
-    quant = int(os.environ.get("BENCH_QUANT_BITS", "0"))  # 0 = bf16
+    # 4-bit is the reference's own 0.6B baseline config (asr-wer.md:16);
+    # with quant_compute="dequant" it runs at the dense-bf16 ceiling while
+    # keeping 4-bit weight VALUES (token-identical to packed int4). 0 = bf16.
+    quant = int(os.environ.get("BENCH_QUANT_BITS", "4"))
     # "dequant" executes 4/8-bit weights as dense bf16 (same quantized
     # values, token-identical output) — the batched-decode win; "packed"
     # keeps the 4x-smaller HBM footprint + GEMV Pallas kernel.
