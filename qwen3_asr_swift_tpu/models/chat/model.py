@@ -285,8 +285,10 @@ class Qwen3Chat(PipelineLLM):
         self.dtype = dtype
 
         @functools.partial(jax.jit, static_argnames=("t_bucket", "max_new", "max_len"))
-        def _generate(p, ids, n_valid, key, *, t_bucket, max_new, max_len):
-            """ids are LEFT-padded: prompt occupies the last n_valid slots."""
+        def _gen_start(p, ids, n_valid, key, *, t_bucket, max_new, max_len):
+            """Prefill + first token. ids are LEFT-padded: the prompt
+            occupies the last n_valid slots. Returns the resumable decode
+            state consumed by ``_gen_chunk``."""
             b = ids.shape[0]
             states = init_states(cfg, b, max_len, dtype)
             pad = t_bucket - n_valid  # [B]
@@ -297,10 +299,19 @@ class Qwen3Chat(PipelineLLM):
             tok = jnp.argmax(last, axis=-1).astype(jnp.int32)
             out = jnp.full((b, max_new), cfg.eos_token_id, jnp.int32).at[:, 0].set(tok)
             done = tok == cfg.eos_token_id
+            return (jnp.asarray(1, jnp.int32), out, states, done, tok)
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def _gen_chunk(p, s, n_valid, end):
+            """Decode up to step ``end`` (dynamic) and return the carried
+            state — the resumable-decode chunk, same design as the ASR
+            path: per-chunk host fetch gives true token streaming and
+            cross-chunk EOS early-exit; a chunk dispatched after all rows
+            hit EOS exits its while_loop immediately."""
 
             def cond(s):
                 step, _, _, done, _ = s
-                return (step < max_new) & ~jnp.all(done)
+                return (step < end) & ~jnp.all(done)
 
             def body(s):
                 step, out, states, done, tok = s
@@ -313,9 +324,16 @@ class Qwen3Chat(PipelineLLM):
                 done = done | (tok == cfg.eos_token_id)
                 return step + 1, out, states, done, tok
 
-            _, out, _, _, _ = jax.lax.while_loop(cond, body, (jnp.asarray(1, jnp.int32), out, states, done, tok))
-            return out
+            return jax.lax.while_loop(cond, body, s)
 
+        def _generate(p, ids, n_valid, key, *, t_bucket, max_new, max_len):
+            s = _gen_start(p, ids, n_valid, key, t_bucket=t_bucket,
+                           max_new=max_new, max_len=max_len)
+            s = _gen_chunk(p, s, n_valid, jnp.asarray(max_new, jnp.int32))
+            return s[1]
+
+        self._gen_start = _gen_start
+        self._gen_chunk = _gen_chunk
         self._generate = _generate
 
     @classmethod
@@ -375,16 +393,49 @@ class Qwen3Chat(PipelineLLM):
             toks.append(t)
         return toks
 
+    def generate_ids_stream(self, prompt_ids: Sequence[int], max_new: int = 128,
+                            seed: int = 0, chunk: int = 16) -> Iterator[int]:
+        """Yield token ids AS THEY DECODE: the resumable-chunk decode
+        (``chunk`` tokens per device round-trip) gives true streaming —
+        first token after prefill+1 step, then a bounded wait per chunk —
+        plus cross-chunk EOS early-exit (the monolithic program's on-device
+        early-exit, recovered at chunk granularity). Token sequence is
+        identical to :meth:`generate_ids` (greedy, same programs)."""
+        n = len(prompt_ids)
+        t_bucket = max(32, ((n + 31) // 32) * 32)
+        ids = np.zeros((1, t_bucket), np.int32)
+        ids[0, t_bucket - n :] = prompt_ids  # left-padded
+        n_valid = jnp.asarray([n], jnp.int32)
+        s = self._gen_start(
+            self.params, jnp.asarray(ids), n_valid, jax.random.PRNGKey(seed),
+            t_bucket=t_bucket, max_new=max_new, max_len=t_bucket + max_new,
+        )
+        tok0 = int(np.asarray(s[4])[0])
+        if tok0 == self.cfg.eos_token_id:
+            return
+        yield tok0
+        step = 1
+        while step < max_new:
+            end = min(step + chunk, max_new)
+            s = self._gen_chunk(self.params, s, n_valid,
+                                jnp.asarray(end, jnp.int32))
+            out = np.asarray(s[1])[0]
+            for i in range(step, end):
+                t = int(out[i])
+                if t == self.cfg.eos_token_id:
+                    return
+                yield t
+            step = end
+
     def chat(self, messages: Sequence[dict], tools: Sequence[dict] = ()) -> Iterator[str]:
         if self.tokenizer is None:
             raise RuntimeError("chat requires a tokenizer")
         prompt = self.apply_chat_template(messages)
         ids = self.tokenizer.encode(prompt)
-        out_ids = self.generate_ids(ids)
         from ...tokenizers.bpe import StreamingDecoder
 
         dec = StreamingDecoder(self.tokenizer)
-        for t in out_ids:
+        for t in self.generate_ids_stream(ids):
             piece = dec.push(t)
             if piece:
                 yield piece

@@ -76,6 +76,16 @@ class TestGeneration:
         pieces = list(model.chat([{"role": "user", "content": "hi"}]))
         assert isinstance("".join(pieces), str)
 
+    def test_stream_matches_monolithic(self):
+        """generate_ids_stream (resumable chunked decode, true token
+        streaming) yields exactly generate_ids' tokens for chunk sizes
+        that divide, straddle, and exceed max_new."""
+        model = Qwen3Chat.init_random(CFG)
+        base = model.generate_ids([3, 5, 7], max_new=9)
+        for chunk in (1, 4, 9, 100):
+            got = list(model.generate_ids_stream([3, 5, 7], max_new=9, chunk=chunk))
+            assert got == base, chunk
+
     def test_chat_template(self):
         text = Qwen3Chat.apply_chat_template(
             [{"role": "system", "content": "S"}, {"role": "user", "content": "U"}]
