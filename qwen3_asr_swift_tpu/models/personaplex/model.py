@@ -945,9 +945,14 @@ class PersonaPlex(SpeechToSpeechModel):
 
 
 class RealtimeSession:
-    """Full-duplex 12.5 Hz frame loop over compiled per-frame programs:
-    windowed Mimi encode (causal ⇒ exact), one temporal+depformer step,
-    windowed Mimi decode. Per-frame host work is three tiny device calls
+    """Full-duplex 12.5 Hz frame loop as ONE compiled program per frame:
+    windowed Mimi encode (causal ⇒ exact) + temporal/depformer step +
+    windowed Mimi decode fuse into a single jit with every carry —
+    input ring, code histories, KV cache, PRNG key — device-resident
+    (donated between frames). The host supplies 80 ms of PCM and fetches
+    80 ms back: exactly one dispatch + one value fetch per frame, so the
+    wire adds ONE round-trip, not three (measured 126 ms/frame → the
+    round-trip floor on a tunneled chip; colocated ≈ device time).
     (reference: realtime diagnostic mode + compiled temporal step,
     docs/models/personaplex.md:224-243)."""
 
@@ -960,23 +965,27 @@ class RealtimeSession:
         self.sampling = sampling
         spf = cfg.mimi.samples_per_frame
         self._ctx = context_frames
-        self._in_buf = np.zeros(context_frames * spf, np.float32)
-        self._code_hist = np.full((1, cfg.num_codebooks, context_frames),
-                                  0, np.int32)
-        self._n_hist = 0
-        self._key = jax.random.PRNGKey(seed)
         self.frames_done = 0
 
         k = cfg.temporal_codebooks
 
-        @jax.jit
-        def _encode_window(mimi_p, window):
-            codes = mimi_encode(mimi_p, cfg.mimi, window[None])
-            return codes[:, :, -1]  # [1, 16] — the newest frame
-
-        @functools.partial(jax.jit, static_argnames=("sampling",))
-        def _frame_step(p, cache, user_read, provided, agent_prev, text_prev, key, *,
-                        sampling):
+        @functools.partial(jax.jit, static_argnames=("sampling",),
+                           donate_argnums=(2,))
+        def _rt_frame(p, mimi_p, state, samples, *, sampling):
+            """The whole frame on device. The temporal input honors the
+            stream delays: user cb0 from the previous frame, cb1-7 from two
+            frames back (Configuration.swift:18); the depformer's user
+            steps are forced to cb0 of THIS frame + cb1-7 of the previous
+            one."""
+            in_buf, u1, u2, agent_prev, text_prev, cache, code_hist, key = state
+            in_buf = jnp.concatenate([in_buf[spf:],
+                                      samples.astype(jnp.float32)])
+            enc = mimi_encode(mimi_p, cfg.mimi, in_buf[None])[:, :, -1]  # [1,16]
+            user_codes = enc[:, :k].astype(jnp.int32)
+            user_read = jnp.concatenate([u1[:, :1], u2[:, 1:k]], axis=1)
+            provided = jnp.concatenate(
+                [jnp.full((1, cfg.num_codebooks - k), -1, jnp.int32),
+                 enc[:, :1].astype(jnp.int32), u1[:, 1:k]], axis=1)
             embeds = embed_frame(p, cfg, text_prev, user_read, agent_prev)[:, None]
             hidden, cache = temporal_step(p, cfg, embeds.astype(model.dtype), cache)
             key, kt, kd = jax.random.split(key, 3)
@@ -984,16 +993,16 @@ class RealtimeSession:
                                     sampling.text_top_k, sampling.text_temperature)
             codes = depformer_generate(p, cfg, hidden, text_tok, kd, sampling,
                                        provided=provided)
-            return codes, text_tok, cache
+            code_hist = jnp.concatenate(
+                [code_hist[:, :, 1:],
+                 jnp.clip(codes, 0, cfg.mimi.codebook_size - 1)[:, :, None]],
+                axis=2)
+            wav = mimi_decode(mimi_p, cfg.mimi, code_hist)[0, -spf:]
+            new_state = (in_buf, user_codes, u1, codes[:, :k], text_tok,
+                         cache, code_hist, key)
+            return wav, new_state
 
-        @jax.jit
-        def _decode_window(mimi_p, codes):
-            wav = mimi_decode(mimi_p, cfg.mimi, codes)
-            return wav[0, -spf:]  # newest frame's samples
-
-        self._encode_window = _encode_window
-        self._frame_step = _frame_step
-        self._decode_window = _decode_window
+        self._rt_frame = _rt_frame
 
         # 5-phase prefill, same layout as respond(): voice embeddings +
         # spacer/text-prompt/spacer reads (with ring overlay + delays).
@@ -1020,51 +1029,36 @@ class RealtimeSession:
 
         voice_embeds, n_voice, ring = model._voice_inputs(voice_prompt)
         reads, n_prompt = model._prompt_reads(system_prompt, n_voice, ring)
-        self._cache = _prefill(model.params, voice_embeds,
-                               jnp.asarray(n_voice, jnp.int32),
-                               jnp.asarray(reads[None]),
-                               jnp.asarray(n_prompt, jnp.int32))
+        prefilled = _prefill(model.params, voice_embeds,
+                             jnp.asarray(n_voice, jnp.int32),
+                             jnp.asarray(reads[None]),
+                             jnp.asarray(n_prompt, jnp.int32))
         # generation-start read state: agent silence; user history seeded
         # with sine tokens (the prompt phases' user-stream writes)
-        self._agent_prev = jnp.asarray(np.asarray(SILENCE_TOKENS[:k], np.int32)[None])
-        self._text_prev = jnp.full((1,), cfg.text_pad, jnp.int32)
+        # NB: u1/u2 must be DISTINCT buffers — the whole state is donated,
+        # and donating one buffer twice is an XLA error
         sine = np.asarray(SINE_TOKENS[:k], np.int32)[None]
-        self._user_hist1 = sine.copy()  # user codes, frame t-1
-        self._user_hist2 = sine.copy()  # user codes, frame t-2
+        self._state = (
+            jnp.zeros(context_frames * spf, jnp.float32),          # input ring
+            jnp.asarray(sine),                                      # user t-1
+            jnp.asarray(sine),                                      # user t-2
+            jnp.asarray(np.asarray(SILENCE_TOKENS[:k], np.int32)[None]),  # agent
+            jnp.full((1,), cfg.text_pad, jnp.int32),                # text
+            prefilled,                                              # KV cache
+            jnp.zeros((1, cfg.num_codebooks, context_frames), jnp.int32),
+            jax.random.PRNGKey(seed),
+        )
 
     def push_frame(self, samples: np.ndarray) -> np.ndarray:
         """One 80 ms user frame (samples_per_frame samples @24 kHz) in →
-        one agent frame of audio out. The temporal input honors the stream
-        delays: user cb0 from the previous frame, cb1-7 from two frames
-        back (Configuration.swift:18); the depformer's user steps are
-        forced to cb0 of THIS frame + cb1-7 of the previous one."""
+        one agent frame of audio out: a single device program + a single
+        value fetch (see class docstring for the on-device layout)."""
         spf = self.cfg.mimi.samples_per_frame
-        k = self.cfg.temporal_codebooks
         if len(samples) != spf:
             raise ValueError(f"push_frame expects exactly {spf} samples")
-        self._in_buf = np.concatenate([self._in_buf[spf:],
-                                       np.asarray(samples, np.float32)])
-        user_codes = np.asarray(self._encode_window(self.model.mimi_params,
-                                                    jnp.asarray(self._in_buf)))
-        user_read = np.concatenate([self._user_hist1[:, :1],
-                                    self._user_hist2[:, 1:k]], axis=1)
-        provided = np.concatenate(
-            [np.full((1, self.cfg.num_codebooks - k), -1, np.int32),
-             user_codes[:, :1], self._user_hist1[:, 1:k]], axis=1)
-        self._key, kf = jax.random.split(self._key)
-        codes, self._text_prev, self._cache = self._frame_step(
-            self.model.params, self._cache, jnp.asarray(user_read),
-            jnp.asarray(provided), self._agent_prev,
-            self._text_prev, kf, sampling=self.sampling)
-        self._agent_prev = codes[:, :k]
-        self._user_hist2 = self._user_hist1
-        self._user_hist1 = user_codes[:, :k].astype(np.int32)
-
-        codes_np = np.clip(np.asarray(codes), 0, self.cfg.mimi.codebook_size - 1)
-        self._code_hist = np.concatenate(
-            [self._code_hist[:, :, 1:], codes_np[:, :, None]], axis=2)
-        self._n_hist = min(self._n_hist + 1, self._ctx)
-        wav = self._decode_window(self.model.mimi_params,
-                                  jnp.asarray(self._code_hist))
+        wav, self._state = self._rt_frame(
+            self.model.params, self.model.mimi_params, self._state,
+            jnp.asarray(np.asarray(samples, np.float32)),
+            sampling=self.sampling)
         self.frames_done += 1
         return np.asarray(wav, np.float32)

@@ -1,0 +1,128 @@
+"""Sustained full-duplex cadence: PersonaPlex RealtimeSession at the 7B config.
+
+Measures the PRODUCT realtime path (model.realtime_session → push_frame:
+windowed Mimi encode + temporal/depformer frame step + windowed Mimi
+decode — three device calls per frame) on one chip, against the 12.5 Hz /
+80 ms frame budget the reference's realtime mode must hold
+(reference: Sources/PersonaPlex/PersonaPlex.swift realtime mode;
+docs/models/personaplex.md:97 — M2 Max runs ~112 ms/step, RTF ~1.4, i.e.
+CANNOT sustain single-stream realtime).
+
+push_frame returns host numpy audio, so every per-frame wall time closes
+with a value fetch — honest under the tunneled backend where
+block_until_ready returns early (see benchmark_personaplex_step.py).
+
+Weights are random: cadence depends only on shapes/dtypes. The temporal
+stack int8/int4-quantizes (the reference serves 8-bit; the published
+checkpoint's temporal is 4-bit MLX) via the same packed kernels real
+checkpoints use. One layer is initialized and replicated to avoid a
+multi-minute single-core 8.3B threefry init; each replica still lands as
+a distinct device buffer, so HBM capacity and per-step weight traffic are
+exercised honestly.
+"""
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=32)
+    ap.add_argument("--frames", type=int, default=100)
+    ap.add_argument("--bits", type=int, default=8,
+                    help="temporal-stack quantization (8 = the reference's "
+                         "serving config; 4 = the published checkpoint)")
+    ap.add_argument("--context-frames", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
+
+    from qwen3_asr_swift_tpu.models.personaplex.model import (
+        CONFIG_7B, PersonaPlex, PersonaSampling, init_mimi_params,
+        init_personaplex_params)
+    from qwen3_asr_swift_tpu.ops.quant import quantize_tree
+
+    cfg = dataclasses.replace(CONFIG_7B, num_layers=args.layers)
+    tag = f"int{args.bits}" if args.bits else "bf16"
+    print(f"building 7B-config model ({tag}, layers={cfg.num_layers})...",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = init_personaplex_params(
+            jax.random.PRNGKey(0), dataclasses.replace(cfg, num_layers=1),
+            dtype=jnp.bfloat16)
+        if args.bits:
+            params = quantize_tree(params, args.bits, embed_keys=())
+    # leaves → host numpy BEFORE handing to the constructor: jax arrays
+    # committed to the cpu device would be re-uploaded on every dispatch
+    # (30-40 s/step — see benchmark_personaplex_step.py); numpy leaves get
+    # placed on the accelerator by the constructor's cast_tree.
+    params = jax.tree_util.tree_map(np.asarray, params)
+    params["layers"] = params["layers"] * cfg.num_layers
+    print(f"  host init {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    model = PersonaPlex(cfg, params,
+                        init_mimi_params(jax.random.PRNGKey(1), cfg.mimi),
+                        dtype=jnp.bfloat16)
+    n = sum(int(np.prod(x.shape))
+            for x in jax.tree_util.tree_leaves(model.params))
+    print(f"  {n/1e9:.2f}B temporal params on device in "
+          f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    session = model.realtime_session(PersonaSampling(),
+                                     context_frames=args.context_frames)
+    spf = cfg.mimi.samples_per_frame
+    t = np.arange(spf) / cfg.mimi.sample_rate
+    frame = (0.1 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+
+    print("compiling the three per-frame programs...", file=sys.stderr)
+    t0 = time.perf_counter()
+    session.push_frame(frame)
+    print(f"  compile+first frame {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+
+    times = []
+    for _ in range(args.frames):
+        t0 = time.perf_counter()
+        out = session.push_frame(frame)  # returns host audio = value fetch
+        times.append(time.perf_counter() - t0)
+    assert len(out) == spf
+    times.sort()
+    p50 = times[len(times) // 2] * 1e3
+    p95 = times[min(len(times) - 1, int(len(times) * 0.95))] * 1e3
+    budget_ms = 1000.0 / cfg.mimi.frame_rate
+    print(f"per-frame wall: p50 {p50:.1f} ms, p95 {p95:.1f} ms, "
+          f"best {times[0]*1e3:.1f} ms over {args.frames} frames "
+          f"(budget {budget_ms:.0f} ms @ {cfg.mimi.frame_rate} Hz)",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "personaplex_7b_realtime_frame_ms_p50",
+        "value": round(p50, 1),
+        "unit": "ms/frame",
+        "p95_ms": round(p95, 1),
+        "budget_ms": budget_ms,
+        "sustains_realtime": bool(p95 < budget_ms),
+        "bits": args.bits,
+        "layers": cfg.num_layers,
+    }))
+
+
+if __name__ == "__main__":
+    main()
