@@ -92,7 +92,7 @@ def main():
     t = np.arange(spf) / cfg.mimi.sample_rate
     frame = (0.1 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
 
-    print("compiling the three per-frame programs...", file=sys.stderr)
+    print("compiling the fused per-frame program...", file=sys.stderr)
     t0 = time.perf_counter()
     session.push_frame(frame)
     print(f"  compile+first frame {time.perf_counter()-t0:.1f}s",
