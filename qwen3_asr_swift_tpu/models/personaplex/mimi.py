@@ -368,3 +368,216 @@ def mimi_decode(params, cfg: MimiConfig, codes):
     h = causal_conv_transpose(h, params["upsample"], 2, groups=cfg.hidden)
     h = mimi_transformer(params["decoder_transformer"], cfg, h)
     return jnp.clip(seanet_decode(params["decoder"], cfg, h), -1.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Streaming (carried-state) encode/decode — the reference's
+# MimiStreamingEncoder/MimiStreamingDecoder (MimiCodec.swift:120-212), done
+# the JAX way: every conv carries its left context, every transpose conv
+# carries its overlap-add tail, and both transformers carry a
+# sliding-window KV ring. Frame-by-frame streaming is EXACT vs the batch
+# mimi_encode/mimi_decode (tested) as long as the clip fits the 250-frame
+# attention window — causal left-padding is zeros, which is exactly what
+# the zero-initialized carries reproduce.
+# ---------------------------------------------------------------------------
+
+def _sconv_init(p, batch: int, dtype, stride: int = 1, dilation: int = 1):
+    """Carry for a streaming causal conv: the last eff_k - stride inputs."""
+    k, cin, _ = p["w"].shape
+    n = (k - 1) * dilation + 1 - stride
+    return jnp.zeros((batch, n, cin), dtype)
+
+
+def _sconv(x, p, carry, stride: int = 1, dilation: int = 1):
+    """Streaming causal_conv: x [B, L, C] with L % stride == 0.
+    Equivalent to the batch op because its left pad is zeros — the carry's
+    initial value — and divisible L needs no right pad."""
+    xx = jnp.concatenate([carry, x], axis=1)
+    y = jax.lax.conv_general_dilated(
+        xx, p["w"], window_strides=(stride,), padding=((0, 0),),
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"))
+    if "b" in p:
+        y = y + p["b"]
+    return y, xx[:, x.shape[1]:]
+
+
+def _sconv_edge(x, p, carry, first, stride: int):
+    """Streaming conv with replicate ("edge") left padding: on the first
+    chunk the pad replicates the chunk's first element (exactly what
+    jnp.pad(mode="edge") does in the batch op); afterwards the carry holds
+    real history."""
+    n = carry.shape[1]
+    edge = jnp.repeat(x[:, :1], n, axis=1)
+    carry = jnp.where(first, edge, carry)
+    return _sconv(x, p, carry, stride=stride)
+
+
+def _stconv_init(p, batch: int, dtype, stride: int, groups: int = 1):
+    """Carry for a streaming transpose conv: the k - stride output tail
+    (bias excluded) that overlap-adds into the next chunk's head.
+    Output channels = w.shape[2] for both dense ([K, in, out]) and the
+    fully-depthwise grouped layout ([K, 1, out_total])."""
+    k = p["w"].shape[0]
+    return jnp.zeros((batch, k - stride, p["w"].shape[2]), dtype)
+
+
+def _stconv(x, p, carry, stride: int, groups: int = 1):
+    """Streaming causal_conv_transpose: emit L*stride samples, carry the
+    k-stride overlap tail. The tail excludes the bias (each output gets
+    bias exactly once); the final tail is never emitted — the batch op's
+    right trim."""
+    k = p["w"].shape[0]
+    if groups == 1:
+        y = jax.lax.conv_transpose(x, p["w"], (stride,), "VALID",
+                                   dimension_numbers=("NWC", "WIO", "NWC"))
+    else:
+        y = _grouped_conv_transpose(x, p, stride)
+    emit_len = x.shape[1] * stride
+    tail = y[:, emit_len:]
+    y = y[:, :emit_len]
+    y = y.at[:, : k - stride].add(carry)
+    if "b" in p:
+        y = y + p["b"]
+    return y, tail
+
+
+def _sresblock(p, st, x, cfg: MimiConfig):
+    h, c1 = _sconv(_elu(x), p["conv1"], st)
+    h = causal_conv(_elu(h), p["conv2"])  # k1 — stateless
+    return x + h, c1
+
+
+def _xf_stream_init(cfg: MimiConfig, n_layers: int, batch: int, dtype):
+    w = cfg.sliding_window
+    kv = cfg.num_kv_heads * cfg.head_dim
+    return {
+        "k": jnp.zeros((n_layers, batch, w, kv), dtype),
+        "v": jnp.zeros((n_layers, batch, w, kv), dtype),
+        "pos": jnp.zeros((), jnp.int32),
+    }
+
+
+def _xf_stream(layers, cfg: MimiConfig, st, x):
+    """Streaming mimi_transformer over t new positions with a KV ring of
+    the last sliding_window positions (keys stored RoPE'd at absolute
+    positions — rotary scores depend on both sides' absolute angles, so
+    ring storage is exact)."""
+    b, t, d = x.shape
+    w = cfg.sliding_window
+    pos0 = st["pos"]
+    positions = jnp.broadcast_to(pos0 + jnp.arange(t)[None], (b, t))
+    cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_theta)
+    cos, sin = cos[:, None], sin[:, None]
+    rep = cfg.num_heads // cfg.num_kv_heads
+
+    # slot j (after this frame's shift-in) holds absolute position
+    # pos0 + t - w + j; query i sits at pos0 + i
+    abs_key = pos0 + t - w + jnp.arange(w)              # [w]
+    q_abs = pos0 + jnp.arange(t)                        # [t]
+    ok = ((abs_key[None, :] <= q_abs[:, None])
+          & (abs_key[None, :] > q_abs[:, None] - w)
+          & (abs_key[None, :] >= 0))
+    mask = jnp.where(ok, 0.0, NEG_INF)[None, None].astype(jnp.float32)
+
+    new_k = st["k"]
+    new_v = st["v"]
+    for li, p in enumerate(layers):
+        h = layer_norm(x, p["ln1"]["weight"], p["ln1"]["bias"], eps=cfg.norm_eps)
+        q = linear(h, p["q"]).reshape(b, t, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        k = linear(h, p["k"]).reshape(b, t, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        v = linear(h, p["v"]).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        q, k = apply_rope(q, cos, sin), apply_rope(k, cos, sin)
+        k = k.transpose(0, 2, 1, 3).reshape(b, t, -1)   # [B, t, kv]
+        v = v.reshape(b, t, -1)
+        kbuf = jnp.concatenate([new_k[li, :, t:], k], axis=1)   # [B, w, kv]
+        vbuf = jnp.concatenate([new_v[li, :, t:], v], axis=1)
+        new_k = new_k.at[li].set(kbuf)
+        new_v = new_v.at[li].set(vbuf)
+        kh = kbuf.reshape(b, w, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        vh = vbuf.reshape(b, w, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        if rep > 1:
+            kh = jnp.repeat(kh, rep, axis=1)
+            vh = jnp.repeat(vh, rep, axis=1)
+        a = sdpa(q, kh, vh, 1.0 / np.sqrt(cfg.head_dim), mask)
+        a = a.transpose(0, 2, 1, 3).reshape(b, t, -1)
+        x = x + linear(a, p["o"]) * p["attn_scale"]
+        h = layer_norm(x, p["ln2"]["weight"], p["ln2"]["bias"], eps=cfg.norm_eps)
+        x = x + linear(jax.nn.gelu(linear(h, p["fc1"]), approximate=False), p["fc2"]) * p["mlp_scale"]
+    return x, {"k": new_k, "v": new_v, "pos": pos0 + t}
+
+
+def init_mimi_encoder_stream(params, cfg: MimiConfig, batch: int = 1,
+                             dtype=jnp.float32) -> dict:
+    enc = params["encoder"]
+    return {
+        "conv_in": _sconv_init(enc["conv_in"], batch, dtype),
+        "stages": [{
+            "res": _sconv_init(s["res"]["conv1"], batch, dtype),
+            "down": _sconv_init(s["down"], batch, dtype, stride=r),
+        } for s, r in zip(enc["stages"], reversed(cfg.ratios))],
+        "conv_out": _sconv_init(enc["conv_out"], batch, dtype),
+        "xf": _xf_stream_init(cfg, len(params["encoder_transformer"]), batch, dtype),
+        "down2": _sconv_init(params["downsample"], batch, dtype, stride=2),
+        "first": jnp.ones((), bool),
+    }
+
+
+def mimi_encode_frame(params, cfg: MimiConfig, st, audio) -> tuple:
+    """One streaming step: audio [B, n*1920] → codes [B, K, n]; exact vs
+    the batch mimi_encode on the concatenated stream."""
+    enc = params["encoder"]
+    st = dict(st)
+    h, st["conv_in"] = _sconv(audio[:, :, None], enc["conv_in"], st["conv_in"])
+    stages = []
+    for s_p, s_st, r in zip(enc["stages"], st["stages"], reversed(cfg.ratios)):
+        s_st = dict(s_st)
+        h, s_st["res"] = _sresblock(s_p["res"], s_st["res"], h, cfg)
+        h, s_st["down"] = _sconv(_elu(h), s_p["down"], s_st["down"], stride=r)
+        stages.append(s_st)
+    st["stages"] = stages
+    h, st["conv_out"] = _sconv(_elu(h), enc["conv_out"], st["conv_out"])
+    h, st["xf"] = _xf_stream(params["encoder_transformer"], cfg, st["xf"], h)
+    latent, st["down2"] = _sconv_edge(h, params["downsample"], st["down2"],
+                                      st["first"], stride=2)
+    st["first"] = jnp.zeros((), bool)
+    sem = _rvq_encode(params["quantizer"]["semantic"], latent, 1)
+    aco = _rvq_encode(params["quantizer"]["acoustic"], latent, cfg.num_quantizers - 1)
+    return jnp.concatenate([sem, aco], axis=1), st
+
+
+def init_mimi_decoder_stream(params, cfg: MimiConfig, batch: int = 1,
+                             dtype=jnp.float32) -> dict:
+    dec = params["decoder"]
+    return {
+        "up2": _stconv_init(params["upsample"], batch, dtype, stride=2,
+                            groups=cfg.hidden),
+        "xf": _xf_stream_init(cfg, len(params["decoder_transformer"]), batch, dtype),
+        "conv_in": _sconv_init(dec["conv_in"], batch, dtype),
+        "stages": [{
+            "up": _stconv_init(s["up"], batch, dtype, stride=r),
+            "res": _sconv_init(s["res"]["conv1"], batch, dtype),
+        } for s, r in zip(dec["stages"], cfg.ratios)],
+        "conv_out": _sconv_init(dec["conv_out"], batch, dtype),
+    }
+
+
+def mimi_decode_frame(params, cfg: MimiConfig, st, codes) -> tuple:
+    """One streaming step: codes [B, K, n] → audio [B, n*1920]; exact vs
+    the batch mimi_decode on the concatenated stream."""
+    dec = params["decoder"]
+    st = dict(st)
+    h = rvq_decode(params, cfg, codes)
+    h, st["up2"] = _stconv(h, params["upsample"], st["up2"], stride=2,
+                           groups=cfg.hidden)
+    h, st["xf"] = _xf_stream(params["decoder_transformer"], cfg, st["xf"], h)
+    h, st["conv_in"] = _sconv(h, dec["conv_in"], st["conv_in"])
+    stages = []
+    for s_p, s_st, r in zip(dec["stages"], st["stages"], cfg.ratios):
+        s_st = dict(s_st)
+        h, s_st["up"] = _stconv(_elu(h), s_p["up"], s_st["up"], stride=r)
+        h, s_st["res"] = _sresblock(s_p["res"], s_st["res"], h, cfg)
+        stages.append(s_st)
+    st["stages"] = stages
+    wav, st["conv_out"] = _sconv(_elu(h), dec["conv_out"], st["conv_out"])
+    return jnp.clip(wav[..., 0], -1.0, 1.0), st

@@ -53,7 +53,9 @@ from ...ops.attention import NEG_INF, sdpa
 from ...ops.kv_cache import KVCache, after_prefill, after_token, init_cache, write_prompt, write_token
 from ...ops.nn import init_linear, linear, rms_norm, swiglu_mlp
 from ...ops.rope import apply_rope, rope_angles
-from .mimi import MimiConfig, init_mimi_params, mimi_decode, mimi_encode
+from .mimi import (MimiConfig, init_mimi_decoder_stream,
+                   init_mimi_encoder_stream, init_mimi_params, mimi_decode,
+                   mimi_decode_frame, mimi_encode, mimi_encode_frame)
 from .mimi import config_tiny as mimi_tiny
 
 #: 440 Hz reference-tone codes fed on the user streams during prompting
@@ -946,19 +948,23 @@ class PersonaPlex(SpeechToSpeechModel):
 
 class RealtimeSession:
     """Full-duplex 12.5 Hz frame loop as ONE compiled program per frame:
-    windowed Mimi encode (causal ⇒ exact) + temporal/depformer step +
-    windowed Mimi decode fuse into a single jit with every carry —
-    input ring, code histories, KV cache, PRNG key — device-resident
+    carried-state streaming Mimi encode (exact — mimi.py streaming ops) +
+    temporal/depformer step + carried-state streaming Mimi decode fuse
+    into a single jit with every carry — Mimi conv/KV streams, the
+    temporal KV cache, code histories, PRNG key — device-resident
     (donated between frames). The host supplies 80 ms of PCM and fetches
     80 ms back: exactly one dispatch + one value fetch per frame, so the
-    wire adds ONE round-trip, not three (measured 126 ms/frame → the
-    round-trip floor on a tunneled chip; colocated ≈ device time).
-    (reference: realtime diagnostic mode + compiled temporal step,
-    docs/models/personaplex.md:224-243)."""
+    wire adds ONE round-trip, not three; and streaming Mimi does O(frame)
+    work instead of re-encoding/decoding a context window every frame.
+    Codes are exactly the offline _converse's under the same inputs
+    (tested). (reference: MimiStreamingEncoder/Decoder + compiled
+    temporal step, MimiCodec.swift:120-212, personaplex.md:224-243)."""
 
     def __init__(self, model: PersonaPlex, sampling: PersonaSampling,
                  context_frames: int, voice_prompt, seed: int,
                  system_prompt=None):
+        # context_frames is kept for API compatibility; carried-state
+        # streaming is exact regardless, so no window sizing is needed.
         self.model = model
         cfg = model.cfg
         self.cfg = cfg
@@ -977,10 +983,10 @@ class RealtimeSession:
             frames back (Configuration.swift:18); the depformer's user
             steps are forced to cb0 of THIS frame + cb1-7 of the previous
             one."""
-            in_buf, u1, u2, agent_prev, text_prev, cache, code_hist, key = state
-            in_buf = jnp.concatenate([in_buf[spf:],
-                                      samples.astype(jnp.float32)])
-            enc = mimi_encode(mimi_p, cfg.mimi, in_buf[None])[:, :, -1]  # [1,16]
+            enc_st, u1, u2, agent_prev, text_prev, cache, dec_st, key = state
+            enc, enc_st = mimi_encode_frame(
+                mimi_p, cfg.mimi, enc_st, samples.astype(jnp.float32)[None])
+            enc = enc[:, :, 0]                                   # [1, 16]
             user_codes = enc[:, :k].astype(jnp.int32)
             user_read = jnp.concatenate([u1[:, :1], u2[:, 1:k]], axis=1)
             provided = jnp.concatenate(
@@ -993,14 +999,12 @@ class RealtimeSession:
                                     sampling.text_top_k, sampling.text_temperature)
             codes = depformer_generate(p, cfg, hidden, text_tok, kd, sampling,
                                        provided=provided)
-            code_hist = jnp.concatenate(
-                [code_hist[:, :, 1:],
-                 jnp.clip(codes, 0, cfg.mimi.codebook_size - 1)[:, :, None]],
-                axis=2)
-            wav = mimi_decode(mimi_p, cfg.mimi, code_hist)[0, -spf:]
-            new_state = (in_buf, user_codes, u1, codes[:, :k], text_tok,
-                         cache, code_hist, key)
-            return wav, new_state
+            wav, dec_st = mimi_decode_frame(
+                mimi_p, cfg.mimi, dec_st,
+                jnp.clip(codes, 0, cfg.mimi.codebook_size - 1)[:, :, None])
+            new_state = (enc_st, user_codes, u1, codes[:, :k], text_tok,
+                         cache, dec_st, key)
+            return wav[0], codes, new_state
 
         self._rt_frame = _rt_frame
 
@@ -1038,14 +1042,17 @@ class RealtimeSession:
         # NB: u1/u2 must be DISTINCT buffers — the whole state is donated,
         # and donating one buffer twice is an XLA error
         sine = np.asarray(SINE_TOKENS[:k], np.int32)[None]
+        mimi_dtype = jax.tree_util.tree_leaves(model.mimi_params)[0].dtype
         self._state = (
-            jnp.zeros(context_frames * spf, jnp.float32),          # input ring
+            init_mimi_encoder_stream(model.mimi_params, cfg.mimi,
+                                     dtype=mimi_dtype),
             jnp.asarray(sine),                                      # user t-1
             jnp.asarray(sine),                                      # user t-2
             jnp.asarray(np.asarray(SILENCE_TOKENS[:k], np.int32)[None]),  # agent
             jnp.full((1,), cfg.text_pad, jnp.int32),                # text
             prefilled,                                              # KV cache
-            jnp.zeros((1, cfg.num_codebooks, context_frames), jnp.int32),
+            init_mimi_decoder_stream(model.mimi_params, cfg.mimi,
+                                     dtype=mimi_dtype),
             jax.random.PRNGKey(seed),
         )
 
@@ -1056,9 +1063,13 @@ class RealtimeSession:
         spf = self.cfg.mimi.samples_per_frame
         if len(samples) != spf:
             raise ValueError(f"push_frame expects exactly {spf} samples")
-        wav, self._state = self._rt_frame(
+        wav, codes, self._state = self._rt_frame(
             self.model.params, self.model.mimi_params, self._state,
             jnp.asarray(np.asarray(samples, np.float32)),
             sampling=self.sampling)
+        #: the frame's full 16-codebook agent codes (device array; fetch
+        #: with np.asarray only if needed — the audio fetch below already
+        #: synchronizes the frame)
+        self.last_codes = codes
         self.frames_done += 1
         return np.asarray(wav, np.float32)

@@ -53,6 +53,50 @@ class TestMimi:
         wav = mimi_decode(params, cfg, codes)
         assert np.isfinite(np.asarray(wav)).all()
 
+    def test_streaming_encode_exact(self, mimi):
+        """Frame-by-frame carried-state encode ≡ the batch encode: conv
+        carries reproduce the zero causal padding, the KV ring reproduces
+        the sliding-window mask, the edge-pad downsample replicates the
+        first latent on the first chunk."""
+        from qwen3_asr_swift_tpu.models.personaplex.mimi import (
+            init_mimi_encoder_stream, mimi_encode_frame)
+
+        cfg, params = mimi
+        spf = cfg.samples_per_frame
+        n = 6
+        audio = jnp.asarray(
+            0.3 * np.random.default_rng(2).standard_normal((1, spf * n)),
+            jnp.float32)
+        full = np.asarray(mimi_encode(params, cfg, audio))
+        st = init_mimi_encoder_stream(params, cfg)
+        got = []
+        for i in range(n):
+            codes, st = mimi_encode_frame(params, cfg, st,
+                                          audio[:, i * spf:(i + 1) * spf])
+            got.append(np.asarray(codes))
+        np.testing.assert_array_equal(np.concatenate(got, axis=2), full)
+
+    def test_streaming_decode_exact(self, mimi):
+        """Frame-by-frame carried-state decode ≡ the batch decode
+        (transpose-conv overlap tails carried bias-free; right trim is the
+        never-emitted final tail)."""
+        from qwen3_asr_swift_tpu.models.personaplex.mimi import (
+            init_mimi_decoder_stream, mimi_decode_frame)
+
+        cfg, params = mimi
+        n = 6
+        codes = jnp.asarray(
+            np.random.default_rng(3).integers(0, cfg.codebook_size, (1, 16, n)),
+            jnp.int32)
+        full = np.asarray(mimi_decode(params, cfg, codes))
+        st = init_mimi_decoder_stream(params, cfg)
+        got = []
+        for i in range(n):
+            wav, st = mimi_decode_frame(params, cfg, st, codes[:, :, i:i + 1])
+            got.append(np.asarray(wav))
+        np.testing.assert_allclose(np.concatenate(got, axis=1), full,
+                                   atol=1e-5)
+
 
 class TestTemporal:
     def test_embed_frame_sums_streams(self):
@@ -254,6 +298,37 @@ class TestRealtimeSession:
             assert np.isfinite(out).all()
             outs.append(out)
         assert s.frames_done == 4
+
+    def test_session_codes_match_offline_converse(self):
+        """The fused on-device realtime frame must generate EXACTLY the
+        agent codes of the offline _converse loop fed the same audio: the
+        per-stream delay schedule (user cb0 ← frame t-1, cb1-7 ← t-2,
+        sine-seeded), the depformer teacher-forcing, the prefill, and the
+        windowed Mimi encode (causal ⇒ window ≡ full clip at sufficient
+        context) all agree, frame for frame, at temperature 0."""
+        from qwen3_asr_swift_tpu.models.personaplex import PersonaPlex, PersonaSampling, config_tiny
+
+        m = PersonaPlex.init_random(config_tiny())
+        cfg = m.cfg
+        spf = cfg.mimi.samples_per_frame
+        M = 5
+        rng = np.random.default_rng(3)
+        clip = (0.1 * rng.standard_normal(M * spf)).astype(np.float32)
+        samp = PersonaSampling(audio_temperature=0.0, text_temperature=0.0,
+                               max_steps=M, silence_stop_frames=0)
+
+        agent, n_frames, n_done = m._run_converse(
+            clip, cfg.mimi.sample_rate, samp, max_extra_s=0.0, voice_prompt=None)
+        assert n_frames == M and n_done == M
+
+        s = m.realtime_session(samp)
+        got = []
+        for i in range(M):
+            s.push_frame(clip[i * spf: (i + 1) * spf])
+            got.append(np.asarray(s.last_codes))
+        # _run_converse returns codes clipped to the Mimi codebook range
+        sess = np.clip(np.stack(got, axis=2), 0, cfg.mimi.codebook_size - 1)
+        np.testing.assert_array_equal(sess, np.asarray(agent)[:, :, :M])
 
     def test_push_frame_rejects_wrong_size(self):
         from qwen3_asr_swift_tpu.models.personaplex import PersonaPlex, config_tiny
