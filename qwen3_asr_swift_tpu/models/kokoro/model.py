@@ -617,10 +617,13 @@ class KokoroTTS(SpeechGenerationModel):
     (synthesize(text, voice, language, speed), available_voices, warm_up)."""
 
     def __init__(self, cfg: KokoroConfig, params,
-                 voices: Optional[Dict[str, np.ndarray]] = None, dtype=jnp.float32):
+                 voices: Optional[Dict[str, np.ndarray]] = None, dtype=jnp.float32,
+                 lexicon=None):
         self.cfg = cfg
         self.params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
         self.voices = voices or {"af_heart": np.zeros((cfg.style_dim * 2,), np.float32)}
+        # instance-scoped pronunciation overlay (None = embedded dictionary)
+        self.lexicon = lexicon
         self._loaded = True
         self._fwd = jax.jit(functools.partial(kokoro_forward, cfg=cfg),
                             static_argnames=("max_frames",))
@@ -642,11 +645,13 @@ class KokoroTTS(SpeechGenerationModel):
         params = convert_checkpoint(model_dir)
         voices = load_voices(model_dir)
         # snapshot gold/silver pronunciation dictionaries overlay the
-        # embedded one (reference: Phonemizer.swift loadDictionaries)
+        # embedded one, scoped to THIS instance (reference:
+        # Phonemizer.swift loadDictionaries)
         from .phonemizer import load_dictionaries
 
-        load_dictionaries(model_dir)
-        return cls(CONFIG_82M, params, voices=voices or None, dtype=dtype, **kw)
+        lexicon = load_dictionaries(model_dir)
+        return cls(CONFIG_82M, params, voices=voices or None, dtype=dtype,
+                   lexicon=lexicon, **kw)
 
     @property
     def available_voices(self):
@@ -664,7 +669,8 @@ class KokoroTTS(SpeechGenerationModel):
     def synthesize(self, text: str, voice: Optional[str] = None, language: str = "en",
                    speed: float = 1.0, seed: int = 0, **kwargs) -> AudioChunk:
         voice = voice or self.available_voices[0]
-        ids = phonemes_to_ids(phonemize(text, language))[: self.cfg.max_phonemes - 2]
+        ids = phonemes_to_ids(phonemize(text, language, lexicon=self.lexicon))[
+            : self.cfg.max_phonemes - 2]
         ids = [0, *ids, 0]  # pad tokens bracket the sequence (kokoro convention)
         n = len(ids)
         bucket = max(16, int(2 ** np.ceil(np.log2(n))))

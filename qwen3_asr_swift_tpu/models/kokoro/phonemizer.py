@@ -40,41 +40,62 @@ SYMBOLS = [_PAD] + list(_PUNCT) + list(_LETTERS) + list(_IPA)
 SYMBOL_TO_ID: Dict[str, int] = {s: i for i, s in enumerate(SYMBOLS)}
 VOCAB_SIZE = len(SYMBOLS)
 
-# Dictionary tiers: the embedded gold dictionary, plus runtime overlays
-# loaded from a model snapshot (misaki us_gold/us_silver.json — the files
-# the reference's loadDictionaries consumes, Phonemizer.swift:82-96).
-_DICT: Dict[str, str] = dict(EN_GOLD)
-_SILVER: Dict[str, str] = {}
-
 # special cases resolved before any dictionary (Phonemizer.swift:362-374;
 # POS-dependent "a" collapses to the determiner reading)
 _SPECIAL = {"the": "ðə", "a": "ɐ", "an": "ən", "to": "tʊ", "of": "ʌv", "i": "aɪ"}
 
 
-def load_dictionaries(directory, british: bool = False) -> int:
-    """Overlay gold/silver pronunciation dictionaries from a model
-    snapshot directory (``us_gold.json``/``us_silver.json``, or ``gb_``
-    with ``british=True``). Entries may be plain IPA strings or
-    POS-keyed heteronym dicts (the ``DEFAULT`` reading is used — this
-    front end does not POS-tag). Returns the number of entries loaded."""
-    prefix = "gb" if british else "us"
-    n = 0
-    for name, target in ((f"{prefix}_gold.json", _DICT), (f"{prefix}_silver.json", _SILVER)):
-        path = Path(directory) / name
-        if not path.exists():
-            continue
-        raw = json.loads(path.read_text())
-        for word, entry in raw.items():
-            if isinstance(entry, dict):
-                entry = entry.get("DEFAULT") or next(iter(entry.values()), None)
-            if isinstance(entry, str):
-                target[word.lower()] = entry
-                n += 1
-    return n
+class Lexicon:
+    """Pronunciation dictionary tiers: snapshot gold overlay → embedded
+    gold dictionary (en_dict.py) → snapshot silver overlay. INSTANCE
+    scoped — dictionaries loaded by one ``KokoroTTS.from_pretrained``
+    must not leak into other model instances or variants (a gb model and
+    a us model in one process keep distinct readings)."""
+
+    def __init__(self):
+        self.gold: Dict[str, str] = {}
+        self.silver: Dict[str, str] = {}
+
+    def lookup(self, word: str) -> Optional[str]:
+        return self.gold.get(word) or EN_GOLD.get(word) or self.silver.get(word)
+
+    def load(self, directory, british: bool = False) -> int:
+        """Overlay gold/silver dictionaries from a model snapshot directory
+        (``us_gold.json``/``us_silver.json``, or ``gb_`` with
+        ``british=True``). Entries may be plain IPA strings or POS-keyed
+        heteronym dicts (the ``DEFAULT`` reading is used — this front end
+        does not POS-tag). Returns the number of entries loaded."""
+        prefix = "gb" if british else "us"
+        n = 0
+        for name, target in ((f"{prefix}_gold.json", self.gold),
+                             (f"{prefix}_silver.json", self.silver)):
+            path = Path(directory) / name
+            if not path.exists():
+                continue
+            raw = json.loads(path.read_text())
+            for word, entry in raw.items():
+                if isinstance(entry, dict):
+                    entry = entry.get("DEFAULT") or next(iter(entry.values()), None)
+                if isinstance(entry, str):
+                    target[word.lower()] = entry
+                    n += 1
+        return n
 
 
-def _lookup(word: str) -> Optional[str]:
-    return _DICT.get(word) or _SILVER.get(word)
+#: embedded-dictionary-only default used when no lexicon is passed
+_DEFAULT_LEXICON = Lexicon()
+
+
+def load_dictionaries(directory, british: bool = False) -> Lexicon:
+    """Build a fresh :class:`Lexicon` with the snapshot overlays from
+    ``directory`` (no module-global state is touched)."""
+    lex = Lexicon()
+    lex.load(directory, british=british)
+    return lex
+
+
+def _lookup(word: str, lexicon: Optional[Lexicon] = None) -> Optional[str]:
+    return (lexicon or _DEFAULT_LEXICON).lookup(word)
 
 
 _VOICELESS_S = set("ptkfθ")          # -s → /s/ after these (else /z/)
@@ -89,10 +110,13 @@ def _ed_suffix(phonemes: str) -> str:
     return "t" if last in _VOICELESS_ED else "d"
 
 
-def _stem_and_lookup(word: str) -> Optional[str]:
+def _stem_and_lookup(word: str, lexicon: Optional[Lexicon] = None) -> Optional[str]:
     """Suffix stemming with voicing-sensitive endings
     (Phonemizer.swift:378-455): -s/-es/-ies, -ed/-ied with consonant
     de-doubling, -ing with de-doubling and silent-e restoration."""
+    def _lookup(w):
+        return (lexicon or _DEFAULT_LEXICON).lookup(w)
+
     if word.endswith("s") and len(word) > 2 and not word.endswith("ss"):
         if word.endswith("ies"):
             base = _lookup(word[:-3] + "y")
@@ -184,33 +208,34 @@ def _letter_to_sound(lw: str) -> str:
     return "".join(out)
 
 
-def _word_to_phonemes(word: str) -> str:
+def _word_to_phonemes(word: str, lexicon: Optional[Lexicon] = None) -> str:
     """Resolution order per the reference (Phonemizer.swift:333-341):
     special case → dictionary → suffix stemming → letter-to-sound."""
     lw = word.lower()
     special = _SPECIAL.get(lw)
     if special is not None:
         return special
-    hit = _lookup(lw)
+    hit = _lookup(lw, lexicon)
     if hit is not None:
         return hit
-    stemmed = _stem_and_lookup(lw)
+    stemmed = _stem_and_lookup(lw, lexicon)
     if stemmed is not None:
         return stemmed
     return _letter_to_sound(lw)
 
 
-def dictionary_hit(word: str) -> bool:
+def dictionary_hit(word: str, lexicon: Optional[Lexicon] = None) -> bool:
     """True when the word resolves without the letter-to-sound fallback
     (coverage metric; tests assert >90% on a standard sentence set)."""
     lw = re.sub(r"[^a-z']", "", word.lower()).strip("'")
     if not lw:
         return True
-    return (lw in _SPECIAL or _lookup(lw) is not None
-            or _stem_and_lookup(lw) is not None)
+    return (lw in _SPECIAL or _lookup(lw, lexicon) is not None
+            or _stem_and_lookup(lw, lexicon) is not None)
 
 
-def phonemize(text: str, language: str = "en") -> str:
+def phonemize(text: str, language: str = "en",
+              lexicon: Optional[Lexicon] = None) -> str:
     """text → phoneme string over the Kokoro symbol set.
 
     zh/ja/hi route to the dedicated phonemizers (reference:
@@ -240,7 +265,7 @@ def phonemize(text: str, language: str = "en") -> str:
         if re.match(r"[;:,.!?]", token):
             parts.append(token)
         else:
-            parts.append(_word_to_phonemes(token.strip("'")))
+            parts.append(_word_to_phonemes(token.strip("'"), lexicon))
     return " ".join(parts)
 
 

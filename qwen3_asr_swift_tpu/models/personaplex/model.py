@@ -187,55 +187,22 @@ def init_personaplex_params(key, cfg: PersonaPlexConfig, dtype=jnp.float32) -> d
 
 def fuse_temporal_params(params) -> dict:
     """Fuse q/k/v → "qkv_proj" and gate/up → "gate_up_proj" in every
-    temporal layer (exact output-row concat — ops.nn.fuse_linears). The
-    80 ms frame step is a batch-1 GEMV chain where per-call fixed cost
+    temporal layer (exact output-row concat — ops.nn.fuse_qkv_gate_up).
+    The 80 ms frame step is a batch-1 GEMV chain where per-call fixed cost
     dominates; fusing drops 7 projections per layer to 4. Only valid
     replicated/unsharded — shard() unfuses for the per-projection TP
     rules. No-op on already-fused trees."""
-    from ...ops.nn import fuse_linears
+    from ...ops.nn import fuse_qkv_gate_up
 
-    out = dict(params)
-    layers = []
-    for p in params["layers"]:
-        p = dict(p)
-        if "q_proj" in p:
-            qkv = fuse_linears([p["q_proj"], p["k_proj"], p["v_proj"]])
-            if qkv is not None:
-                p["qkv_proj"] = qkv
-                del p["q_proj"], p["k_proj"], p["v_proj"]
-        mlp = dict(p["mlp"])
-        if "gate_proj" in mlp:
-            gu = fuse_linears([mlp["gate_proj"], mlp["up_proj"]])
-            if gu is not None:
-                mlp["gate_up_proj"] = gu
-                del mlp["gate_proj"], mlp["up_proj"]
-                p["mlp"] = mlp
-        layers.append(p)
-    out["layers"] = layers
-    return out
+    return fuse_qkv_gate_up(params)
 
 
 def unfuse_temporal_params(params, cfg: PersonaPlexConfig) -> dict:
     """Exact inverse of :func:`fuse_temporal_params` (output-row slices)."""
-    from ...ops.nn import split_linear
+    from ...ops.nn import unfuse_qkv_gate_up
 
     d = cfg.num_heads * cfg.head_dim
-    out = dict(params)
-    layers = []
-    for p in params["layers"]:
-        p = dict(p)
-        if "qkv_proj" in p:
-            p["q_proj"], p["k_proj"], p["v_proj"] = split_linear(
-                p.pop("qkv_proj"), (d, 2 * d))
-        mlp = dict(p["mlp"])
-        if "gate_up_proj" in mlp:
-            gu = mlp.pop("gate_up_proj")
-            inter = (gu["codes"].shape[0] if "codes" in gu else gu["kernel"].shape[1]) // 2
-            mlp["gate_proj"], mlp["up_proj"] = split_linear(gu, (inter,))
-            p["mlp"] = mlp
-        layers.append(p)
-    out["layers"] = layers
-    return out
+    return unfuse_qkv_gate_up(params, d, d)
 
 
 def embed_frame(params, cfg: PersonaPlexConfig, text_tok, user_codes, agent_codes):
@@ -513,13 +480,15 @@ class PersonaPlex(SpeechToSpeechModel):
         @jax.jit
         def _embed_voice_codes(p, codes):
             """agent-stream code prefix [1, 16, T] → temporal-input
-            embeddings [1, T, d] (text/user streams padded)."""
+            embeddings [1, T, d]. During the voice phase the text stream
+            carries PAD and the user streams the sine reference tone
+            (PersonaPlex.swift:184-199)."""
             k = cfg.temporal_codebooks
+            sine = jnp.asarray(SINE_TOKENS[:k], jnp.int32)[None]
 
             def one(t):
                 return embed_frame(p, cfg, jnp.full((1,), cfg.text_pad, jnp.int32),
-                                   jnp.full((1, k), cfg.audio_pad, jnp.int32),
-                                   codes[:, :k, t])
+                                   sine, codes[:, :k, t])
 
             return jax.vmap(one, out_axes=1)(jnp.arange(codes.shape[2]))
 
@@ -692,18 +661,47 @@ class PersonaPlex(SpeechToSpeechModel):
                                              audio=jnp.asarray(audio, jnp.float32)[None]))
         codes = codes[:, :, : self.VOICE_PROMPT_CAP]
         embeds = np.asarray(self._embed_voice_codes(self.params, jnp.asarray(codes)))  # [1,T,d]
-        t = embeds.shape[1]
-        ring = np.full((1, cfg.num_streams, self.DELAY_RING), cfg.text_pad, np.float32)
-        for j in range(self.DELAY_RING):
-            src = max(0, codes.shape[2] - self.DELAY_RING + j)
-            ring[0, 1: 1 + cfg.num_codebooks, j] = codes[0, :, min(src, codes.shape[2] - 1)]
+        ring = self._build_voice_ring(codes[0], codes.shape[2])
         out = {"embeddings": embeds.transpose(1, 0, 2)[:, :, None].astype(np.float32),
-               "cache": ring}
+               "cache": ring[None].astype(np.float32)}
         if path:
             from safetensors.numpy import save_file
 
             save_file(out, path)
         return out
+
+    def _build_voice_ring(self, codes: np.ndarray, n_voice: int) -> np.ndarray:
+        """Delay-ring token snapshot [17, DELAY_RING] for a locally built
+        voice prompt, in the upstream convention that ``_prompt_reads``
+        consumes: ring slot ``(p + 1) % RING`` holds the token WRITTEN at
+        flat position ``p`` (the +1 is the reference's documented
+        offset-after-init-skip mapping, ``tokenCache[flatPos] =
+        cache[s, (flatPos + 1) % CT]`` — PersonaPlex.swift:203-223).
+
+        During the voice phase the AGENT streams carry the voice clip's
+        first ``k`` codebooks written at their delayed positions (stream
+        delay d: position p holds frame p-d), the USER streams carry sine
+        tokens and the text stream PAD (PersonaPlex.swift:184-199).
+
+        codes: [>=k, T] Mimi codes of the voice clip."""
+        cfg = self.cfg
+        k = cfg.temporal_codebooks
+        ring = np.full((cfg.num_streams, self.DELAY_RING), cfg.text_pad, np.int32)
+        delays = [0, 0] + [1] * (k - 1) + [0] + [1] * (k - 1)
+        sine = SINE_TOKENS[:k]
+        last = codes.shape[1] - 1
+        for s in range(cfg.num_streams):
+            d = delays[s]
+            for p in range(max(0, n_voice + d - self.DELAY_RING), n_voice + d):
+                if s == 0:
+                    val = cfg.text_pad
+                elif s <= k:  # agent rows: voice codes at delayed positions
+                    f = p - d
+                    val = int(codes[s - 1, min(max(f, 0), last)]) if f >= 0 else cfg.audio_pad
+                else:         # user rows: sine reference tone
+                    val = sine[s - 1 - k]
+                ring[s, (p + 1) % self.DELAY_RING] = val
+        return ring
 
     @staticmethod
     def load_voice_prompt(path: str) -> dict:
@@ -743,10 +741,7 @@ class PersonaPlex(SpeechToSpeechModel):
             e = np.asarray(self._embed_voice_codes(self.params,
                                                    jnp.asarray(codes[:, :, :n_voice])))
             embeds[0, :n_voice] = e[0]
-            ring_out = np.full((cfg.num_streams, self.DELAY_RING), cfg.text_pad, np.int32)
-            for j in range(self.DELAY_RING):
-                src = min(max(0, codes.shape[2] - self.DELAY_RING + j), codes.shape[2] - 1)
-                ring_out[1: 1 + codes.shape[1], j] = codes[0, :, src]
+            ring_out = self._build_voice_ring(codes[0, :, :n_voice], n_voice)
         if ring_out is not None:
             ring_out[0] = np.clip(ring_out[0], 0, cfg.text_vocab - 1)
             ring_out[1:] = np.clip(ring_out[1:], 0, cfg.audio_vocab - 1)
@@ -771,6 +766,14 @@ class PersonaPlex(SpeechToSpeechModel):
         else:
             toks = [int(t) for t in np.asarray(system_prompt).reshape(-1)]
         budget = self.PROMPT_CAP - 2 * self._silence_spacer_frames()
+        if len(toks) > budget:
+            from ...core.logging import inference as log
+
+            log.warning(
+                "system prompt is %d tokens but only %d fit the compiled "
+                "prompt window (PROMPT_CAP=%d minus two %d-frame spacers) — "
+                "truncating; raise PersonaPlex.PROMPT_CAP to fit longer prompts",
+                len(toks), budget, self.PROMPT_CAP, self._silence_spacer_frames())
         return toks[:budget]
 
     def _prompt_reads(self, system_prompt, n_voice: int, ring):

@@ -28,8 +28,9 @@ import numpy as np
 from ...ops.attention import NEG_INF, sdpa
 from ...ops.kv_cache import (KVCache, after_prefill, after_token, cache_kv,
                              init_cache, write_prompt, write_token)
-from ...ops.nn import (embedding_lookup, fuse_linears, init_linear, linear,
-                       rms_norm, split_linear, swiglu_mlp, tied_lm_head)
+from ...ops.nn import (embedding_lookup, fuse_qkv_gate_up, init_linear,
+                       linear, rms_norm, swiglu_mlp, tied_lm_head,
+                       unfuse_qkv_gate_up)
 from ...ops.rope import apply_rope, rope_angles
 from .config import TextDecoderConfig
 
@@ -66,8 +67,8 @@ def init_decoder_params(key, cfg: TextDecoderConfig, dtype=jnp.float32) -> dict:
 
 def fuse_for_inference(params, cfg: TextDecoderConfig) -> dict:
     """Fuse q/k/v → "qkv_proj" and gate/up → "gate_up_proj" along the
-    output axis in every layer (ops.nn.fuse_linears; exact for both dense
-    and group-quantized params).
+    output axis in every layer (ops.nn.fuse_qkv_gate_up; exact for both
+    dense and group-quantized params).
 
     Why: the quantized decode step's cost is dominated by the per-call
     fixed work of 7 packed matmuls per layer (activation re-striding +
@@ -78,23 +79,7 @@ def fuse_for_inference(params, cfg: TextDecoderConfig) -> dict:
     Only valid when the projections are unsharded or replicated — tensor
     parallelism partitions q/k/v along heads with per-projection rules, so
     TP meshes keep the unfused tree (Qwen3ASR gates on mesh shape)."""
-    out = dict(params)
-    layers = []
-    for p in params["layers"]:
-        p = dict(p)
-        qkv = fuse_linears([p["q_proj"], p["k_proj"], p["v_proj"]])
-        if qkv is not None:
-            p["qkv_proj"] = qkv
-            del p["q_proj"], p["k_proj"], p["v_proj"]
-        mlp = dict(p["mlp"])
-        gu = fuse_linears([mlp["gate_proj"], mlp["up_proj"]])
-        if gu is not None:
-            mlp["gate_up_proj"] = gu
-            del mlp["gate_proj"], mlp["up_proj"]
-            p["mlp"] = mlp
-        layers.append(p)
-    out["layers"] = layers
-    return out
+    return fuse_qkv_gate_up(params)
 
 
 def unfuse_for_sharding(params, cfg: TextDecoderConfig) -> dict:
@@ -102,23 +87,8 @@ def unfuse_for_sharding(params, cfg: TextDecoderConfig) -> dict:
     back into separate q/k/v and gate/up projections so the per-projection
     TP partition rules (parallel/mesh.py QWEN3_DECODER_RULES) apply.
     No-op on an already-unfused tree."""
-    nq, nkv = cfg.num_heads * cfg.head_dim, cfg.num_kv_heads * cfg.head_dim
-    split = split_linear
-    out = dict(params)
-    layers = []
-    for p in params["layers"]:
-        p = dict(p)
-        if "qkv_proj" in p:
-            p["q_proj"], p["k_proj"], p["v_proj"] = split(p.pop("qkv_proj"), (nq, nq + nkv))
-        mlp = dict(p["mlp"])
-        if "gate_up_proj" in mlp:
-            inter = (mlp["gate_up_proj"]["codes"].shape[0] // 2 if "codes" in mlp["gate_up_proj"]
-                     else mlp["gate_up_proj"]["kernel"].shape[1] // 2)
-            mlp["gate_proj"], mlp["up_proj"] = split(mlp.pop("gate_up_proj"), (inter,))
-            p["mlp"] = mlp
-        layers.append(p)
-    out["layers"] = layers
-    return out
+    hd = cfg.head_dim
+    return unfuse_qkv_gate_up(params, cfg.num_heads * hd, cfg.num_kv_heads * hd)
 
 
 def _qkv(p, h, positions, cfg: TextDecoderConfig):

@@ -108,6 +108,16 @@ class Qwen3ASR(SpeechRecognitionModel):
         self.decoder_params = fuse_for_inference(
             cast_tree(decoder_params, dtype), cfg.decoder)
         self._audio_buckets_s = tuple(audio_buckets_s)
+        # each bucket's mel frames must tile the encoder attention window
+        # exactly (100 frames/s; n_window_infer-frame windows) — fail here
+        # with the constraint named, not in encode() mid-trace
+        win_s = cfg.encoder.n_window_infer / 100
+        bad = [s for s in self._audio_buckets_s if (s * 100) % cfg.encoder.n_window_infer]
+        if bad:
+            raise ValueError(
+                f"audio_buckets_s {bad} are not multiples of the encoder "
+                f"attention window ({cfg.encoder.n_window_infer} mel frames "
+                f"= {win_s:g} s); use multiples of {win_s:g} s")
         self._loaded = True
 
         @functools.partial(jax.jit, static_argnames=("n_frames",))

@@ -115,6 +115,58 @@ def split_linear(p, bounds):
     return parts
 
 
+def fuse_qkv_gate_up(params) -> dict:
+    """Fuse q/k/v → ``qkv_proj`` and gate/up → ``gate_up_proj`` in every
+    entry of ``params["layers"]`` (exact output-row concat via
+    :func:`fuse_linears`; works for dense and group-quantized params).
+    Decode-step cost at batch 1 is dominated by per-call fixed work, not
+    contraction FLOPs, so dropping 7 projections/layer to 4 wins. Only
+    valid replicated/unsharded — TP rules partition per projection, so
+    shard paths unfuse first. No-op on already-fused layers."""
+    out = dict(params)
+    layers = []
+    for p in params["layers"]:
+        p = dict(p)
+        if "q_proj" in p:
+            qkv = fuse_linears([p["q_proj"], p["k_proj"], p["v_proj"]])
+            if qkv is not None:
+                p["qkv_proj"] = qkv
+                del p["q_proj"], p["k_proj"], p["v_proj"]
+        mlp = dict(p["mlp"])
+        if "gate_proj" in mlp:
+            gu = fuse_linears([mlp["gate_proj"], mlp["up_proj"]])
+            if gu is not None:
+                mlp["gate_up_proj"] = gu
+                del mlp["gate_proj"], mlp["up_proj"]
+                p["mlp"] = mlp
+        layers.append(p)
+    out["layers"] = layers
+    return out
+
+
+def unfuse_qkv_gate_up(params, q_dim: int, kv_dim: int) -> dict:
+    """Exact inverse of :func:`fuse_qkv_gate_up`: slice fused rows back
+    into per-projection params (``q_dim`` query rows, ``kv_dim`` key and
+    value rows each; the gate/up split is inferred from shapes). No-op on
+    already-unfused layers."""
+    out = dict(params)
+    layers = []
+    for p in params["layers"]:
+        p = dict(p)
+        if "qkv_proj" in p:
+            p["q_proj"], p["k_proj"], p["v_proj"] = split_linear(
+                p.pop("qkv_proj"), (q_dim, q_dim + kv_dim))
+        mlp = dict(p["mlp"])
+        if "gate_up_proj" in mlp:
+            gu = mlp.pop("gate_up_proj")
+            inter = (gu["codes"].shape[0] if "codes" in gu else gu["kernel"].shape[1]) // 2
+            mlp["gate_proj"], mlp["up_proj"] = split_linear(gu, (inter,))
+            p["mlp"] = mlp
+        layers.append(p)
+    out["layers"] = layers
+    return out
+
+
 def embedding_lookup(table, ids, dim: Optional[int] = None):
     """table: [vocab, dim] array, or a quantized table dict (then ``dim``
     is required); ids int32 [...]."""

@@ -271,11 +271,17 @@ def quant_matmul_pallas(x, p, tile_out: int = _DEFAULT_TILE_OUT, interpret: bool
 
 def _use_pallas() -> bool:
     # single-chip TPU only: pallas_call is not GSPMD-partitionable, so
-    # sharded multi-chip params take the XLA group-decomposition path
+    # sharded multi-chip params take the XLA group-decomposition path.
+    # QUANT_PATH=pallas forces the kernel (still TPU-only — the kernel is
+    # not built for other backends) past the chip-count and row-count
+    # heuristics, for A/B benchmarking.
     if _FORCE_PATH == "xla":
         return False
     try:
-        return jax.default_backend() == "tpu" and jax.device_count() == 1
+        on_tpu = jax.default_backend() == "tpu"
+        if _FORCE_PATH == "pallas":
+            return on_tpu
+        return on_tpu and jax.device_count() == 1
     except Exception:  # noqa: BLE001
         return False
 
@@ -293,11 +299,15 @@ def _rows(x) -> int:
     return n
 
 
+def _pallas_rows_ok(x) -> bool:
+    return _FORCE_PATH == "pallas" or _rows(x) <= _PALLAS_MAX_ROWS
+
+
 def quant_linear(x, p):
     """Quantized y = x @ W^T (+ bias). Backend- and shape-dispatched:
     Pallas for decode-shaped GEMV on a single chip, XLA group
     decomposition otherwise."""
-    if _use_pallas() and _rows(x) <= _PALLAS_MAX_ROWS:
+    if _use_pallas() and _pallas_rows_ok(x):
         y = quant_matmul_pallas(x, p)
     else:
         y = quant_matmul_xla(x, p)
@@ -397,14 +407,21 @@ def dequantize_tree(params, bits: int, group_size: int = 64,
     footprint.
 
     Packed linears become {"kernel": [in, out]}; arrays named in
-    ``embed_keys`` become dense [vocab, dim]. ``bits``/``group_size``
-    must match the packing (they disambiguate in_dim, which packed
-    shapes alone cannot)."""
+    ``embed_keys`` become dense [vocab, dim]. ``bits`` must match the
+    packing (it disambiguates in_dim, which packed shapes alone cannot);
+    ``group_size`` is validated against each tensor's inferred group."""
 
     def walk(node, name=""):
         if isinstance(node, dict):
             if "codes" in node:
                 in_dim = node["codes"].shape[-1] * 32 // bits
+                got_bits, got_gs = infer_quant_dims(
+                    in_dim, node["codes"].shape, node["scales"].shape)
+                if (got_bits, got_gs) != (bits, group_size):
+                    raise ValueError(
+                        f"packing mismatch at {name!r}: tree is "
+                        f"{got_bits}-bit group-{got_gs}, caller said "
+                        f"{bits}-bit group-{group_size}")
                 w = dequantize(node, in_dim, dtype)  # [rows, in_dim]
                 if name in embed_keys:
                     return w
@@ -425,6 +442,6 @@ def quant_tied_lm_head(hidden, p):
     """Quantized-embedding-as-LM-head (reference: PreQuantizedEmbedding
     .asLinear): logits = hidden @ dequant(table)^T — the same GEMV the
     Pallas kernel accelerates, with out = vocab."""
-    if _use_pallas() and _rows(hidden) <= _PALLAS_MAX_ROWS:
+    if _use_pallas() and _pallas_rows_ok(hidden):
         return quant_matmul_pallas(hidden, p)
     return quant_matmul_xla(hidden, p)

@@ -1,8 +1,9 @@
 """Sustained full-duplex cadence: PersonaPlex RealtimeSession at the 7B config.
 
 Measures the PRODUCT realtime path (model.realtime_session → push_frame:
-windowed Mimi encode + temporal/depformer frame step + windowed Mimi
-decode — three device calls per frame) on one chip, against the 12.5 Hz /
+ONE fused device program per frame — carried-state streaming Mimi encode
++ temporal/depformer frame step + streaming Mimi decode, with
+device-resident donated session state) on one chip, against the 12.5 Hz /
 80 ms frame budget the reference's realtime mode must hold
 (reference: Sources/PersonaPlex/PersonaPlex.swift realtime mode;
 docs/models/personaplex.md:97 — M2 Max runs ~112 ms/step, RTF ~1.4, i.e.

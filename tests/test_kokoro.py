@@ -626,14 +626,11 @@ class TestEnglishG2PDepth:
             "zyzzyva": "zˈɪzɪvə",
             "read": {"VERB": "ɹiːd", "DEFAULT": "ɹɛd"},
         }))
-        before = ph._word_to_phonemes("zyzzyva")
-        n = ph.load_dictionaries(tmp_path)
-        try:
-            assert n == 2
-            assert ph._word_to_phonemes("zyzzyva") == "zˈɪzɪvə"
-            assert ph._word_to_phonemes("read") == "ɹɛd"  # DEFAULT reading
-            assert ph._word_to_phonemes("zyzzyvas") == "zˈɪzɪvəz"  # stems too
-        finally:
-            ph._DICT.pop("zyzzyva", None)
-            ph._DICT["read"] = "ɹiːd"
-        assert before != "zˈɪzɪvə"
+        lex = ph.load_dictionaries(tmp_path)
+        assert ph._word_to_phonemes("zyzzyva", lex) == "zˈɪzɪvə"
+        assert ph._word_to_phonemes("read", lex) == "ɹɛd"  # DEFAULT reading
+        assert ph._word_to_phonemes("zyzzyvas", lex) == "zˈɪzɪvəz"  # stems too
+        # instance-scoped: module default and other lexicons are untouched
+        assert ph._word_to_phonemes("zyzzyva") != "zˈɪzɪvə"
+        assert ph._word_to_phonemes("read") == "ɹiːd"
+        assert ph._word_to_phonemes("zyzzyva", ph.Lexicon()) != "zˈɪzɪvə"

@@ -509,6 +509,45 @@ class TestPromptPrefill:
             if delays[s] == 1:
                 assert reads[s, 1] == ring[s, col2]
 
+    def test_local_voice_ring_matches_reads(self, model):
+        """A LOCALLY built voice ring (raw codes / make_voice_prompt) must
+        agree with the read side's upstream slot convention
+        (ring[(V+k) % CT] for flat position V-1+k — the reference's
+        documented offset-after-init-skip mapping): the boundary reads
+        carry the voice clip's codes on the AGENT streams at their
+        published delays, and sine on the USER streams."""
+        from qwen3_asr_swift_tpu.models.personaplex.model import SINE_TOKENS
+
+        k = CFG.temporal_codebooks
+        rng = np.random.default_rng(7)
+        n_voice = 5  # NOT a multiple of DELAY_RING — catches slot-index drift
+        codes = rng.integers(0, 2048, size=(1, 16, n_voice), dtype=np.int64).astype(np.int32)
+        _, nv, ring = model._voice_inputs({"codes": codes})
+        assert nv == n_voice
+        reads, _ = model._prompt_reads([], nv, ring)
+        # step n_voice reads position n_voice-1:
+        assert reads[0, 0] == CFG.text_pad
+        assert reads[1, 0] == codes[0, 0, n_voice - 1]          # agent cb0, delay 0
+        np.testing.assert_array_equal(                           # agent cb1-7, delay 1
+            reads[2: 1 + k, 0], codes[0, 1:k, n_voice - 2])
+        np.testing.assert_array_equal(reads[1 + k:, 0],          # user rows: sine
+                                      np.asarray(SINE_TOKENS[:k]))
+        # step n_voice+1 reads position n_voice: delay-1 agent rows carry
+        # the LAST voice frame; delay-0 agent row already reads the spacer
+        np.testing.assert_array_equal(
+            reads[2: 1 + k, 1], codes[0, 1:k, n_voice - 1])
+
+    def test_make_voice_prompt_ring_matches_codes_path(self, model):
+        """make_voice_prompt's stored .safetensors ring equals the ring the
+        raw-codes path derives from the same codes."""
+        spf = CFG.mimi.samples_per_frame
+        audio = (0.1 * np.random.default_rng(11).standard_normal(spf * 6)).astype(np.float32)
+        vp = model.make_voice_prompt(audio, sample_rate=CFG.mimi.sample_rate)
+        codes = np.asarray(model._mimi_encode(
+            model.mimi_params, audio=jnp.asarray(audio, jnp.float32)[None]))
+        expected = model._build_voice_ring(codes[0], codes.shape[2])
+        np.testing.assert_array_equal(vp["cache"][0].astype(np.int32), expected)
+
     def test_system_prompt_conditions_response(self, model):
         """Different system prompts must change the generated codes.
         Compares the raw (pre-clip) depformer codes: the tiny test mimi's

@@ -148,12 +148,10 @@ class TestKokoroLayout:
 
         (tmp_path / "us_gold.json").write_text(json.dumps({"qqq": "k"}))
         (tmp_path / "us_silver.json").write_text(json.dumps({"zzz": "z"}))
-        n = ph.load_dictionaries(tmp_path)
-        try:
-            assert n == 2
-        finally:
-            ph._DICT.pop("qqq", None)
-            ph._SILVER.pop("zzz", None)
+        lex = ph.load_dictionaries(tmp_path)
+        assert lex.lookup("qqq") == "k" and lex.lookup("zzz") == "z"
+        # instance-scoped: the default lexicon is untouched
+        assert ph._lookup("qqq") is None and ph._lookup("zzz") is None
 
 
 class TestPersonaPlexLayout:
