@@ -30,8 +30,12 @@ Configuration.swift:29-123):
 - silence early-stop: 15 consecutive all-silence agent frames end the
   response (personaplex.md:134), implemented as an on-device counter in
   the ``lax.while_loop`` cond;
-- sampling: audio top-k 250 / T 0.8 / repetition 1.2; text top-k 25 /
-  T 0.7 (reference docs/models/personaplex.md:130-135).
+- sampling: audio top-k 250 / T 0.8, text top-k 25 / T 0.7, both with
+  repetition penalty 1.2 over a 30-token window (audio per codebook;
+  batch-respond text history starts after the user phase, realtime's
+  covers every frame — Sampling.swift:56-119, PersonaPlex.swift:401,
+  459, 1232); optional text-entropy early stop (off by default)
+  (reference docs/models/personaplex.md:130-135).
 
 The whole conversation loop (temporal step → text+audio sampling →
 depformer completion → delayed ring write) runs inside ``lax.while_loop``.
@@ -127,10 +131,19 @@ class PersonaSampling:
     audio_repetition_penalty: float = 1.2
     text_top_k: int = 25
     text_temperature: float = 0.7
+    text_repetition_penalty: float = 1.2
+    #: tokens of history the repetition penalties look back over
+    #: (Configuration.swift:291 repetitionWindow)
+    repetition_window: int = 30
     max_steps: int = 500
     #: stop after this many consecutive all-silence agent frames once the
     #: user audio has been consumed; 0 disables (personaplex.md:134)
     silence_stop_frames: int = 15
+    #: stop when text-logit entropy stays below this for
+    #: ``entropy_stop_window`` consecutive post-user steps; 0 disables
+    #: (the reference's default — Configuration.swift:293)
+    entropy_stop_threshold: float = 0.0
+    entropy_stop_window: int = 10
 
 
 def init_personaplex_params(key, cfg: PersonaPlexConfig, dtype=jnp.float32) -> dict:
@@ -321,8 +334,17 @@ def temporal_step(params, cfg, embeds, cache: KVCache):
     return x[:, 0], after_token(cache, new_layers)
 
 
-def _sample_topk(logits, key, top_k: int, temperature: float):
+def _sample_topk(logits, key, top_k: int, temperature: float,
+                 history=None, penalty: float = 1.0):
+    """Top-k Gumbel-max sampling with an optional repetition penalty over
+    ``history`` [B, W] (out-of-range entries are inactive): logits of
+    in-history tokens divide by ``penalty`` when positive and multiply
+    when negative, BEFORE the top-k cut (reference:
+    Sampling.swift:56-86 sampleTopKWithPenalty)."""
     lg = logits.astype(jnp.float32)
+    if history is not None and penalty != 1.0:
+        seen = jax.nn.one_hot(history, lg.shape[-1], dtype=jnp.bool_).any(axis=-2)
+        lg = jnp.where(seen, jnp.where(lg > 0, lg / penalty, lg * penalty), lg)
     if top_k > 0:
         top = min(top_k, lg.shape[-1])
         kth = jnp.sort(lg, axis=-1)[..., -top][..., None]
@@ -365,7 +387,7 @@ def _depformer_step(params, cfg: PersonaPlexConfig, x, step, k_caches, v_caches)
 
 
 def depformer_generate(params, cfg: PersonaPlexConfig, temporal_hidden, text_token,
-                       key, sampling: PersonaSampling, provided=None):
+                       key, sampling: PersonaSampling, provided=None, history=None):
     """Generate 16 agent codebooks for one frame
     (reference: Depformer.swift:249-296). Step k input =
     ``dep_in[k](temporal_hidden) + emb(prev_token)`` where prev is the
@@ -378,6 +400,11 @@ def depformer_generate(params, cfg: PersonaPlexConfig, temporal_hidden, text_tok
     the reference forces user-codebook steps to real user audio during the
     user phase so the in-frame autoregressive chain sees real codes
     (PersonaPlex.swift:432-455).
+
+    ``history``: optional [B, 16, W] per-codebook recent generated tokens
+    (out-of-range = empty slot) — each codebook's sampling applies
+    ``sampling.audio_repetition_penalty`` over its own row (reference:
+    PersonaPlex.swift:455-467 feeds agentTokens[cbIdx].suffix(window)).
 
     temporal_hidden: [B, d_model]; text_token: [B] → codes [B, 16]."""
     b = temporal_hidden.shape[0]
@@ -403,13 +430,22 @@ def depformer_generate(params, cfg: PersonaPlexConfig, temporal_hidden, text_tok
         tok = provided[:, step]
         return jnp.where(tok >= 0, tok, sampled)
 
+    def cb_hist(step):
+        if history is None:
+            return None
+        return jnp.take(history, step, axis=1)  # [B, W]
+
+    def sample(logits, k, step):
+        return _sample_topk(logits, k, sampling.audio_top_k,
+                            sampling.audio_temperature, history=cb_hist(step),
+                            penalty=sampling.audio_repetition_penalty)
+
     # step 0: conditioned on the sampled text token
     zero = jnp.asarray(0, jnp.int32)
     x0 = step_input(zero, jnp.take(params["dep_text_emb"], text_token, axis=0))
     h0, k_caches, v_caches = forward(x0, zero, k_caches, v_caches)
     key, k0 = jax.random.split(key)
-    code = force(zero, _sample_topk(h0[:, 0] @ params["dep_heads_bank"][0], k0,
-                                    sampling.audio_top_k, sampling.audio_temperature))
+    code = force(zero, sample(h0[:, 0] @ params["dep_heads_bank"][0], k0, zero))
 
     def body(carry, cb_idx):
         code_prev, k_caches, v_caches, key = carry
@@ -417,8 +453,8 @@ def depformer_generate(params, cfg: PersonaPlexConfig, temporal_hidden, text_tok
         x, k_caches, v_caches = forward(step_input(cb_idx, emb), cb_idx,
                                         k_caches, v_caches)
         key, kk = jax.random.split(key)
-        code_next = force(cb_idx, _sample_topk(x[:, 0] @ params["dep_heads_bank"][cb_idx], kk,
-                                               sampling.audio_top_k, sampling.audio_temperature))
+        code_next = force(cb_idx, sample(x[:, 0] @ params["dep_heads_bank"][cb_idx],
+                                         kk, cb_idx))
         return (code_next, k_caches, v_caches, key), code_prev
 
     (last, _, _, _), prev = jax.lax.scan(
@@ -516,9 +552,18 @@ class PersonaPlex(SpeechToSpeechModel):
 
             agent_out = jnp.full((b, cfg.num_codebooks, max_steps), cfg.audio_pad, jnp.int32)
             silence = jnp.asarray(SILENCE_TOKENS[:k], jnp.int32)
+            # repetition-penalty window (PersonaPlex.swift:401,459): audio
+            # history = the last W generated agent frames per codebook
+            # (agent_out's pad init is out-of-range for the audio card, so
+            # unwritten slots never penalize); text history = post-user
+            # sampled text tokens only (allTextTokens accumulates from
+            # prefillLen on)
+            rep_w = min(sampling.repetition_window, max_steps)
+            use_audio_hist = rep_w > 0 and sampling.audio_repetition_penalty != 1.0
 
             def body(s):
-                step, cache, agent_prev, pred_user_prev, text_prev, agent_out, run, n_steps, key = s
+                (step, cache, agent_prev, pred_user_prev, text_prev, agent_out,
+                 run, ent_run, text_hist, n_steps, key) = s
                 user_read = user_stream_reads(user_codes, pred_user_prev, step,
                                               user_frames, k)
                 # agent streams: generated codes are written at the current
@@ -528,24 +573,43 @@ class PersonaPlex(SpeechToSpeechModel):
                                      agent_prev)[:, None].astype(self.dtype)
                 hidden, cache = temporal_step(p, cfg, embeds, cache)
                 key, kt, kd = jax.random.split(key, 3)
-                text_tok = _sample_topk(linear(hidden, p["text_head"]), kt,
-                                        sampling.text_top_k, sampling.text_temperature)
+                text_logits = linear(hidden, p["text_head"])
+                use_text_hist = rep_w > 0 and sampling.text_repetition_penalty != 1.0
+                text_tok = _sample_topk(text_logits, kt,
+                                        sampling.text_top_k, sampling.text_temperature,
+                                        history=text_hist if use_text_hist else None,
+                                        penalty=sampling.text_repetition_penalty)
                 provided = depformer_provided_tokens(user_codes, step, user_frames, cfg)
+                audio_hist = jax.lax.dynamic_slice(
+                    agent_out, (0, 0, step - rep_w),
+                    (b, cfg.num_codebooks, rep_w)) if use_audio_hist else None
                 codes = depformer_generate(p, cfg, hidden, text_tok, kd, sampling,
-                                           provided=provided)
+                                           provided=provided, history=audio_hist)
                 agent_out = agent_out.at[:, :, step].set(codes)
+                counted = step >= user_frames
+                text_hist = jnp.where(
+                    counted, jnp.concatenate([text_hist[:, 1:], text_tok[:, None]], axis=1),
+                    text_hist)
                 # silence early-stop counter (post-user steps only)
                 is_sil = jnp.all(codes[:, :k] == silence[None], axis=1)  # [B]
-                counted = step >= user_frames
                 run = jnp.where(counted & is_sil, run + 1,
                                 jnp.where(counted, 0, run))
                 stopped = (run >= sampling.silence_stop_frames) if sampling.silence_stop_frames > 0 else jnp.zeros((b,), bool)
+                if sampling.entropy_stop_threshold > 0:
+                    # text-token-collapse early stop (PersonaPlex.swift:412,
+                    # disabled by default): entropy of the text distribution
+                    lp = jax.nn.log_softmax(text_logits.astype(jnp.float32))
+                    ent = -(jnp.exp(lp) * lp).sum(axis=-1)  # [B]
+                    low = ent < sampling.entropy_stop_threshold
+                    ent_run = jnp.where(counted & low, ent_run + 1,
+                                        jnp.where(counted, 0, ent_run))
+                    stopped = stopped | (ent_run >= sampling.entropy_stop_window)
                 n_steps = jnp.where(stopped & (n_steps >= max_steps), step + 1, n_steps)
                 return (step + 1, cache, codes[:, :k], codes[:, k:], text_tok,
-                        agent_out, run, n_steps, key)
+                        agent_out, run, ent_run, text_hist, n_steps, key)
 
             def cond(s):
-                step, _, _, _, _, _, _, n_steps, _ = s
+                step, n_steps = s[0], s[-2]
                 return (step < max_steps) & jnp.any(n_steps >= max_steps)
 
             # 5-phase prefill: voice embeddings | spacer+prompt+spacer reads
@@ -571,9 +635,12 @@ class PersonaPlex(SpeechToSpeechModel):
                      jnp.broadcast_to(jnp.asarray(SINE_TOKENS[:k], jnp.int32)[None], (b, k)),
                      jnp.full((b,), cfg.text_pad, jnp.int32),
                      agent_out, jnp.zeros((b,), jnp.int32),
+                     jnp.zeros((b,), jnp.int32),
+                     # text-history slots init out-of-vocab = no penalty
+                     jnp.full((b, max(rep_w, 1)), cfg.text_vocab, jnp.int32),
                      jnp.full((b,), max_steps, jnp.int32), key)
             out = jax.lax.while_loop(cond, body, state)
-            return out[5], jnp.minimum(out[7], out[0])
+            return out[5], jnp.minimum(out[-2], out[0])
 
         self._converse = _converse
 
@@ -986,7 +1053,8 @@ class RealtimeSession:
             frames back (Configuration.swift:18); the depformer's user
             steps are forced to cb0 of THIS frame + cb1-7 of the previous
             one."""
-            enc_st, u1, u2, agent_prev, text_prev, cache, dec_st, key = state
+            (enc_st, u1, u2, agent_prev, text_prev, cache, dec_st,
+             audio_hist, text_hist, key) = state
             enc, enc_st = mimi_encode_frame(
                 mimi_p, cfg.mimi, enc_st, samples.astype(jnp.float32)[None])
             enc = enc[:, :, 0]                                   # [1, 16]
@@ -998,15 +1066,27 @@ class RealtimeSession:
             embeds = embed_frame(p, cfg, text_prev, user_read, agent_prev)[:, None]
             hidden, cache = temporal_step(p, cfg, embeds.astype(model.dtype), cache)
             key, kt, kd = jax.random.split(key, 3)
-            text_tok = _sample_topk(linear(hidden, p["text_head"]), kt,
-                                    sampling.text_top_k, sampling.text_temperature)
+            # realtime applies both repetition penalties over the session's
+            # own rolling history every frame (PersonaPlex.swift:1230-1255
+            # — unlike batch respond(), whose text history starts after the
+            # user phase; realtime is all generation)
+            rep_on = sampling.repetition_window > 0
+            text_tok = _sample_topk(
+                linear(hidden, p["text_head"]), kt,
+                sampling.text_top_k, sampling.text_temperature,
+                history=text_hist if rep_on else None,
+                penalty=sampling.text_repetition_penalty)
             codes = depformer_generate(p, cfg, hidden, text_tok, kd, sampling,
-                                       provided=provided)
+                                       provided=provided,
+                                       history=audio_hist if rep_on else None)
+            audio_hist = jnp.concatenate([audio_hist[:, :, 1:], codes[:, :, None]],
+                                         axis=2)
+            text_hist = jnp.concatenate([text_hist[:, 1:], text_tok[:, None]], axis=1)
             wav, dec_st = mimi_decode_frame(
                 mimi_p, cfg.mimi, dec_st,
                 jnp.clip(codes, 0, cfg.mimi.codebook_size - 1)[:, :, None])
             new_state = (enc_st, user_codes, u1, codes[:, :k], text_tok,
-                         cache, dec_st, key)
+                         cache, dec_st, audio_hist, text_hist, key)
             return wav[0], codes, new_state
 
         self._rt_frame = _rt_frame
@@ -1056,6 +1136,12 @@ class RealtimeSession:
             prefilled,                                              # KV cache
             init_mimi_decoder_stream(model.mimi_params, cfg.mimi,
                                      dtype=mimi_dtype),
+            # rolling repetition-penalty histories; out-of-range init =
+            # empty slots (audio card 2048, text vocab)
+            jnp.full((1, cfg.num_codebooks, max(sampling.repetition_window, 1)),
+                     cfg.audio_pad, jnp.int32),
+            jnp.full((1, max(sampling.repetition_window, 1)), cfg.text_vocab,
+                     jnp.int32),
             jax.random.PRNGKey(seed),
         )
 

@@ -314,7 +314,13 @@ class TestRealtimeSession:
         M = 5
         rng = np.random.default_rng(3)
         clip = (0.1 * rng.standard_normal(M * spf)).astype(np.float32)
+        # text_repetition_penalty off: realtime penalizes over its own text
+        # history every frame while batch respond()'s text history starts
+        # only after the user phase (the reference's two loops differ the
+        # same way — PersonaPlex.swift:401 vs :1232); the audio penalty
+        # histories ARE identical in both modes and stay enabled here
         samp = PersonaSampling(audio_temperature=0.0, text_temperature=0.0,
+                               text_repetition_penalty=1.0,
                                max_steps=M, silence_stop_frames=0)
 
         agent, n_frames, n_done = m._run_converse(
@@ -454,6 +460,86 @@ class TestDelayPattern:
                                  jax.random.PRNGKey(0), s,
                                  provided=jnp.asarray(provided))
         np.testing.assert_array_equal(np.asarray(out)[0, 8:], np.arange(8) + 10)
+
+
+class TestRepetitionPenalty:
+    def test_sample_topk_penalty_semantics(self):
+        """Reference Sampling.swift:56-86: in-history tokens divide
+        positive logits and multiply negative ones by the penalty, before
+        the top-k cut; out-of-range history entries are inert."""
+        from qwen3_asr_swift_tpu.models.personaplex.model import _sample_topk
+
+        key = jax.random.PRNGKey(0)
+        # positive case: penalized winner drops below runner-up
+        lg = jnp.asarray([[0.5, 1.0]])
+        hist = jnp.asarray([[1]])
+        assert int(_sample_topk(lg, key, 0, 0.0)[0]) == 1
+        assert int(_sample_topk(lg, key, 0, 0.0, history=hist, penalty=4.0)[0]) == 0
+        # negative case: penalized winner multiplies further negative
+        lg = jnp.asarray([[-0.5, -0.1]])
+        assert int(_sample_topk(lg, key, 0, 0.0, history=jnp.asarray([[1]]),
+                                penalty=10.0)[0]) == 0
+        # out-of-range / empty history slots never penalize
+        lg = jnp.asarray([[0.5, 1.0]])
+        for bad in (2, 7, -1):
+            assert int(_sample_topk(lg, key, 0, 0.0,
+                                    history=jnp.asarray([[bad]]), penalty=9.0)[0]) == 1
+        # penalty 1.0 with history is a no-op
+        assert int(_sample_topk(lg, key, 0, 0.0, history=hist, penalty=1.0)[0]) == 1
+
+    def test_depformer_history_penalizes_repeats(self):
+        """A history saturated with the greedy codes (huge penalty) must
+        move codebook 0's pick (its input does not depend on earlier
+        codebooks, so the comparison is exact)."""
+        from qwen3_asr_swift_tpu.models.personaplex.model import (
+            depformer_generate, init_personaplex_params)
+
+        cfg = CFG
+        params = init_personaplex_params(jax.random.PRNGKey(1), cfg)
+        hidden = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.d_model))
+        text = jnp.asarray([1], jnp.int32)
+        samp = PersonaSampling(audio_temperature=0.0, text_temperature=0.0,
+                               audio_repetition_penalty=1e9)
+        base = depformer_generate(params, cfg, hidden, text,
+                                  jax.random.PRNGKey(3), samp)
+        hist = jnp.tile(base[:, :, None], (1, 1, samp.repetition_window))
+        pen = depformer_generate(params, cfg, hidden, text,
+                                 jax.random.PRNGKey(3), samp, history=hist)
+        assert int(pen[0, 0]) != int(base[0, 0])
+        # and with no penalty the same history is inert
+        samp1 = PersonaSampling(audio_temperature=0.0, text_temperature=0.0,
+                                audio_repetition_penalty=1.0)
+        same = depformer_generate(params, cfg, hidden, text,
+                                  jax.random.PRNGKey(3), samp1, history=hist)
+        np.testing.assert_array_equal(np.asarray(same), np.asarray(
+            depformer_generate(params, cfg, hidden, text,
+                               jax.random.PRNGKey(3), samp1)))
+
+    def test_converse_deterministic_with_penalties(self):
+        m = PersonaPlex.init_random(CFG)
+        cfg = m.cfg
+        spf = cfg.mimi.samples_per_frame
+        clip = (0.1 * np.random.default_rng(5).standard_normal(3 * spf)).astype(np.float32)
+        samp = PersonaSampling(max_steps=6, silence_stop_frames=0)
+        a1 = m._run_converse(clip, cfg.mimi.sample_rate, samp, 1.0, None, seed=9)
+        a2 = m._run_converse(clip, cfg.mimi.sample_rate, samp, 1.0, None, seed=9)
+        np.testing.assert_array_equal(np.asarray(a1[0]), np.asarray(a2[0]))
+
+    def test_entropy_early_stop(self):
+        """With an absurdly high threshold and window 1, generation stops
+        at the first post-user step (the reference's text-collapse stop,
+        disabled by default)."""
+        m = PersonaPlex.init_random(CFG)
+        cfg = m.cfg
+        spf = cfg.mimi.samples_per_frame
+        U = 3
+        clip = (0.1 * np.random.default_rng(6).standard_normal(U * spf)).astype(np.float32)
+        samp = PersonaSampling(max_steps=12, silence_stop_frames=0,
+                               entropy_stop_threshold=1e9, entropy_stop_window=1)
+        _, n_frames, n_done = m._run_converse(clip, cfg.mimi.sample_rate, samp,
+                                              max_extra_s=2.0, voice_prompt=None)
+        assert n_frames == U
+        assert n_done == U + 1
 
 
 class TestPromptPrefill:
