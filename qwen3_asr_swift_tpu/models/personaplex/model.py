@@ -530,9 +530,11 @@ class PersonaPlex(SpeechToSpeechModel):
 
         self._embed_voice_codes = _embed_voice_codes
 
-        @functools.partial(jax.jit, static_argnames=("user_frames", "max_steps", "sampling"))
+        @functools.partial(jax.jit,
+                           static_argnames=("user_frames", "max_steps", "sampling", "diag"))
         def _converse(p, user_codes, voice_embeds, n_voice, prompt_reads, n_prompt,
-                      key, *, user_frames, max_steps, sampling: PersonaSampling):
+                      key, *, user_frames, max_steps, sampling: PersonaSampling,
+                      diag: bool = False):
             """user_codes: [1, 16, user_frames]; voice_embeds [1, V_cap, d]
             precomputed temporal-input embeddings for the voice-prompt
             prefix with n_voice valid frames; prompt_reads [1, 17, P_cap]
@@ -541,7 +543,9 @@ class PersonaPlex(SpeechToSpeechModel):
             ``_prompt_reads`` with the per-stream delays and the voice
             delay-ring overlay baked in; PersonaPlex.swift:179-342) with
             n_prompt valid steps. Returns (agent codes [1, 16, max_steps],
-            n_steps [1] actually generated before silence early-stop)."""
+            n_steps [1] actually generated before silence early-stop,
+            per-step diagnostics dict when ``diag`` — the reference's
+            respondDiagnostic capture, PersonaPlex.swift:1307-1318)."""
             b = 1
             k = cfg.temporal_codebooks
             # size the KV cache to exactly what this conversation can touch
@@ -563,7 +567,7 @@ class PersonaPlex(SpeechToSpeechModel):
 
             def body(s):
                 (step, cache, agent_prev, pred_user_prev, text_prev, agent_out,
-                 run, ent_run, text_hist, n_steps, key) = s
+                 run, ent_run, text_hist, n_steps, key, dstats) = s
                 user_read = user_stream_reads(user_codes, pred_user_prev, step,
                                               user_frames, k)
                 # agent streams: generated codes are written at the current
@@ -595,21 +599,37 @@ class PersonaPlex(SpeechToSpeechModel):
                 run = jnp.where(counted & is_sil, run + 1,
                                 jnp.where(counted, 0, run))
                 stopped = (run >= sampling.silence_stop_frames) if sampling.silence_stop_frames > 0 else jnp.zeros((b,), bool)
+                if diag or sampling.entropy_stop_threshold > 0:
+                    lp = jax.nn.log_softmax(text_logits.astype(jnp.float32))
+                    ent = -(jnp.exp(lp) * lp).sum(axis=-1)  # [B]
                 if sampling.entropy_stop_threshold > 0:
                     # text-token-collapse early stop (PersonaPlex.swift:412,
                     # disabled by default): entropy of the text distribution
-                    lp = jax.nn.log_softmax(text_logits.astype(jnp.float32))
-                    ent = -(jnp.exp(lp) * lp).sum(axis=-1)  # [B]
                     low = ent < sampling.entropy_stop_threshold
                     ent_run = jnp.where(counted & low, ent_run + 1,
                                         jnp.where(counted, 0, ent_run))
                     stopped = stopped | (ent_run >= sampling.entropy_stop_window)
+                if diag:
+                    # per-step capture (reference DiagnosticInfo,
+                    # PersonaPlex.swift:1309-1315)
+                    hf = hidden.astype(jnp.float32)
+                    dstats = {
+                        "text_tokens": dstats["text_tokens"].at[:, step].set(text_tok),
+                        "text_top_token": dstats["text_top_token"].at[:, step].set(
+                            jnp.argmax(text_logits, -1).astype(jnp.int32)),
+                        "text_top_logit": dstats["text_top_logit"].at[:, step].set(
+                            text_logits.astype(jnp.float32).max(-1)),
+                        "text_entropy": dstats["text_entropy"].at[:, step].set(ent),
+                        "hidden_stats": dstats["hidden_stats"].at[:, step].set(
+                            jnp.stack([hf.mean(-1), hf.std(-1), hf.min(-1), hf.max(-1)],
+                                      axis=-1)),
+                    }
                 n_steps = jnp.where(stopped & (n_steps >= max_steps), step + 1, n_steps)
                 return (step + 1, cache, codes[:, :k], codes[:, k:], text_tok,
-                        agent_out, run, ent_run, text_hist, n_steps, key)
+                        agent_out, run, ent_run, text_hist, n_steps, key, dstats)
 
             def cond(s):
-                step, n_steps = s[0], s[-2]
+                step, n_steps = s[0], s[9]
                 return (step < max_steps) & jnp.any(n_steps >= max_steps)
 
             # 5-phase prefill: voice embeddings | spacer+prompt+spacer reads
@@ -630,6 +650,13 @@ class PersonaPlex(SpeechToSpeechModel):
             # generation-start read state (cache position promptLen-1):
             # text PAD, agent silence, user sine (handled inside
             # user_stream_reads for step 0)
+            dstats0 = {
+                "text_tokens": jnp.zeros((b, max_steps), jnp.int32),
+                "text_top_token": jnp.zeros((b, max_steps), jnp.int32),
+                "text_top_logit": jnp.zeros((b, max_steps), jnp.float32),
+                "text_entropy": jnp.zeros((b, max_steps), jnp.float32),
+                "hidden_stats": jnp.zeros((b, max_steps, 4), jnp.float32),
+            } if diag else {}
             state = (jnp.asarray(0, jnp.int32), cache,
                      jnp.broadcast_to(silence[None], (b, k)),
                      jnp.broadcast_to(jnp.asarray(SINE_TOKENS[:k], jnp.int32)[None], (b, k)),
@@ -638,9 +665,9 @@ class PersonaPlex(SpeechToSpeechModel):
                      jnp.zeros((b,), jnp.int32),
                      # text-history slots init out-of-vocab = no penalty
                      jnp.full((b, max(rep_w, 1)), cfg.text_vocab, jnp.int32),
-                     jnp.full((b,), max_steps, jnp.int32), key)
+                     jnp.full((b,), max_steps, jnp.int32), key, dstats0)
             out = jax.lax.while_loop(cond, body, state)
-            return out[5], jnp.minimum(out[-2], out[0])
+            return out[5], jnp.minimum(out[9], out[0]), out[11]
 
         self._converse = _converse
 
@@ -888,7 +915,7 @@ class PersonaPlex(SpeechToSpeechModel):
         return out, nonvoice.shape[1]
 
     def _run_converse(self, audio, sample_rate, sampling, max_extra_s, voice_prompt,
-                      system_prompt=None, seed: int = 0):
+                      system_prompt=None, seed: int = 0, diag: bool = False):
         sr = self.cfg.mimi.sample_rate
         if sample_rate != sr:
             from ...audio.resample import resample
@@ -903,13 +930,16 @@ class PersonaPlex(SpeechToSpeechModel):
         reads, n_prompt = self._prompt_reads(system_prompt, n_voice, ring)
         max_steps = min(sampling.max_steps,
                         n_frames + int(max_extra_s * self.cfg.mimi.frame_rate))
-        agent, n_steps = self._converse(
+        agent, n_steps, dstats = self._converse(
             self.params, user_codes, voice_embeds, jnp.asarray(n_voice, jnp.int32),
             jnp.asarray(reads[None]), jnp.asarray(n_prompt, jnp.int32),
             jax.random.PRNGKey(seed),
-            user_frames=n_frames, max_steps=max_steps, sampling=sampling)
+            user_frames=n_frames, max_steps=max_steps, sampling=sampling, diag=diag)
         n_done = int(np.asarray(n_steps)[0])
-        return jnp.clip(agent, 0, self.cfg.mimi.codebook_size - 1), n_frames, n_done
+        clipped = jnp.clip(agent, 0, self.cfg.mimi.codebook_size - 1)
+        if diag:
+            return clipped, n_frames, n_done, dstats
+        return clipped, n_frames, n_done
 
     def shard(self, mesh=None, dp: Optional[int] = None, tp: Optional[int] = None
               ) -> "PersonaPlex":
@@ -954,6 +984,29 @@ class PersonaPlex(SpeechToSpeechModel):
         log.info("personaplex: %d user frames → %d agent frames, RTF %.2f",
                  n_frames, n_done, (time.perf_counter() - t0) / max(dur, 1e-6))
         return AudioChunk(out, sr)
+
+    def respond_diagnostic(self, audio: np.ndarray, sample_rate: int = 16000,
+                           sampling: Optional[PersonaSampling] = None,
+                           max_extra_s: float = 4.0, voice_prompt=None,
+                           system_prompt=None, seed: int = 0
+                           ) -> Tuple[AudioChunk, dict]:
+        """``respond`` plus per-step capture for debugging (the reference's
+        respondDiagnostic / DiagnosticInfo, PersonaPlex.swift:1307-1318):
+        returns ``(audio, diag)`` where ``diag`` holds, trimmed to the
+        generated steps: sampled ``text_tokens`` [T], per-codebook
+        ``agent_tokens`` [16, T], ``text_top_token``/``text_top_logit``/
+        ``text_entropy`` [T], and ``hidden_stats`` [T, 4]
+        (mean/std/min/max of the temporal hidden state)."""
+        sampling = sampling or PersonaSampling()
+        sr = self.cfg.mimi.sample_rate
+        agent, _, n_done, dstats = self._run_converse(
+            audio, sample_rate, sampling, max_extra_s, voice_prompt,
+            system_prompt=system_prompt, seed=seed, diag=True)
+        wav = self._mimi_decode(self.mimi_params, codes=agent)
+        out = np.asarray(wav[0], np.float32)[: n_done * self.cfg.mimi.samples_per_frame]
+        diag = {k: np.asarray(v)[0, :n_done] for k, v in dstats.items()}
+        diag["agent_tokens"] = np.asarray(agent)[0, :, :n_done]
+        return AudioChunk(out, sr), diag
 
     def respond_stream(self, audio: np.ndarray, sample_rate: int = 16000,
                        sampling: Optional[PersonaSampling] = None,

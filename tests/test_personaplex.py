@@ -462,6 +462,33 @@ class TestDelayPattern:
         np.testing.assert_array_equal(np.asarray(out)[0, 8:], np.arange(8) + 10)
 
 
+class TestDiagnostic:
+    def test_respond_diagnostic_capture(self):
+        """respond_diagnostic returns the reference DiagnosticInfo fields
+        (PersonaPlex.swift:1307-1318) trimmed to the generated steps, and
+        the audio equals plain respond's under the same seed."""
+        m = PersonaPlex.init_random(CFG)
+        cfg = m.cfg
+        spf = cfg.mimi.samples_per_frame
+        clip = (0.1 * np.random.default_rng(8).standard_normal(3 * spf)).astype(np.float32)
+        samp = PersonaSampling(max_steps=6, silence_stop_frames=0)
+        out, diag = m.respond_diagnostic(clip, sample_rate=cfg.mimi.sample_rate,
+                                         sampling=samp, max_extra_s=1.0, seed=4)
+        T = diag["text_tokens"].shape[0]
+        assert T == 6
+        assert diag["agent_tokens"].shape == (16, T)
+        assert diag["hidden_stats"].shape == (T, 4)
+        assert diag["text_entropy"].shape == (T,)
+        assert (diag["text_entropy"] >= 0).all()
+        assert np.isfinite(diag["text_top_logit"]).all()
+        # hidden min <= mean <= max per step
+        hs = diag["hidden_stats"]
+        assert (hs[:, 2] <= hs[:, 0] + 1e-6).all() and (hs[:, 0] <= hs[:, 3] + 1e-6).all()
+        ref = m.respond(clip, sample_rate=cfg.mimi.sample_rate, sampling=samp,
+                        max_extra_s=1.0, seed=4)
+        np.testing.assert_array_equal(out.samples, ref.samples)
+
+
 class TestRepetitionPenalty:
     def test_sample_topk_penalty_semantics(self):
         """Reference Sampling.swift:56-86: in-history tokens divide
