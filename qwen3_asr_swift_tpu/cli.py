@@ -124,10 +124,23 @@ def cmd_respond(args):
         sampling = PersonaSampling()
     audio, rate = _load_audio(args.audio, rate=model.cfg.mimi.sample_rate)
     voice = PersonaPlex.load_voice_prompt(args.voice_prompt) if args.voice_prompt else None
-    out = model.respond(audio, rate, sampling=sampling, voice_prompt=voice,
-                        system_prompt=args.system_prompt)
+    result = {"output": args.output}
+    if args.diagnostic:
+        out, diag = model.respond_diagnostic(audio, rate, sampling=sampling,
+                                             voice_prompt=voice,
+                                             system_prompt=args.system_prompt)
+        result["diagnostic"] = {
+            "text_tokens": diag["text_tokens"].tolist(),
+            "text_entropy": [round(float(e), 3) for e in diag["text_entropy"]],
+            "hidden_mean_range": [round(float(diag["hidden_stats"][:, 0].min()), 4),
+                                  round(float(diag["hidden_stats"][:, 0].max()), 4)],
+        }
+    else:
+        out = model.respond(audio, rate, sampling=sampling, voice_prompt=voice,
+                            system_prompt=args.system_prompt)
     write_wav(args.output, out.samples, out.sample_rate)
-    _print({"output": args.output, "seconds": len(out.samples) / out.sample_rate})
+    result["seconds"] = len(out.samples) / out.sample_rate
+    _print(result)
 
 
 def cmd_vad(args):
@@ -384,7 +397,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--voice-prompt": dict(default=None, help="voice .safetensors/.npz"),
         "--system-prompt": dict(default=None,
                                 help="text steering prompt (SentencePiece'd; "
-                                     "default: built-in assistant prompt)")})
+                                     "default: built-in assistant prompt)"),
+        "--diagnostic": dict(action="store_true",
+                             help="also print per-step text tokens / entropy "
+                                  "/ hidden stats (respondDiagnostic)")})
     add("vad", cmd_vad, audio={}, **{
         "--model": dict(default="silero-vad-v5"),
         "--engine": dict(default="silero", choices=["silero", "pyannote", "firered"])})
