@@ -498,6 +498,9 @@ class PersonaPlex(SpeechToSpeechModel):
                  dtype=jnp.bfloat16):
         self.cfg = cfg
         self.tokenizer = tokenizer  # SentencePieceModel for text stream
+        #: text stream of the last respond()/respond_diagnostic() call
+        self.last_text_tokens: Optional[np.ndarray] = None
+        self.last_transcript: Optional[str] = None
         from ...ops.quant import cast_tree
 
         # cast preserves packed quantized tensors (uint32 codes + fp32
@@ -609,21 +612,22 @@ class PersonaPlex(SpeechToSpeechModel):
                     ent_run = jnp.where(counted & low, ent_run + 1,
                                         jnp.where(counted, 0, ent_run))
                     stopped = stopped | (ent_run >= sampling.entropy_stop_window)
+                dstats = dict(dstats,
+                              text_tokens=dstats["text_tokens"].at[:, step].set(text_tok))
                 if diag:
                     # per-step capture (reference DiagnosticInfo,
                     # PersonaPlex.swift:1309-1315)
                     hf = hidden.astype(jnp.float32)
-                    dstats = {
-                        "text_tokens": dstats["text_tokens"].at[:, step].set(text_tok),
-                        "text_top_token": dstats["text_top_token"].at[:, step].set(
+                    dstats.update(
+                        text_top_token=dstats["text_top_token"].at[:, step].set(
                             jnp.argmax(text_logits, -1).astype(jnp.int32)),
-                        "text_top_logit": dstats["text_top_logit"].at[:, step].set(
+                        text_top_logit=dstats["text_top_logit"].at[:, step].set(
                             text_logits.astype(jnp.float32).max(-1)),
-                        "text_entropy": dstats["text_entropy"].at[:, step].set(ent),
-                        "hidden_stats": dstats["hidden_stats"].at[:, step].set(
+                        text_entropy=dstats["text_entropy"].at[:, step].set(ent),
+                        hidden_stats=dstats["hidden_stats"].at[:, step].set(
                             jnp.stack([hf.mean(-1), hf.std(-1), hf.min(-1), hf.max(-1)],
                                       axis=-1)),
-                    }
+                    )
                 n_steps = jnp.where(stopped & (n_steps >= max_steps), step + 1, n_steps)
                 return (step + 1, cache, codes[:, :k], codes[:, k:], text_tok,
                         agent_out, run, ent_run, text_hist, n_steps, key, dstats)
@@ -650,13 +654,17 @@ class PersonaPlex(SpeechToSpeechModel):
             # generation-start read state (cache position promptLen-1):
             # text PAD, agent silence, user sine (handled inside
             # user_stream_reads for step 0)
-            dstats0 = {
-                "text_tokens": jnp.zeros((b, max_steps), jnp.int32),
-                "text_top_token": jnp.zeros((b, max_steps), jnp.int32),
-                "text_top_logit": jnp.zeros((b, max_steps), jnp.float32),
-                "text_entropy": jnp.zeros((b, max_steps), jnp.float32),
-                "hidden_stats": jnp.zeros((b, max_steps, 4), jnp.float32),
-            } if diag else {}
+            # sampled text tokens are always captured (the reference's
+            # respond returns them for transcript decoding,
+            # PersonaPlex.swift:57); the rest only under ``diag``
+            dstats0 = {"text_tokens": jnp.zeros((b, max_steps), jnp.int32)}
+            if diag:
+                dstats0.update(
+                    text_top_token=jnp.zeros((b, max_steps), jnp.int32),
+                    text_top_logit=jnp.zeros((b, max_steps), jnp.float32),
+                    text_entropy=jnp.zeros((b, max_steps), jnp.float32),
+                    hidden_stats=jnp.zeros((b, max_steps, 4), jnp.float32),
+                )
             state = (jnp.asarray(0, jnp.int32), cache,
                      jnp.broadcast_to(silence[None], (b, k)),
                      jnp.broadcast_to(jnp.asarray(SINE_TOKENS[:k], jnp.int32)[None], (b, k)),
@@ -711,7 +719,14 @@ class PersonaPlex(SpeechToSpeechModel):
         cfg = cfg or CONFIG_7B
         model_dir = Path(download_weights(
             model_id, cache_dir=cache_dir, offline_mode=offline_mode,
-            additional_patterns=["voices/*"]))
+            additional_patterns=["voices/*", "*.model"]))
+        # text-stream SentencePiece tokenizer → agent transcripts
+        # (reference loads tokenizer_spm_32k_3.model, PersonaPlex.swift:1643)
+        tok_path = model_dir / "tokenizer_spm_32k_3.model"
+        if "tokenizer" not in kw and tok_path.exists():
+            from ...tokenizers.sentencepiece_model import SentencePieceModel
+
+            kw["tokenizer"] = SentencePieceModel.load(tok_path)
 
         def read(name):
             path = model_dir / name
@@ -937,9 +952,7 @@ class PersonaPlex(SpeechToSpeechModel):
             user_frames=n_frames, max_steps=max_steps, sampling=sampling, diag=diag)
         n_done = int(np.asarray(n_steps)[0])
         clipped = jnp.clip(agent, 0, self.cfg.mimi.codebook_size - 1)
-        if diag:
-            return clipped, n_frames, n_done, dstats
-        return clipped, n_frames, n_done
+        return clipped, n_frames, n_done, dstats
 
     def shard(self, mesh=None, dp: Optional[int] = None, tp: Optional[int] = None
               ) -> "PersonaPlex":
@@ -970,9 +983,10 @@ class PersonaPlex(SpeechToSpeechModel):
         t0 = time.perf_counter()
         sampling = sampling or PersonaSampling()
         sr = self.cfg.mimi.sample_rate
-        agent, n_frames, n_done = self._run_converse(
+        agent, n_frames, n_done, dstats = self._run_converse(
             audio, sample_rate, sampling, max_extra_s, voice_prompt,
             system_prompt=system_prompt, seed=seed)
+        self._set_text_outputs(dstats, n_done)
         # decode the full fixed-shape buffer (one compiled program), trim
         # the early-stopped tail on the host — Mimi is causal so the
         # leading n_done frames decode identically
@@ -984,6 +998,18 @@ class PersonaPlex(SpeechToSpeechModel):
         log.info("personaplex: %d user frames → %d agent frames, RTF %.2f",
                  n_frames, n_done, (time.perf_counter() - t0) / max(dur, 1e-6))
         return AudioChunk(out, sr)
+
+    def _set_text_outputs(self, dstats, n_done: int) -> None:
+        """Expose the conversation's sampled text stream (the reference's
+        respond returns (audio, textTokens), and the server decodes a
+        transcript from them — PersonaPlex.swift:57,
+        AudioServer.swift:133-136): trimmed ids in ``last_text_tokens``,
+        SentencePiece-decoded ``last_transcript`` when the tokenizer is
+        loaded (None otherwise)."""
+        toks = np.asarray(dstats["text_tokens"])[0, :n_done]
+        self.last_text_tokens = toks
+        self.last_transcript = (self.tokenizer.decode([int(t) for t in toks])
+                                if self.tokenizer is not None else None)
 
     def respond_diagnostic(self, audio: np.ndarray, sample_rate: int = 16000,
                            sampling: Optional[PersonaSampling] = None,
@@ -1002,6 +1028,7 @@ class PersonaPlex(SpeechToSpeechModel):
         agent, _, n_done, dstats = self._run_converse(
             audio, sample_rate, sampling, max_extra_s, voice_prompt,
             system_prompt=system_prompt, seed=seed, diag=True)
+        self._set_text_outputs(dstats, n_done)
         wav = self._mimi_decode(self.mimi_params, codes=agent)
         out = np.asarray(wav[0], np.float32)[: n_done * self.cfg.mimi.samples_per_frame]
         diag = {k: np.asarray(v)[0, :n_done] for k, v in dstats.items()}
@@ -1028,7 +1055,7 @@ class PersonaPlex(SpeechToSpeechModel):
         sampling = sampling or PersonaSampling()
         sr = self.cfg.mimi.sample_rate
         spf = self.cfg.mimi.samples_per_frame
-        agent, _, n_done = self._run_converse(
+        agent, _, n_done, _dstats = self._run_converse(
             audio, sample_rate, sampling, max_extra_s, voice_prompt,
             system_prompt=system_prompt)
         agent = np.asarray(agent)

@@ -338,13 +338,43 @@ class SpeechServer:
                             content_type="audio/wav")
 
     async def _handle_respond(self, headers, body, writer):
+        """JSON-body params mirror the reference's /respond
+        (AudioServer.swift:111-150): ``max_steps``, ``system_prompt``,
+        ``seed``, and ``format: "json"`` — which returns the duration,
+        the agent transcript (when the model carries a tokenizer), and
+        base64 WAV instead of raw audio/wav."""
         s2s = await self.registry.get("s2s")
         if s2s is None:
             await self._respond(writer, 503, {"error": "no speech-to-speech model registered"})
             return
-        audio, rate, _ = self._decode_audio_body(headers, body)
+        audio, rate, payload = self._decode_audio_body(headers, body)
+        kwargs = {}
+        if payload.get("system_prompt") is not None:
+            kwargs["system_prompt"] = payload["system_prompt"]
+        if payload.get("seed") is not None:
+            kwargs["seed"] = int(payload["seed"])
+        if payload.get("max_steps") is not None:
+            import dataclasses as _dc
+
+            from ..models.personaplex import PersonaSampling
+
+            kwargs["sampling"] = _dc.replace(PersonaSampling(),
+                                             max_steps=int(payload["max_steps"]))
         loop = asyncio.get_running_loop()
-        chunk = await loop.run_in_executor(None, lambda: s2s.respond(audio, sample_rate=rate))
+        chunk = await loop.run_in_executor(
+            None, lambda: s2s.respond(audio, sample_rate=rate, **kwargs))
+        if payload.get("format") == "json":
+            out = {"duration": round(chunk.duration, 2),
+                   "audio_base64": base64.b64encode(
+                       wav_bytes(chunk.samples, chunk.sample_rate)).decode()}
+            toks = getattr(s2s, "last_text_tokens", None)
+            if toks is not None:
+                out["text_tokens"] = len(toks)
+            transcript = getattr(s2s, "last_transcript", None)
+            if transcript is not None:
+                out["transcript"] = transcript
+            await self._respond(writer, 200, out)
+            return
         await self._respond(writer, 200, wav_bytes(chunk.samples, chunk.sample_rate),
                             content_type="audio/wav")
 

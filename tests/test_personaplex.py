@@ -176,6 +176,13 @@ class TestRespond:
         assert out.sample_rate == CFG.mimi.sample_rate
         assert len(out.samples) > 0
         assert np.isfinite(out.samples).all()
+        # respond exposes the sampled text stream (reference returns
+        # (audio, textTokens) — PersonaPlex.swift:57); no tokenizer on the
+        # tiny config → no transcript
+        n_frames = len(out.samples) // CFG.mimi.samples_per_frame
+        assert model.last_text_tokens is not None
+        assert model.last_text_tokens.shape == (n_frames,)
+        assert model.last_transcript is None
 
 
 class TestFusedTemporal:
@@ -323,7 +330,7 @@ class TestRealtimeSession:
                                text_repetition_penalty=1.0,
                                max_steps=M, silence_stop_frames=0)
 
-        agent, n_frames, n_done = m._run_converse(
+        agent, n_frames, n_done, _ = m._run_converse(
             clip, cfg.mimi.sample_rate, samp, max_extra_s=0.0, voice_prompt=None)
         assert n_frames == M and n_done == M
 
@@ -563,8 +570,8 @@ class TestRepetitionPenalty:
         clip = (0.1 * np.random.default_rng(6).standard_normal(U * spf)).astype(np.float32)
         samp = PersonaSampling(max_steps=12, silence_stop_frames=0,
                                entropy_stop_threshold=1e9, entropy_stop_window=1)
-        _, n_frames, n_done = m._run_converse(clip, cfg.mimi.sample_rate, samp,
-                                              max_extra_s=2.0, voice_prompt=None)
+        _, n_frames, n_done, _ = m._run_converse(clip, cfg.mimi.sample_rate, samp,
+                                                 max_extra_s=2.0, voice_prompt=None)
         assert n_frames == U
         assert n_done == U + 1
 
@@ -674,7 +681,7 @@ class TestPromptPrefill:
         outs = []
         for prompt in ([5, 7, 9], [11, 2, 4]):
             reads, n_prompt = model._prompt_reads(prompt, nv, None)
-            codes, _ = model._converse(
+            codes, _, _ = model._converse(
                 model.params, uc, ve, jnp.asarray(nv, jnp.int32),
                 jnp.asarray(reads[None]), jnp.asarray(n_prompt, jnp.int32),
                 jax.random.PRNGKey(0), user_frames=3, max_steps=4, sampling=s)

@@ -426,6 +426,9 @@ class TestEnhanceRespondRoutes:
 
         class FakeS2S:
             def respond(self, audio, sample_rate=16000, **kw):
+                self.seen_kwargs = kw
+                self.last_text_tokens = np.asarray([4, 5, 6], np.int32)
+                self.last_transcript = "hello there"
                 return AudioChunk(np.zeros(2400, np.float32), 24000)
 
         registry = ModelRegistry()
@@ -469,6 +472,28 @@ class TestEnhanceRespondRoutes:
         status, head, body = http_request(full_server, "POST", "/respond", wav, "audio/wav")
         assert status == 200
         assert body[:4] == b"RIFF"
+
+    def test_respond_json_format_with_transcript(self, full_server):
+        """format=json returns duration + transcript + base64 WAV and
+        forwards max_steps/system_prompt/seed (reference:
+        AudioServer.swift:111-150)."""
+        import base64 as b64
+        import json as js
+
+        pcm = (np.zeros(2400, np.float32) * 32767).astype(np.int16).tobytes()
+        payload = js.dumps({
+            "audio_base64": b64.b64encode(pcm).decode(),
+            "sample_rate": 24000, "format": "json",
+            "max_steps": 7, "system_prompt": "be brief", "seed": 3,
+        }).encode()
+        status, head, body = http_request(full_server, "POST", "/respond",
+                                          payload, "application/json")
+        assert status == 200
+        out = js.loads(body)
+        assert out["transcript"] == "hello there"
+        assert out["text_tokens"] == 3
+        assert b64.b64decode(out["audio_base64"])[:4] == b"RIFF"
+        assert out["duration"] == 0.1
 
 
 class TestHTTPHardening:
