@@ -123,7 +123,13 @@ def cmd_respond(args):
         model = PersonaPlex.from_pretrained(args.model)
         sampling = PersonaSampling()
     audio, rate = _load_audio(args.audio, rate=model.cfg.mimi.sample_rate)
-    voice = PersonaPlex.load_voice_prompt(args.voice_prompt) if args.voice_prompt else None
+    import os as _os
+    voice = None
+    if args.voice_prompt:
+        # a file path loads directly; otherwise treat as a snapshot preset
+        # name (NATM0, VARF2, ... — resolved by the model)
+        voice = (PersonaPlex.load_voice_prompt(args.voice_prompt)
+                 if _os.path.exists(args.voice_prompt) else args.voice_prompt)
     result = {"output": args.output}
     if args.diagnostic:
         out, diag = model.respond_diagnostic(audio, rate, sampling=sampling,
@@ -394,7 +400,9 @@ def build_parser() -> argparse.ArgumentParser:
     add("respond", cmd_respond, audio={}, **{
         "--model": dict(default="nvidia/personaplex-7b-v1"),
         "--output": dict(default="response.wav"),
-        "--voice-prompt": dict(default=None, help="voice .safetensors/.npz"),
+        "--voice-prompt": dict(default=None,
+                               help="voice .safetensors/.npz path, or a "
+                                    "snapshot preset name (NATM0...)"),
         "--system-prompt": dict(default=None,
                                 help="text steering prompt (SentencePiece'd; "
                                      "default: built-in assistant prompt)"),

@@ -46,6 +46,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import time
+from pathlib import Path
 from typing import Optional, Tuple
 
 import jax
@@ -511,6 +512,8 @@ class PersonaPlex(SpeechToSpeechModel):
         self.params = cast_tree(fuse_temporal_params(params), dtype)
         self.mimi_params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float32), mimi_params)
         self.dtype = dtype
+        #: snapshot directory (set by from_pretrained) — named voice presets
+        self.model_dir: Optional[str] = None
         self._loaded = True
 
         self._mimi_encode = jax.jit(functools.partial(mimi_encode, cfg=cfg.mimi))
@@ -709,8 +712,6 @@ class PersonaPlex(SpeechToSpeechModel):
         ``quant_bits`` re-packs the temporal linears + text head to int8/4
         group-64 after conversion — 8-bit fits the 7B on one 16 GB chip
         (the reference's own serving config, personaplex.md:166)."""
-        from pathlib import Path
-
         from safetensors import safe_open
 
         from ...core.hub import download_weights
@@ -744,11 +745,45 @@ class PersonaPlex(SpeechToSpeechModel):
 
             params = quantize_tree(params, quant_bits, embed_keys=())
         mimi_params = convert_mimi_tree(read("mimi.safetensors"), cfg.mimi)
-        return cls(cfg, params, mimi_params, dtype=dtype, **kw)
+        model = cls(cfg, params, mimi_params, dtype=dtype, **kw)
+        model.model_dir = str(model_dir)
+        return model
 
     VOICE_PROMPT_CAP = 32  # frames; fixed so one compiled program serves all prompts
     DELAY_RING = 4         # maxDelay + 3 (PersonaPlex.swift:210)
     PROMPT_CAP = 64        # spacer+text+spacer steps; fixed for one compiled program
+
+    #: upstream voice preset names — voices/<name>.safetensors in the
+    #: snapshot (reference: PersonaPlexVoice, Configuration.swift:313-321)
+    VOICES = tuple(f"NAT{g}{i}" for g in "FM" for i in range(4)) + \
+             tuple(f"VAR{g}{i}" for g in "FM" for i in range(5))
+
+    @property
+    def available_voices(self) -> list:
+        """Voice presets with a file present in the loaded snapshot
+        (empty for random-weight models with no snapshot dir)."""
+        d = getattr(self, "model_dir", None)
+        if d is None:
+            return []
+        voices_dir = Path(d) / "voices"
+        return sorted(p.stem for p in voices_dir.glob("*.safetensors")) \
+            if voices_dir.is_dir() else []
+
+    def voice(self, name: str) -> dict:
+        """Load a named voice preset from the snapshot's ``voices/`` dir
+        (the reference's `voice: .NATM0` selection,
+        PersonaPlex.swift:131-146). ``respond(voice_prompt="NATM0")``
+        resolves through here."""
+        d = getattr(self, "model_dir", None)
+        if d is None:
+            raise ValueError("no snapshot directory — named voices need "
+                             "from_pretrained(); pass a voice dict instead")
+        path = Path(d) / "voices" / f"{name}.safetensors"
+        if not path.exists():
+            raise FileNotFoundError(
+                f"voice {name!r} not in snapshot; available: "
+                f"{self.available_voices or self.VOICES}")
+        return self.load_voice_prompt(str(path))
 
     def make_voice_prompt(self, audio: np.ndarray, sample_rate: int = 24000,
                           path: Optional[str] = None) -> dict:
@@ -835,6 +870,8 @@ class PersonaPlex(SpeechToSpeechModel):
         n_voice = 0
         if voice_prompt is None:
             return jnp.asarray(embeds), 0, None
+        if isinstance(voice_prompt, str):
+            voice_prompt = self.voice(voice_prompt)  # preset name → dict
         vp = voice_prompt if isinstance(voice_prompt, dict) else {"codes": np.asarray(voice_prompt)}
         if "embeddings" in vp:
             e = np.asarray(vp["embeddings"], np.float32)   # [T, 1, 1, d]

@@ -657,6 +657,38 @@ class TestPromptPrefill:
         np.testing.assert_array_equal(
             reads[2: 1 + k, 1], codes[0, 1:k, n_voice - 1])
 
+    def test_named_voice_presets(self, model, tmp_path):
+        """respond(voice_prompt=\"NAME\") resolves voices/NAME.safetensors
+        from the snapshot dir (the reference's PersonaPlexVoice presets)."""
+        spf = CFG.mimi.samples_per_frame
+        vdir = tmp_path / "voices"
+        vdir.mkdir()
+        audio = (0.1 * np.random.default_rng(12).standard_normal(spf * 4)).astype(np.float32)
+        model.make_voice_prompt(audio, sample_rate=CFG.mimi.sample_rate,
+                                path=str(vdir / "NATM0.safetensors"))
+        old_dir = model.model_dir
+        model.model_dir = str(tmp_path)
+        try:
+            assert model.available_voices == ["NATM0"]
+            vp = model.voice("NATM0")
+            assert "embeddings" in vp and "cache" in vp
+            # str name resolves through _voice_inputs identically
+            e1, n1, r1 = model._voice_inputs("NATM0")
+            e2, n2, r2 = model._voice_inputs(vp)
+            assert n1 == n2
+            np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+            np.testing.assert_array_equal(r1, r2)
+            with pytest.raises(FileNotFoundError):
+                model.voice("VARF9")
+        finally:
+            model.model_dir = old_dir
+
+    def test_named_voice_without_snapshot_raises(self):
+        m = PersonaPlex.init_random(CFG)
+        with pytest.raises(ValueError):
+            m.voice("NATM0")
+        assert m.available_voices == []
+
     def test_make_voice_prompt_ring_matches_codes_path(self, model):
         """make_voice_prompt's stored .safetensors ring equals the ring the
         raw-codes path derives from the same codes."""
