@@ -123,13 +123,9 @@ def cmd_respond(args):
         model = PersonaPlex.from_pretrained(args.model)
         sampling = PersonaSampling()
     audio, rate = _load_audio(args.audio, rate=model.cfg.mimi.sample_rate)
-    import os as _os
-    voice = None
-    if args.voice_prompt:
-        # a file path loads directly; otherwise treat as a snapshot preset
-        # name (NATM0, VARF2, ... — resolved by the model)
-        voice = (PersonaPlex.load_voice_prompt(args.voice_prompt)
-                 if _os.path.exists(args.voice_prompt) else args.voice_prompt)
+    # the model resolves the string: path-like → load the file (plain
+    # missing-file error), bare name → snapshot preset
+    voice = args.voice_prompt
     result = {"output": args.output}
     if args.diagnostic:
         out, diag = model.respond_diagnostic(audio, rate, sampling=sampling,

@@ -344,8 +344,12 @@ def _sample_topk(logits, key, top_k: int, temperature: float,
     Sampling.swift:56-86 sampleTopKWithPenalty)."""
     lg = logits.astype(jnp.float32)
     if history is not None and penalty != 1.0:
-        seen = jax.nn.one_hot(history, lg.shape[-1], dtype=jnp.bool_).any(axis=-2)
-        lg = jnp.where(seen, jnp.where(lg > 0, lg / penalty, lg * penalty), lg)
+        from ...ops.sampling import apply_repetition_penalty
+
+        # negative slots → out-of-range so the scatter drops them (the
+        # shared op wraps negatives numpy-style otherwise)
+        safe = jnp.where(history < 0, lg.shape[-1], history)
+        lg = apply_repetition_penalty(lg, safe, safe.shape[-1], penalty)
     if top_k > 0:
         top = min(top_k, lg.shape[-1])
         kth = jnp.sort(lg, axis=-1)[..., -top][..., None]
@@ -605,10 +609,12 @@ class PersonaPlex(SpeechToSpeechModel):
                 run = jnp.where(counted & is_sil, run + 1,
                                 jnp.where(counted, 0, run))
                 stopped = (run >= sampling.silence_stop_frames) if sampling.silence_stop_frames > 0 else jnp.zeros((b,), bool)
-                if diag or sampling.entropy_stop_threshold > 0:
+                entropy_stop = (sampling.entropy_stop_threshold > 0
+                                and sampling.entropy_stop_window > 0)
+                if diag or entropy_stop:
                     lp = jax.nn.log_softmax(text_logits.astype(jnp.float32))
                     ent = -(jnp.exp(lp) * lp).sum(axis=-1)  # [B]
-                if sampling.entropy_stop_threshold > 0:
+                if entropy_stop:
                     # text-token-collapse early stop (PersonaPlex.swift:412,
                     # disabled by default): entropy of the text distribution
                     low = ent < sampling.entropy_stop_threshold
@@ -871,7 +877,14 @@ class PersonaPlex(SpeechToSpeechModel):
         if voice_prompt is None:
             return jnp.asarray(embeds), 0, None
         if isinstance(voice_prompt, str):
-            voice_prompt = self.voice(voice_prompt)  # preset name → dict
+            # path-like strings load directly (missing files raise the
+            # plain file error); bare names resolve as snapshot presets
+            import os
+
+            if (os.sep in voice_prompt or voice_prompt.endswith((".safetensors", ".npz"))):
+                voice_prompt = self.load_voice_prompt(voice_prompt)
+            else:
+                voice_prompt = self.voice(voice_prompt)  # preset name → dict
         vp = voice_prompt if isinstance(voice_prompt, dict) else {"codes": np.asarray(voice_prompt)}
         if "embeddings" in vp:
             e = np.asarray(vp["embeddings"], np.float32)   # [T, 1, 1, d]

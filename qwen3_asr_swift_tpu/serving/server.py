@@ -21,6 +21,7 @@ from __future__ import annotations
 import asyncio
 import base64
 import json
+import threading
 import time
 from typing import Callable, Dict, Optional
 
@@ -87,6 +88,7 @@ class SpeechServer:
         self._tts_batchers: Dict[int, TTSBatcher] = {}
         self._max_batch = max_batch
         self._server: Optional[asyncio.AbstractServer] = None
+        self._s2s_lock = threading.Lock()
         self._started = time.time()
 
     def _batcher_for(self, model) -> ContinuousBatcher:
@@ -354,23 +356,31 @@ class SpeechServer:
         if payload.get("seed") is not None:
             kwargs["seed"] = int(payload["seed"])
         if payload.get("max_steps") is not None:
-            import dataclasses as _dc
-
             from ..models.personaplex import PersonaSampling
 
-            kwargs["sampling"] = _dc.replace(PersonaSampling(),
-                                             max_steps=int(payload["max_steps"]))
+            kwargs["sampling"] = PersonaSampling(max_steps=int(payload["max_steps"]))
         loop = asyncio.get_running_loop()
-        chunk = await loop.run_in_executor(
-            None, lambda: s2s.respond(audio, sample_rate=rate, **kwargs))
+
+        def job():
+            # serialize respond + last_text_tokens/last_transcript reads:
+            # they are instance state on the model, so two overlapping
+            # requests would otherwise pair one request's audio with the
+            # other's transcript (the device serializes compute anyway)
+            with self._s2s_lock:
+                chunk = s2s.respond(audio, sample_rate=rate, **kwargs)
+                return (chunk, getattr(s2s, "last_text_tokens", None),
+                        getattr(s2s, "last_transcript", None))
+
+        chunk, toks, transcript = await loop.run_in_executor(None, job)
         if payload.get("format") == "json":
             out = {"duration": round(chunk.duration, 2),
                    "audio_base64": base64.b64encode(
                        wav_bytes(chunk.samples, chunk.sample_rate)).decode()}
-            toks = getattr(s2s, "last_text_tokens", None)
             if toks is not None:
+                # count under the reference's field name
+                # (AudioServer.swift:144), ids alongside
                 out["text_tokens"] = len(toks)
-            transcript = getattr(s2s, "last_transcript", None)
+                out["text_token_ids"] = [int(t) for t in toks]
             if transcript is not None:
                 out["transcript"] = transcript
             await self._respond(writer, 200, out)

@@ -559,6 +559,19 @@ class TestRepetitionPenalty:
         a2 = m._run_converse(clip, cfg.mimi.sample_rate, samp, 1.0, None, seed=9)
         np.testing.assert_array_equal(np.asarray(a1[0]), np.asarray(a2[0]))
 
+    def test_entropy_stop_window_zero_disables(self):
+        """entropy_stop_window<=0 must disable the stop, not trip it at
+        step 0 (ent_run >= 0 is vacuously true)."""
+        m = PersonaPlex.init_random(CFG)
+        cfg = m.cfg
+        spf = cfg.mimi.samples_per_frame
+        clip = (0.1 * np.random.default_rng(6).standard_normal(2 * spf)).astype(np.float32)
+        samp = PersonaSampling(max_steps=5, silence_stop_frames=0,
+                               entropy_stop_threshold=1e9, entropy_stop_window=0)
+        _, n_frames, n_done, _ = m._run_converse(clip, cfg.mimi.sample_rate, samp,
+                                                 max_extra_s=2.0, voice_prompt=None)
+        assert n_done == 5  # ran the full budget
+
     def test_entropy_early_stop(self):
         """With an absurdly high threshold and window 1, generation stops
         at the first post-user step (the reference's text-collapse stop,

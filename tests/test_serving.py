@@ -492,6 +492,7 @@ class TestEnhanceRespondRoutes:
         out = js.loads(body)
         assert out["transcript"] == "hello there"
         assert out["text_tokens"] == 3
+        assert out["text_token_ids"] == [4, 5, 6]
         assert b64.b64decode(out["audio_base64"])[:4] == b"RIFF"
         assert out["duration"] == 0.1
 
