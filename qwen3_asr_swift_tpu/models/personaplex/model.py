@@ -1105,9 +1105,10 @@ class PersonaPlex(SpeechToSpeechModel):
         sampling = sampling or PersonaSampling()
         sr = self.cfg.mimi.sample_rate
         spf = self.cfg.mimi.samples_per_frame
-        agent, _, n_done, _dstats = self._run_converse(
+        agent, _, n_done, dstats = self._run_converse(
             audio, sample_rate, sampling, max_extra_s, voice_prompt,
             system_prompt=system_prompt)
+        self._set_text_outputs(dstats, n_done)
         agent = np.asarray(agent)
         emitted = 0
         while emitted < n_done:
