@@ -59,6 +59,57 @@ class ChatConfig:
         return "full" if (i + 1) % self.full_attention_interval == 0 else "linear"
 
 
+@dataclasses.dataclass(frozen=True)
+class ChatSamplingConfig:
+    """Chat sampling knobs, reference defaults and presets
+    (reference: Qwen3ChatConfig.swift:121-146 ChatSamplingConfig;
+    sampler semantics ChatSampler.swift:17-106 — repetition penalty over
+    the last 64 prompt+generated tokens, temperature<=0 = greedy, then
+    temperature → top-k → nucleus top-p → categorical sample)."""
+
+    temperature: float = 0.7
+    top_k: int = 50
+    top_p: float = 0.9
+    max_tokens: int = 256
+    repetition_penalty: float = 1.1
+
+    #: history window of the repetition penalty (ChatSampler.swift:26)
+    REP_WINDOW = 64
+
+    @classmethod
+    def creative(cls) -> "ChatSamplingConfig":
+        return cls(temperature=0.9, top_p=0.95)
+
+    @classmethod
+    def precise(cls) -> "ChatSamplingConfig":
+        return cls(temperature=0.3, top_k=20, top_p=0.8)
+
+
+def chat_sample(logits, key, scfg: ChatSamplingConfig, history):
+    """On-device ChatSampler.sample: logits [B, V], history [B, W] int32
+    (out-of-range/negative = empty slot) → int32 [B]. Filter order matches
+    the reference; top-k/top-p renormalizations are rank-preserving, so
+    Gumbel-max over the masked, temperature-scaled logits samples the same
+    distribution."""
+    from ...ops.sampling import (apply_repetition_penalty, apply_top_k,
+                                 apply_top_p)
+
+    lg = logits.astype(jnp.float32)
+    if scfg.repetition_penalty > 1.0:
+        safe = jnp.where(history < 0, lg.shape[-1], history)
+        lg = apply_repetition_penalty(lg, safe, safe.shape[-1],
+                                      scfg.repetition_penalty)
+    if scfg.temperature <= 0:
+        return jnp.argmax(lg, axis=-1).astype(jnp.int32)
+    # temperature scales BEFORE the filters: the nucleus set is defined on
+    # the temperature-scaled distribution (ChatSampler.swift:52-95)
+    lg = lg / scfg.temperature
+    lg = apply_top_k(lg, scfg.top_k)
+    lg = apply_top_p(lg, scfg.top_p)
+    g = jax.random.gumbel(key, lg.shape, dtype=jnp.float32)
+    return jnp.argmax(lg + g, axis=-1).astype(jnp.int32)
+
+
 CONFIG_08B = ChatConfig()
 
 
@@ -284,11 +335,16 @@ class Qwen3Chat(PipelineLLM):
         self.params = cast_tree(params, dtype)
         self.dtype = dtype
 
-        @functools.partial(jax.jit, static_argnames=("t_bucket", "max_new", "max_len"))
-        def _gen_start(p, ids, n_valid, key, *, t_bucket, max_new, max_len):
+        @functools.partial(jax.jit,
+                           static_argnames=("t_bucket", "max_new", "max_len", "sampling"))
+        def _gen_start(p, ids, n_valid, key, *, t_bucket, max_new, max_len,
+                       sampling: Optional[ChatSamplingConfig] = None):
             """Prefill + first token. ids are LEFT-padded: the prompt
-            occupies the last n_valid slots. Returns the resumable decode
-            state consumed by ``_gen_chunk``."""
+            occupies the last n_valid slots. ``sampling`` None = greedy;
+            a ChatSamplingConfig runs the reference sampler on device
+            with a prompt+generated history ring for the repetition
+            penalty. Returns the resumable decode state consumed by
+            ``_gen_chunk``."""
             b = ids.shape[0]
             states = init_states(cfg, b, max_len, dtype)
             pad = t_bucket - n_valid  # [B]
@@ -296,13 +352,27 @@ class Qwen3Chat(PipelineLLM):
             positions = jnp.maximum(jnp.arange(t_bucket)[None] - pad[:, None], 0)
             logits, states = chat_forward(p, cfg, ids, states, positions, valid)
             last = logits[:, -1]
-            tok = jnp.argmax(last, axis=-1).astype(jnp.int32)
+            # penalty history seeds from the prompt tail (the reference
+            # passes promptTokens + generatedTokens, MLXGenerator.swift:230)
+            W = ChatSamplingConfig.REP_WINDOW
+            w = min(W, t_bucket)
+            hist = jnp.where(valid[:, -w:], ids[:, -w:], -1)
+            if w < W:
+                hist = jnp.concatenate(
+                    [jnp.full((b, W - w), -1, jnp.int32), hist], axis=1)
+            if sampling is None:
+                tok = jnp.argmax(last, axis=-1).astype(jnp.int32)
+            else:
+                key, k0 = jax.random.split(key)
+                tok = chat_sample(last, k0, sampling, hist)
+            hist = jnp.concatenate([hist[:, 1:], tok[:, None]], axis=1)
             out = jnp.full((b, max_new), cfg.eos_token_id, jnp.int32).at[:, 0].set(tok)
             done = tok == cfg.eos_token_id
-            return (jnp.asarray(1, jnp.int32), out, states, done, tok)
+            return (jnp.asarray(1, jnp.int32), out, states, done, tok, hist, key)
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def _gen_chunk(p, s, n_valid, end):
+        @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("sampling",))
+        def _gen_chunk(p, s, n_valid, end,
+                       sampling: Optional[ChatSamplingConfig] = None):
             """Decode up to step ``end`` (dynamic) and return the carried
             state — the resumable-decode chunk, same design as the ASR
             path: per-chunk host fetch gives true token streaming and
@@ -310,26 +380,35 @@ class Qwen3Chat(PipelineLLM):
             hit EOS exits its while_loop immediately."""
 
             def cond(s):
-                step, _, _, done, _ = s
+                step, _, _, done, _, _, _ = s
                 return (step < end) & ~jnp.all(done)
 
             def body(s):
-                step, out, states, done, tok = s
+                step, out, states, done, tok, hist, key = s
                 # position = true prompt length + generated so far
                 pos = (n_valid + step - 1)[:, None]
                 logits, states = chat_forward(p, cfg, tok[:, None], states, pos)
-                tok = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                if sampling is None:
+                    tok = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                else:
+                    key, kk = jax.random.split(key)
+                    tok = chat_sample(logits[:, 0], kk, sampling, hist)
                 tok = jnp.where(done, cfg.eos_token_id, tok)
+                # finished rows stop accumulating history
+                hist = jnp.where(done[:, None], hist,
+                                 jnp.concatenate([hist[:, 1:], tok[:, None]], axis=1))
                 out = out.at[:, step].set(tok)
                 done = done | (tok == cfg.eos_token_id)
-                return step + 1, out, states, done, tok
+                return step + 1, out, states, done, tok, hist, key
 
             return jax.lax.while_loop(cond, body, s)
 
-        def _generate(p, ids, n_valid, key, *, t_bucket, max_new, max_len):
+        def _generate(p, ids, n_valid, key, *, t_bucket, max_new, max_len,
+                      sampling=None):
             s = _gen_start(p, ids, n_valid, key, t_bucket=t_bucket,
-                           max_new=max_new, max_len=max_len)
-            s = _gen_chunk(p, s, n_valid, jnp.asarray(max_new, jnp.int32))
+                           max_new=max_new, max_len=max_len, sampling=sampling)
+            s = _gen_chunk(p, s, n_valid, jnp.asarray(max_new, jnp.int32),
+                           sampling=sampling)
             return s[1]
 
         self._gen_start = _gen_start
@@ -376,7 +455,12 @@ class Qwen3Chat(PipelineLLM):
         parts.append("<|im_start|>assistant\n")
         return "".join(parts)
 
-    def generate_ids(self, prompt_ids: Sequence[int], max_new: int = 128, seed: int = 0) -> List[int]:
+    def generate_ids(self, prompt_ids: Sequence[int], max_new: int = 128, seed: int = 0,
+                     sampling: Optional[ChatSamplingConfig] = None) -> List[int]:
+        """``sampling`` None = greedy (deterministic); a
+        :class:`ChatSamplingConfig` (e.g. ``ChatSamplingConfig()`` — the
+        reference's default temp 0.7 / top-k 50 / top-p 0.9 / rep 1.1 —
+        or the ``creative()``/``precise()`` presets) samples on device."""
         n = len(prompt_ids)
         t_bucket = max(32, ((n + 31) // 32) * 32)
         ids = np.zeros((1, t_bucket), np.int32)
@@ -384,7 +468,7 @@ class Qwen3Chat(PipelineLLM):
         out = self._generate(
             self.params, jnp.asarray(ids), jnp.asarray([n], jnp.int32),
             jax.random.PRNGKey(seed), t_bucket=t_bucket, max_new=max_new,
-            max_len=t_bucket + max_new,
+            max_len=t_bucket + max_new, sampling=sampling,
         )
         toks = []
         for t in np.asarray(out)[0].tolist():
@@ -394,7 +478,8 @@ class Qwen3Chat(PipelineLLM):
         return toks
 
     def generate_ids_stream(self, prompt_ids: Sequence[int], max_new: int = 128,
-                            seed: int = 0, chunk: int = 16) -> Iterator[int]:
+                            seed: int = 0, chunk: int = 16,
+                            sampling: Optional[ChatSamplingConfig] = None) -> Iterator[int]:
         """Yield token ids AS THEY DECODE: the resumable-chunk decode
         (``chunk`` tokens per device round-trip) gives true streaming —
         first token after prefill+1 step, then a bounded wait per chunk —
@@ -409,6 +494,7 @@ class Qwen3Chat(PipelineLLM):
         s = self._gen_start(
             self.params, jnp.asarray(ids), n_valid, jax.random.PRNGKey(seed),
             t_bucket=t_bucket, max_new=max_new, max_len=t_bucket + max_new,
+            sampling=sampling,
         )
         tok0 = int(np.asarray(s[4])[0])
         if tok0 == self.cfg.eos_token_id:
@@ -418,7 +504,7 @@ class Qwen3Chat(PipelineLLM):
         while step < max_new:
             end = min(step + chunk, max_new)
             s = self._gen_chunk(self.params, s, n_valid,
-                                jnp.asarray(end, jnp.int32))
+                                jnp.asarray(end, jnp.int32), sampling=sampling)
             out = np.asarray(s[1])[0]
             for i in range(step, end):
                 t = int(out[i])
@@ -427,7 +513,10 @@ class Qwen3Chat(PipelineLLM):
                 yield t
             step = end
 
-    def chat(self, messages: Sequence[dict], tools: Sequence[dict] = ()) -> Iterator[str]:
+    def chat(self, messages: Sequence[dict], tools: Sequence[dict] = (),
+             sampling: Optional[ChatSamplingConfig] = None) -> Iterator[str]:
+        """``sampling`` None = greedy; pass ``ChatSamplingConfig()`` for
+        the reference server's default sampled decoding."""
         if self.tokenizer is None:
             raise RuntimeError("chat requires a tokenizer")
         prompt = self.apply_chat_template(messages)
@@ -435,7 +524,7 @@ class Qwen3Chat(PipelineLLM):
         from ...tokenizers.bpe import StreamingDecoder
 
         dec = StreamingDecoder(self.tokenizer)
-        for t in self.generate_ids_stream(ids):
+        for t in self.generate_ids_stream(ids, sampling=sampling):
             piece = dec.push(t)
             if piece:
                 yield piece

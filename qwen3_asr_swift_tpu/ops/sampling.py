@@ -101,6 +101,22 @@ def apply_top_k(logits, k: int):
     return jnp.where(logits < kth, NEG_INF, logits)
 
 
+def apply_top_p(logits, p: float):
+    """Nucleus filter: keep the smallest descending-probability prefix
+    whose cumulative probability reaches ``p`` (the crossing token
+    included), mask the rest to -inf. Renormalization is unnecessary for
+    sampling (reference: ChatSampler.swift:79-95)."""
+    if p >= 1.0:
+        return logits
+    desc = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(desc.astype(jnp.float32), axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) < p  # prefix up to and including the crossing token
+    n_keep = keep.sum(axis=-1, keepdims=True)  # >= 1 always
+    cutoff = jnp.take_along_axis(desc, n_keep - 1, axis=-1)
+    return jnp.where(logits >= cutoff, logits, NEG_INF)
+
+
 def sample_token(logits, key, opts: SamplingOptions, generated=None, gen_len=None):
     """Select the next token on device. logits: [B, V] (any float dtype).
     Returns int32 [B]."""

@@ -106,3 +106,58 @@ class TestQuantizedChat:
         ids = m.generate_ids([5, 9, 13], max_new=4)
         assert len(ids) == 4
         assert ids == m.generate_ids([5, 9, 13], max_new=4)  # deterministic
+
+
+class TestChatSampling:
+    """Reference ChatSampler parity (ChatSampler.swift:17-106) on device."""
+
+    def test_top_p_nucleus_prefix(self):
+        from qwen3_asr_swift_tpu.ops.sampling import apply_top_p
+
+        # probs ~ [0.643, 0.237, 0.087, 0.032] for logits [3,2,1,0]:
+        # p=0.7 keeps the prefix through the crossing token {3, 2}
+        lg = jnp.asarray([[3.0, 2.0, 1.0, 0.0]])
+        out = np.asarray(apply_top_p(lg, 0.7))[0]
+        assert out[0] == 3.0 and out[1] == 2.0
+        assert out[2] < -1e8 and out[3] < -1e8
+        # p=0.5 keeps only the top token (it alone crosses 0.5)
+        out = np.asarray(apply_top_p(lg, 0.5))[0]
+        assert out[0] == 3.0 and (out[1:] < -1e8).all()
+        # p>=1 is the identity
+        np.testing.assert_array_equal(np.asarray(apply_top_p(lg, 1.0)), np.asarray(lg))
+
+    def test_chat_sample_greedy_and_penalty(self):
+        from qwen3_asr_swift_tpu.models.chat import ChatSamplingConfig, chat_sample
+
+        key = jax.random.PRNGKey(0)
+        lg = jnp.asarray([[0.5, 1.0, -2.0]])
+        greedy = ChatSamplingConfig(temperature=0.0, repetition_penalty=1.0)
+        assert int(chat_sample(lg, key, greedy, jnp.asarray([[-1]]))[0]) == 1
+        # history with token 1 + penalty drops it below token 0
+        pen = ChatSamplingConfig(temperature=0.0, repetition_penalty=4.0)
+        assert int(chat_sample(lg, key, pen, jnp.asarray([[1]]))[0]) == 0
+        # empty-slot sentinel is inert
+        assert int(chat_sample(lg, key, pen, jnp.asarray([[-1]]))[0]) == 1
+
+    def test_sampled_generation_deterministic_per_seed(self):
+        from qwen3_asr_swift_tpu.models.chat import ChatSamplingConfig
+
+        model = Qwen3Chat.init_random(config_tiny())
+        s = ChatSamplingConfig()  # reference default: temp 0.7 top-k 50 top-p 0.9
+        a = model.generate_ids([3, 5, 7], max_new=8, seed=1, sampling=s)
+        b = model.generate_ids([3, 5, 7], max_new=8, seed=1, sampling=s)
+        assert a == b
+        # stream yields the same sequence as the monolithic call
+        c = list(model.generate_ids_stream([3, 5, 7], max_new=8, seed=1,
+                                           sampling=s, chunk=3))
+        assert c == a
+        # greedy path unchanged (None default)
+        g1 = model.generate_ids([3, 5, 7], max_new=8)
+        g2 = model.generate_ids([3, 5, 7], max_new=8, seed=9)
+        assert g1 == g2  # greedy ignores the seed
+
+    def test_presets(self):
+        from qwen3_asr_swift_tpu.models.chat import ChatSamplingConfig
+
+        assert ChatSamplingConfig.creative().temperature == 0.9
+        assert ChatSamplingConfig.precise().top_k == 20
