@@ -323,16 +323,26 @@ class SpeechServer:
         })
 
     async def _handle_speak(self, body, writer):
-        tts = await self.registry.get("tts")
+        """``engine`` selects the TTS model (reference:
+        AudioServer.swift:91-102 — registry entry ``tts:<engine>``, falling
+        back to the default ``tts``); ``voice``/``language`` pass through."""
+        payload = json.loads(body)
+        if not payload.get("text"):
+            await self._respond(writer, 400, {"error": "missing 'text' field"})
+            return
+        engine = payload.get("engine")
+        tts = await self.registry.get(f"tts:{engine}") if engine else None
+        if tts is None:
+            tts = await self.registry.get("tts")
         if tts is None:
             await self._respond(writer, 503, {"error": "no TTS model registered"})
             return
-        payload = json.loads(body)
         loop = asyncio.get_running_loop()
         batcher = self._tts_batcher_for(tts)
         kwargs = {}
-        if payload.get("voice"):
-            kwargs["voice"] = payload["voice"]
+        for k in ("voice", "language"):
+            if payload.get(k):
+                kwargs[k] = payload[k]
         chunk = await loop.run_in_executor(
             None, lambda: batcher.synthesize(payload["text"], **kwargs)
         )

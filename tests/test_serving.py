@@ -121,6 +121,49 @@ def server():
     t.join(timeout=10)
 
 
+@pytest.fixture()
+def server_with_engines():
+    class CountingTTS(FakeTTS):
+        def __init__(self):
+            self.calls = []
+
+        def synthesize(self, text, voice=None, **kw):
+            self.calls.append((text, kw))
+            return AudioChunk(np.zeros(1600, np.float32), 16000)
+
+    kokoro = CountingTTS()
+    registry = ModelRegistry()
+    registry.register_instance("tts", FakeTTS())
+    registry.register_instance("tts:kokoro", kokoro)
+    srv = SpeechServer(registry, host="127.0.0.1", port=0)
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+    holder = {}
+
+    def run():
+        asyncio.set_event_loop(loop)
+
+        async def go():
+            holder["task"] = asyncio.current_task()
+            s = await srv.start()
+            holder["port"] = s.sockets[0].getsockname()[1]
+            started.set()
+            await s.serve_forever()
+
+        try:
+            loop.run_until_complete(go())
+        except asyncio.CancelledError:
+            pass
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    assert started.wait(5)
+    yield holder["port"], kokoro
+    if "task" in holder:
+        loop.call_soon_threadsafe(holder["task"].cancel)
+    t.join(timeout=10)
+
+
 def http_request(port, method, path, body=b"", content_type="application/json"):
     with socket.create_connection(("127.0.0.1", port), timeout=10) as s:
         req = (
@@ -165,6 +208,21 @@ class TestHttp:
         assert status == 200
         assert b"audio/wav" in head
         assert body[:4] == b"RIFF"
+
+    def test_speak_missing_text_400(self, server):
+        status, _, _ = http_request(server, "POST", "/speak", json.dumps({}).encode())
+        assert status == 400
+
+    def test_speak_engine_selection(self, server_with_engines):
+        port, kokoro = server_with_engines
+        body = json.dumps({"text": "hi", "engine": "kokoro", "language": "en"}).encode()
+        status, _, resp = http_request(port, "POST", "/speak", body)
+        assert status == 200 and resp[:4] == b"RIFF"
+        assert kokoro.calls == [("hi", {"language": "en"})]
+        # unknown engine falls back to the default tts entry
+        status, _, resp = http_request(
+            port, "POST", "/speak", json.dumps({"text": "yo", "engine": "nope"}).encode())
+        assert status == 200 and resp[:4] == b"RIFF"
 
     def test_unknown_route(self, server):
         status, _, _ = http_request(server, "GET", "/nope")
