@@ -442,6 +442,7 @@ class RealtimeSession:
         self._input_rate = 16000
         self._event_counter = 0
         self._last_transcript = ""
+        self._pending_text = ""  # queued conversation.item.create text
 
     def _event_id(self) -> str:
         self._event_counter += 1
@@ -487,6 +488,15 @@ class RealtimeSession:
             await self._commit()
         elif etype == "response.create":
             await self._response(event)
+        elif etype == "conversation.item.create":
+            # text items queue for the next response.create's TTS
+            # (reference: AudioServer.swift:477-490)
+            item = event.get("item") or {}
+            for part in item.get("content") or []:
+                if part.get("type") in ("input_text", "text") and part.get("text"):
+                    self._pending_text = part["text"]
+                    await self._send({"type": "conversation.item.created",
+                                      "event_id": self._event_id(), "item": item})
         else:
             await self._send({"type": "error", "error": {"message": f"unsupported event {etype!r}"}})
 
@@ -512,7 +522,9 @@ class RealtimeSession:
 
     async def _response(self, event: dict):
         tts = await self.server.registry.get("tts")
-        text = (event.get("response", {}) or {}).get("instructions") or self._last_transcript
+        text = ((event.get("response", {}) or {}).get("instructions")
+                or self._pending_text or self._last_transcript)
+        self._pending_text = ""
         if tts is None or not text:
             await self._send({"type": "response.done", "event_id": self._event_id(),
                               "response": {"status": "incomplete"}})

@@ -315,6 +315,22 @@ class TestRealtime:
         assert "response.done" in types or "response.audio.done" in types
         c.close()
 
+    def test_conversation_item_text_feeds_response(self, server):
+        """conversation.item.create with a text part echoes
+        conversation.item.created and queues the text for the next
+        response.create (reference: AudioServer.swift:477-490)."""
+        c = WsClient(server)
+        c.recv_json()  # session.created
+        c.send_json({"type": "conversation.item.create", "item": {
+            "type": "message", "content": [{"type": "input_text", "text": "say hi"}]}})
+        created = c.recv_json()
+        assert created["type"] == "conversation.item.created"
+        c.send_json({"type": "response.create"})
+        types = [c.recv_json()["type"] for _ in range(4)]
+        assert types[0] == "response.created"
+        assert "response.audio.delta" in types
+        c.close()
+
     def test_unknown_event_errors(self, server):
         c = WsClient(server)
         c.recv_json()
