@@ -92,6 +92,15 @@ class ContinuousBatcher:
             self._queue.put(None)
         for t in self._threads:
             t.join(timeout=5)
+        # fail queued-but-unserved requests instead of leaving their
+        # futures pending forever (callers block on fut.result)
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None and not req.future.done():
+                req.future.set_exception(RuntimeError("batcher shut down"))
 
     # ------------------------------------------------------------------ #
 
@@ -200,6 +209,13 @@ class TTSBatcher:
         self._stop = True
         self._queue.put(None)
         self._thread.join(timeout=5)
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None and not req.future.done():
+                req.future.set_exception(RuntimeError("batcher shut down"))
 
     def _run(self):
         while not self._stop:

@@ -38,13 +38,17 @@ class _BodyTooLarge(Exception):
     """Chunked body exceeded max_body mid-stream."""
 
 
+class _BadRequest(Exception):
+    """Client-side error in the request body (-> 400, not 500)."""
+
+
 class ModelRegistry:
     """Lazy, single-instance model store (reference: ModelState)."""
 
     def __init__(self):
         self._loaders: Dict[str, Callable[[], object]] = {}
         self._instances: Dict[str, object] = {}
-        self._lock = asyncio.Lock()
+        self._locks: Dict[str, asyncio.Lock] = {}
 
     def register(self, name: str, loader: Callable[[], object]) -> None:
         self._loaders[name] = loader
@@ -53,10 +57,17 @@ class ModelRegistry:
         self._instances[name] = instance
 
     async def get(self, name: str):
-        async with self._lock:
+        # fast path: an already-loaded instance never waits on a lock —
+        # one model's multi-minute lazy load must not stall unrelated
+        # endpoints; the lock is per name, only for the loading race
+        inst = self._instances.get(name)
+        if inst is not None:
+            return inst
+        if name not in self._loaders:
+            return None
+        lock = self._locks.setdefault(name, asyncio.Lock())
+        async with lock:
             if name not in self._instances:
-                if name not in self._loaders:
-                    return None
                 log.info("lazily loading model %r", name)
                 loop = asyncio.get_running_loop()
                 self._instances[name] = await loop.run_in_executor(None, self._loaders[name])
@@ -231,8 +242,10 @@ class SpeechServer:
                     break
         except (asyncio.IncompleteReadError, ConnectionResetError):
             pass
-        except asyncio.LimitOverrunError:
-            # header/request line exceeded the stream buffer limit
+        except (asyncio.LimitOverrunError, ValueError):
+            # header/request line exceeded the stream buffer limit —
+            # StreamReader.readline re-raises LimitOverrunError as
+            # ValueError, so both spellings land here
             try:
                 await self._respond(writer, 431, {"error": "header line too long"})
             except Exception:  # noqa: BLE001
@@ -287,19 +300,34 @@ class SpeechServer:
                 await self._handle_enhance(headers, body, writer)
             else:
                 await self._respond(writer, 404, {"error": f"no route {method} {path}"})
+        except _BadRequest as e:
+            await self._respond(writer, 400, {"error": str(e)})
         except Exception as e:  # noqa: BLE001
             log.exception("route error")
             await self._respond(writer, 500, {"error": str(e)})
 
     def _decode_audio_body(self, headers, body):
+        """Decode a JSON-base64 or raw-WAV audio body; malformed client
+        input raises :class:`_BadRequest` (-> 400, not 500)."""
         ctype = headers.get("content-type", "")
         if "json" in ctype:
-            payload = json.loads(body)
-            pcm = base64.b64decode(payload["audio_base64"])
+            try:
+                payload = json.loads(body)
+            except json.JSONDecodeError as e:
+                raise _BadRequest(f"invalid JSON body: {e}") from e
+            if "audio_base64" not in payload:
+                raise _BadRequest("missing 'audio_base64' field")
+            try:
+                pcm = base64.b64decode(payload["audio_base64"], validate=True)
+            except Exception as e:  # noqa: BLE001
+                raise _BadRequest("invalid base64 audio") from e
             rate = int(payload.get("sample_rate", 16000))
             audio = to_float32(np.frombuffer(pcm, dtype=np.int16))
             return audio, rate, payload
-        audio, rate = read_wav(body)
+        try:
+            audio, rate = read_wav(body)
+        except Exception as e:  # noqa: BLE001
+            raise _BadRequest(f"invalid WAV body: {e}") from e
         return audio, rate, {}
 
     async def _handle_transcribe(self, headers, body, writer):
@@ -326,7 +354,10 @@ class SpeechServer:
         """``engine`` selects the TTS model (reference:
         AudioServer.swift:91-102 — registry entry ``tts:<engine>``, falling
         back to the default ``tts``); ``voice``/``language`` pass through."""
-        payload = json.loads(body)
+        try:
+            payload = json.loads(body)
+        except json.JSONDecodeError as e:
+            raise _BadRequest(f"invalid JSON body: {e}") from e
         if not payload.get("text"):
             await self._respond(writer, 400, {"error": "missing 'text' field"})
             return
@@ -481,6 +512,10 @@ class RealtimeSession:
             await self._send({"type": "session.updated", "event_id": self._event_id()})
         elif etype == "input_audio_buffer.append":
             self._audio += base64.b64decode(event.get("audio", ""))
+            if len(self._audio) > self.server.max_body:
+                self._audio.clear()
+                await self._send({"type": "error", "error": {
+                    "message": "input audio buffer overflow; buffer cleared"}})
         elif etype == "input_audio_buffer.clear":
             self._audio.clear()
             await self._send({"type": "input_audio_buffer.cleared", "event_id": self._event_id()})
@@ -532,41 +567,56 @@ class RealtimeSession:
         loop = asyncio.get_running_loop()
         await self._send({"type": "response.created", "event_id": self._event_id()})
 
-        if hasattr(tts, "synthesize_stream"):
-            # true streaming: deltas go out as the engine emits chunks
-            # (reference: synthesizeStream → response.audio.delta,
-            # AudioServer.swift:371-475). The blocking generator runs on a
-            # worker thread; an asyncio queue bridges to the socket.
-            q: "asyncio.Queue" = asyncio.Queue()
+        # true streaming: deltas go out as the engine emits chunks
+        # (reference: synthesizeStream → response.audio.delta,
+        # AudioServer.swift:371-475). Every TTS model has
+        # synthesize_stream (the protocol default yields one
+        # whole-utterance chunk); each emitted piece is re-sliced into
+        # ~200 ms deltas so single-chunk engines still stream. The
+        # blocking generator runs on a worker thread; an asyncio queue
+        # bridges to the socket, and a producer error reaches the client
+        # as an error event + incomplete status instead of being
+        # swallowed with truncated audio marked complete.
+        q: "asyncio.Queue" = asyncio.Queue()
+        stream_fn = getattr(tts, "synthesize_stream", None)
+        if stream_fn is None:
+            # duck-typed models without the protocol default: one chunk
+            def stream_fn(t):
+                yield tts.synthesize(t)
 
-            def produce():
-                try:
-                    for piece in tts.synthesize_stream(text):
-                        loop.call_soon_threadsafe(q.put_nowait, piece)
-                finally:
-                    loop.call_soon_threadsafe(q.put_nowait, None)
+        def produce():
+            try:
+                for piece in stream_fn(text):
+                    loop.call_soon_threadsafe(q.put_nowait, piece)
+            except Exception as e:  # noqa: BLE001
+                log.exception("streaming TTS failed")
+                loop.call_soon_threadsafe(q.put_nowait, e)
+            finally:
+                loop.call_soon_threadsafe(q.put_nowait, None)
 
-            loop.run_in_executor(None, produce)
-            while True:
-                piece = await q.get()
-                if piece is None:
-                    break
-                await self._send({
-                    "type": "response.audio.delta",
-                    "event_id": self._event_id(),
-                    "delta": base64.b64encode(to_pcm16(piece.samples).tobytes()).decode(),
-                })
-        else:
-            chunk = await loop.run_in_executor(None, lambda: tts.synthesize(text))
-            pcm = to_pcm16(chunk.samples).tobytes()
-            # stream in ~200 ms deltas (reference sends base64 PCM16 deltas)
-            step = chunk.sample_rate // 5 * 2
+        loop.run_in_executor(None, produce)
+        failed = None
+        while True:
+            piece = await q.get()
+            if piece is None:
+                break
+            if isinstance(piece, Exception):
+                failed = piece
+                continue  # drain to the sentinel
+            pcm = to_pcm16(piece.samples).tobytes()
+            step = max(2, piece.sample_rate // 5 * 2)  # ~200 ms of PCM16
             for off in range(0, len(pcm), step):
                 await self._send({
                     "type": "response.audio.delta",
                     "event_id": self._event_id(),
                     "delta": base64.b64encode(pcm[off : off + step]).decode(),
                 })
+        if failed is not None:
+            await self._send({"type": "error",
+                              "error": {"message": f"synthesis failed: {failed}"}})
+            await self._send({"type": "response.done", "event_id": self._event_id(),
+                              "response": {"status": "incomplete"}})
+            return
         await self._send({"type": "response.audio.done", "event_id": self._event_id()})
         await self._send({"type": "response.done", "event_id": self._event_id(),
                           "response": {"status": "completed"}})

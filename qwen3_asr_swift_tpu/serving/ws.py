@@ -3,7 +3,8 @@
 Stdlib-only (the environment ships no websockets package). Server-side:
 handshake (Sec-WebSocket-Accept), frame parsing with client masking,
 unmasked server frames, ping/pong, close. Fragmentation is supported for
-received frames; sent frames are single-fragment.
+received frames (control frames may interleave between fragments, per
+RFC 6455 §5.4); sent frames are single-fragment.
 """
 
 from __future__ import annotations
@@ -12,11 +13,16 @@ import asyncio
 import base64
 import hashlib
 import struct
-from typing import Optional, Tuple
+from typing import Callable, Optional, Tuple
+
+import numpy as np
 
 WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
 OP_CONT, OP_TEXT, OP_BINARY, OP_CLOSE, OP_PING, OP_PONG = 0x0, 0x1, 0x2, 0x8, 0x9, 0xA
+
+#: cap on a fully reassembled message, not just one frame
+MAX_MESSAGE = 64 * 1024 * 1024
 
 
 def accept_key(client_key: str) -> str:
@@ -39,7 +45,15 @@ def encode_frame(opcode: int, payload: bytes, fin: bool = True) -> bytes:
     return bytes(header) + payload
 
 
-async def read_frame(reader: asyncio.StreamReader, max_size: int = 64 * 1024 * 1024
+def _unmask(payload: bytes, mask: bytes) -> bytes:
+    # vectorized XOR: the per-byte Python loop costs ~100s of ms per MB on
+    # the event loop; numpy does the same in microseconds
+    data = np.frombuffer(payload, dtype=np.uint8)
+    key = np.frombuffer((mask * (len(data) // 4 + 1))[: len(data)], dtype=np.uint8)
+    return (data ^ key).tobytes()
+
+
+async def read_frame(reader: asyncio.StreamReader, max_size: int = MAX_MESSAGE
                      ) -> Tuple[int, bytes, bool]:
     """Returns (opcode, payload, fin). Raises on EOF / oversized frames."""
     head = await reader.readexactly(2)
@@ -56,27 +70,39 @@ async def read_frame(reader: asyncio.StreamReader, max_size: int = 64 * 1024 * 1
     mask = await reader.readexactly(4) if masked else None
     payload = await reader.readexactly(length)
     if mask:
-        payload = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+        payload = _unmask(payload, mask)
     return opcode, payload, fin
 
 
-async def read_message(reader: asyncio.StreamReader) -> Optional[Tuple[int, bytes]]:
-    """Reassemble one message (handling continuation frames). Returns
-    (opcode, payload) or None on clean close. Control frames are returned
-    as-is (they may not be fragmented)."""
+async def read_message(reader: asyncio.StreamReader,
+                       on_control: Optional[Callable] = None,
+                       max_size: int = MAX_MESSAGE) -> Optional[Tuple[int, bytes]]:
+    """Reassemble one DATA message (handling continuation frames). Returns
+    (opcode, payload) or None on clean close.
+
+    Control frames (ping/pong) may arrive BETWEEN the fragments of a data
+    message (RFC 6455 §5.4); they are passed to ``on_control`` (an async
+    callable) without disturbing the reassembly buffer. The reassembled
+    size is capped at ``max_size`` across fragments, not just per frame."""
     opcode = None
     buffer = bytearray()
     while True:
-        op, payload, fin = await read_frame(reader)
+        op, payload, fin = await read_frame(reader, max_size)
         if op == OP_CLOSE:
             return None
         if op in (OP_PING, OP_PONG):
-            return op, payload
+            if on_control is not None:
+                await on_control(op, payload)
+            continue  # keep reassembling the in-flight data message
         if op != OP_CONT:
             opcode = op
             buffer = bytearray(payload)
         else:
+            if opcode is None:
+                raise ValueError("continuation frame without a start frame")
             buffer += payload
+        if len(buffer) > max_size:
+            raise ValueError(f"message too large: {len(buffer)}")
         if fin:
             return opcode if opcode is not None else OP_TEXT, bytes(buffer)
 
@@ -97,25 +123,22 @@ class WebSocket:
         self.writer.write(encode_frame(OP_BINARY, data))
         await self.writer.drain()
 
+    async def _answer_control(self, op: int, payload: bytes) -> None:
+        if op == OP_PING:
+            self.writer.write(encode_frame(OP_PONG, payload))
+            await self.writer.drain()
+
     async def recv(self) -> Optional[Tuple[int, bytes]]:
-        """Returns (opcode, payload) with pings answered transparently,
-        or None once the peer closes."""
-        while True:
-            try:
-                msg = await read_message(self.reader)
-            except (asyncio.IncompleteReadError, ConnectionResetError):
-                return None
-            if msg is None:
-                await self.close()
-                return None
-            op, payload = msg
-            if op == OP_PING:
-                self.writer.write(encode_frame(OP_PONG, payload))
-                await self.writer.drain()
-                continue
-            if op == OP_PONG:
-                continue
-            return op, payload
+        """Returns (opcode, payload) with pings answered transparently
+        (including mid-fragmentation), or None once the peer closes."""
+        try:
+            msg = await read_message(self.reader, on_control=self._answer_control)
+        except (asyncio.IncompleteReadError, ConnectionResetError):
+            return None
+        if msg is None:
+            await self.close()
+            return None
+        return msg
 
     async def close(self, code: int = 1000) -> None:
         if not self.closed:

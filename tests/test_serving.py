@@ -649,3 +649,178 @@ class TestHTTPHardening:
                 while len(rest) < length:
                     rest += s.recv(65536)
                 assert b'"status": "ok"' in rest
+
+
+class TestWsCodecHardening:
+    @staticmethod
+    def _run(coro_fn, *frames, **kw):
+        """Run coro_fn(reader) with a StreamReader preloaded with frames
+        (the reader must be built inside a running loop on py3.12)."""
+        async def go():
+            r = asyncio.StreamReader()
+            for f in frames:
+                r.feed_data(f)
+            r.feed_eof()
+            return await coro_fn(r)
+
+        return asyncio.run(go())
+
+    def _masked(self, opcode, payload, fin=True):
+        import struct as st
+
+        mask = b"\x11\x22\x33\x44"
+        masked = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+        head = bytearray([(0x80 if fin else 0) | opcode])
+        n = len(payload)
+        if n < 126:
+            head.append(0x80 | n)
+        else:
+            head.append(0x80 | 126)
+            head += st.pack(">H", n)
+        return bytes(head) + mask + masked
+
+    def test_ping_between_fragments_preserved(self):
+        """RFC 6455 §5.4: control frames may interleave between fragments;
+        the reassembly buffer must survive them."""
+        from qwen3_asr_swift_tpu.serving.ws import OP_PING, read_message
+
+        pings = []
+
+        async def on_control(op, payload):
+            pings.append((op, payload))
+
+        op, payload = self._run(
+            lambda r: read_message(r, on_control=on_control),
+            self._masked(OP_TEXT, b'{"par', fin=False),
+            self._masked(OP_PING, b"hb"),
+            self._masked(0x0, b't":1}', fin=True),  # continuation
+        )
+        assert payload == b'{"part":1}'
+        assert pings == [(OP_PING, b"hb")]
+
+    def test_reassembled_message_size_capped(self):
+        from qwen3_asr_swift_tpu.serving.ws import read_message
+
+        with pytest.raises(ValueError, match="too large"):
+            self._run(lambda r: read_message(r, max_size=100),
+                      self._masked(OP_TEXT, b"x" * 80, fin=False),
+                      self._masked(0x0, b"y" * 80, fin=True))
+
+    def test_unmask_vectorized_correct(self):
+        from qwen3_asr_swift_tpu.serving.ws import _unmask
+
+        payload = bytes(range(256)) * 41  # non-multiple of 4 tail
+        mask = b"\xaa\x01\x7f\x33"
+        expect = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+        assert _unmask(payload, mask) == expect
+
+
+class TestHttpHardening2:
+    def test_overlong_header_line_431(self, server):
+        import socket as sk
+
+        with sk.create_connection(("127.0.0.1", server), timeout=10) as s:
+            s.sendall(b"GET /health HTTP/1.1\r\nHost: x\r\nX-Big: " + b"a" * 100_000
+                      + b"\r\n\r\n")
+            data = b""
+            while True:
+                try:
+                    chunk = s.recv(65536)
+                except TimeoutError:
+                    break
+                if not chunk:
+                    break
+                data += chunk
+        assert b"431" in data.split(b"\r\n")[0]
+
+    def test_malformed_bodies_return_400(self, server):
+        # bad JSON
+        status, _, _ = http_request(server, "POST", "/transcribe", b"{nope",
+                                    "application/json")
+        assert status == 400
+        # missing audio_base64
+        status, _, _ = http_request(server, "POST", "/transcribe", b"{}",
+                                    "application/json")
+        assert status == 400
+        # invalid base64
+        status, _, _ = http_request(server, "POST", "/transcribe",
+                                    json.dumps({"audio_base64": "!!!"}).encode(),
+                                    "application/json")
+        assert status == 400
+        # invalid WAV bytes
+        status, _, _ = http_request(server, "POST", "/transcribe", b"not a wav",
+                                    "audio/wav")
+        assert status == 400
+
+
+class TestBatcherShutdown:
+    def test_shutdown_fails_queued_futures(self):
+        import queue as q
+
+        class Slow:
+            def transcribe_batch(self, audios, sample_rate=16000, **kw):
+                time.sleep(0.3)
+                return [TranscriptionResult(text="t", confidence=1.0, duration=0.1)
+                        for _ in audios]
+
+        b = ContinuousBatcher(Slow(), max_batch=1, max_wait_ms=1, workers=1)
+        futs = [b.submit(np.zeros(10, np.float32)) for _ in range(6)]
+        b.shutdown()
+        resolved = 0
+        for f in futs:
+            try:
+                f.result(timeout=5)
+                resolved += 1
+            except RuntimeError as e:
+                assert "shut down" in str(e)
+        # every future resolves one way or the other — none hang
+        assert all(f.done() for f in futs)
+
+
+class TestStreamingTTSFailure:
+    def test_producer_error_reaches_client(self):
+        class ExplodingTTS:
+            def synthesize_stream(self, text, **kw):
+                yield AudioChunk(np.zeros(1600, np.float32), 16000)
+                raise RuntimeError("device fell over")
+
+        registry = ModelRegistry()
+        registry.register_instance("tts", ExplodingTTS())
+        srv = SpeechServer(registry, host="127.0.0.1", port=0)
+        loop = asyncio.new_event_loop()
+        started = threading.Event()
+        holder = {}
+
+        def run():
+            asyncio.set_event_loop(loop)
+
+            async def go():
+                holder["task"] = asyncio.current_task()
+                s = await srv.start()
+                holder["port"] = s.sockets[0].getsockname()[1]
+                started.set()
+                await s.serve_forever()
+
+            try:
+                loop.run_until_complete(go())
+            except asyncio.CancelledError:
+                pass
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        assert started.wait(5)
+        try:
+            c = WsClient(holder["port"])
+            c.recv_json()
+            c.send_json({"type": "response.create",
+                         "response": {"instructions": "hi"}})
+            events = [c.recv_json() for _ in range(4)]
+            types = [e["type"] for e in events]
+            assert "error" in types
+            done = [e for e in events if e["type"] == "response.done"]
+            assert done and done[0]["response"]["status"] == "incomplete"
+            assert "response.audio.done" not in types
+            c.close()
+        finally:
+            loop.call_soon_threadsafe(holder["task"].cancel)
+            t.join(timeout=10)
