@@ -31,9 +31,11 @@ _LIB_PATH = _RUNTIME_DIR / "build" / "libspeechcore.so"
 
 
 def ensure_library(rebuild: bool = False) -> Path:
-    """Build libspeechcore.so if missing (requires g++)."""
-    src = _RUNTIME_DIR / "speech_core.cpp"
-    if _LIB_PATH.exists() and not rebuild and _LIB_PATH.stat().st_mtime >= src.stat().st_mtime:
+    """Build libspeechcore.so if missing or stale (requires g++)."""
+    src_mtime = max(
+        (_RUNTIME_DIR / name).stat().st_mtime
+        for name in ("speech_core.cpp", "speech_core.h"))  # header changes the ABI
+    if _LIB_PATH.exists() and not rebuild and _LIB_PATH.stat().st_mtime >= src_mtime:
         return _LIB_PATH
     log.info("building native voice engine: %s", _LIB_PATH)
     subprocess.run(["make", "-C", str(_RUNTIME_DIR)], check=True, capture_output=True)
@@ -158,9 +160,10 @@ class VoicePipeline:
         tts=None,            # SpeechGenerationModel or callable text->np.int16
         vad=None,            # StreamingVADProvider or callable chunk->float
         llm=None,            # PipelineLLM or callable text->str
-        config: PipelineConfig = PipelineConfig(),
+        config: Optional[PipelineConfig] = None,
         on_event: Optional[Callable[[PipelineEvent], None]] = None,
     ):
+        config = config or PipelineConfig()
         self._lib = ctypes.CDLL(str(ensure_library()))
         self._lib.sc_pipeline_create.restype = ctypes.c_void_p
         self._lib.sc_pipeline_create.argtypes = [
@@ -185,17 +188,28 @@ class VoicePipeline:
         self._libc.malloc.restype = ctypes.c_void_p
         self._libc.malloc.argtypes = [ctypes.c_size_t]
 
-        # keep callback objects alive for the pipeline's lifetime
+        # keep callback objects alive for the pipeline's lifetime; absent
+        # models pass NULL so the engine takes its optional-model paths
+        # (a non-null tts callback in transcribe-only mode would emit a
+        # spurious "tts failed" ERROR every turn). The llm callback stays
+        # non-null even when llm is None: the ENGINE's echo mode is
+        # "no llm_respond" but OUR echo adapter handles tools, so only
+        # drop it when there is neither an llm nor a tts (pure
+        # transcribe-only).
         self._c_event = _EVENT_FN(self._handle_event)
         self._c_vad = _VAD_FN(self._vad_cb)
         self._c_stt = _STT_FN(self._stt_cb)
         self._c_llm = _LLM_FN(self._llm_cb)
         self._c_tts = _TTS_FN(self._tts_cb)
         callbacks = _CCallbacks(
+            # vad stays non-null even without a model: our adapter's
+            # "no VAD = everything is speech" (1.0) vs the engine's null
+            # path "never speech" (0.0) — the former keeps the pipeline
+            # usable without a VAD
             vad_process=self._c_vad,
-            stt_transcribe=self._c_stt,
+            stt_transcribe=self._c_stt if stt is not None else _STT_FN(0),
             llm_respond=self._c_llm,
-            tts_synthesize=self._c_tts,
+            tts_synthesize=self._c_tts if tts is not None else _TTS_FN(0),
             user=None,
         )
         cfg = _CConfig(
@@ -300,9 +314,13 @@ class VoicePipeline:
                 aux=ev.aux.decode("utf-8", "replace") if ev.aux else None,
                 pcm=pcm,
             )
-            self.events.put(event)
             if self._on_event:
+                # callback consumers own delivery — queuing every event
+                # too (incl. AUDIO_CHUNK PCM copies) would grow the queue
+                # without bound in sessions that never drain_events()
                 self._on_event(event)
+            else:
+                self.events.put(event)
         except Exception:  # noqa: BLE001
             log.exception("event handler failed")
 

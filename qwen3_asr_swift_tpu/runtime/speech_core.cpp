@@ -3,9 +3,12 @@
  * Threading model: callers push audio/text from any thread into a lock-
  * protected inbox; one engine thread runs the VAD loop, drives the state
  * machine, and invokes the model callbacks (so slow STT/LLM/TTS never
- * block the audio producer). Barge-in: push_audio keeps feeding VAD while
- * SPEAKING; onset there raises an interrupt flag the speaking loop checks
- * between chunks.
+ * block the audio producer). Barge-in: between emitted TTS chunks the
+ * speaking loop itself drains the inbox through VAD — a speech onset
+ * there raises the interrupt flag and the drained audio lands in the
+ * pre-speech ring so the interrupting utterance's start is preserved.
+ * (Barge-in applies while SPEAKING — the audible phase; audio pushed
+ * during THINKING queues and is evaluated as soon as speaking starts.)
  */
 
 #include "speech_core.h"
@@ -47,7 +50,7 @@ struct sc_pipeline {
     std::condition_variable cv;
     std::deque<float> inbox;             // raw pushed samples
     std::deque<std::string> text_inbox;  // injected text turns
-    bool stop_requested = false;
+    std::atomic<bool> stop_requested{false};
     bool resume_requested = false;
     std::atomic<bool> running{false};
     std::atomic<int> state{SC_STATE_IDLE};
@@ -82,10 +85,10 @@ struct sc_pipeline {
         chunk.clear();
         std::unique_lock<std::mutex> lock(mu);
         cv.wait(lock, [&] {
-            return stop_requested || resume_requested || !text_inbox.empty() ||
+            return stop_requested.load() || resume_requested || !text_inbox.empty() ||
                    inbox.size() >= static_cast<size_t>(cfg.vad_chunk);
         });
-        if (stop_requested) return false;
+        if (stop_requested.load()) return false;
         if (!text_inbox.empty() || resume_requested) return true;  // caller re-loops
         chunk.assign(inbox.begin(), inbox.begin() + cfg.vad_chunk);
         inbox.erase(inbox.begin(), inbox.begin() + cfg.vad_chunk);
@@ -100,12 +103,39 @@ struct sc_pipeline {
         return true;
     }
 
-    void keep_pre_speech(const std::vector<float> &chunk) {
+    void trim_pre_speech() {
         size_t cap = static_cast<size_t>(cfg.pre_speech_s * cfg.sample_rate);
-        pre_speech.insert(pre_speech.end(), chunk.begin(), chunk.end());
         if (pre_speech.size() > cap)
             pre_speech.erase(pre_speech.begin(),
                              pre_speech.begin() + (pre_speech.size() - cap));
+    }
+
+    void keep_pre_speech(const std::vector<float> &chunk) {
+        pre_speech.insert(pre_speech.end(), chunk.begin(), chunk.end());
+        trim_pre_speech();
+    }
+
+    // Drain whole VAD chunks from the inbox while speaking: onset there is
+    // a barge-in. Drained audio joins the pre-speech ring so the start of
+    // the interrupting utterance survives into the next turn.
+    bool barge_in_pending() {
+        if (!cfg.allow_interruption || !cb.vad_process) return false;
+        std::vector<float> c;
+        while (true) {
+            {
+                std::lock_guard<std::mutex> lock(mu);
+                if (inbox.size() < static_cast<size_t>(cfg.vad_chunk)) break;
+                c.assign(inbox.begin(), inbox.begin() + cfg.vad_chunk);
+                inbox.erase(inbox.begin(), inbox.begin() + cfg.vad_chunk);
+            }
+            float prob = cb.vad_process(c.data(), c.size(), cb.user);
+            keep_pre_speech(c);
+            if (prob >= cfg.vad_onset) {
+                interrupt.store(true);
+                return true;
+            }
+        }
+        return false;
     }
 
     std::string transcribe(const std::vector<float> &audio) {
@@ -130,7 +160,11 @@ struct sc_pipeline {
         size_t step = static_cast<size_t>(cfg.speak_chunk);
         bool completed = true;
         for (size_t off = 0; off < n; off += step) {
-            if (interrupt.load()) {
+            if (stop_requested.load()) {  // host stop aborts emission
+                completed = false;
+                break;
+            }
+            if (interrupt.load() || barge_in_pending()) {
                 emit(SC_EVENT_INTERRUPTED);
                 completed = false;
                 break;
@@ -188,7 +222,7 @@ struct sc_pipeline {
         }
 
         emit(SC_EVENT_RESPONSE_TEXT, response.c_str());
-        interrupt.store(false);
+        if (!stop_requested.load()) interrupt.store(false);
         bool completed = speak(response);
         if (completed) {
             set_state(SC_STATE_LISTENING);
@@ -230,27 +264,25 @@ struct sc_pipeline {
                              : 0.0f;
             t += chunk_s;
 
-            int st = state.load();
-            if (st == SC_STATE_SPEAKING || st == SC_STATE_THINKING) {
-                // barge-in detection only
-                if (cfg.allow_interruption && prob >= cfg.vad_onset) interrupt.store(true);
-                continue;
-            }
-
             switch (vstate) {
                 case SILENCE:
                     keep_pre_speech(chunk);
                     if (prob >= cfg.vad_onset) {
                         vstate = PENDING_SPEECH;
                         speech_started = t - chunk_s;
+                        // pre_speech already ends with this chunk
                         utterance = pre_speech;
-                        utterance.insert(utterance.end(), chunk.begin(), chunk.end());
                     }
                     break;
                 case PENDING_SPEECH:
                     utterance.insert(utterance.end(), chunk.begin(), chunk.end());
                     if (prob < cfg.vad_offset) {
                         vstate = SILENCE;
+                        // a too-short burst is not a turn, but its audio
+                        // must stay in the pre-roll or the next onset's
+                        // pre-speech window has a hole in it
+                        pre_speech = std::move(utterance);
+                        trim_pre_speech();
                         utterance.clear();
                     } else if (t - speech_started >= cfg.min_speech_s) {
                         vstate = SPEECH;
@@ -338,14 +370,17 @@ void sc_pipeline_destroy(sc_pipeline_t *p) {
 }
 
 int sc_pipeline_start(sc_pipeline_t *p) {
-    if (!p || p->running.load()) return -1;
+    if (!p) return -1;
+    // atomic claim: two racing start() calls cannot both spawn workers
+    // (assigning over a joinable std::thread would std::terminate)
+    if (p->running.exchange(true)) return -1;
+    if (p->worker.joinable()) p->worker.join();  // reap a finished run
     {
         std::lock_guard<std::mutex> lock(p->mu);
-        p->stop_requested = false;
+        p->stop_requested.store(false);
         p->inbox.clear();
         p->text_inbox.clear();
     }
-    p->running.store(true);
     p->worker = std::thread([p] {
         p->run();
         p->running.store(false);
@@ -357,12 +392,17 @@ int sc_pipeline_stop(sc_pipeline_t *p) {
     if (!p) return -1;
     {
         std::lock_guard<std::mutex> lock(p->mu);
-        p->stop_requested = true;
+        p->stop_requested.store(true);
     }
     p->interrupt.store(true);
     p->cv.notify_all();
-    if (p->worker.joinable()) p->worker.join();
-    p->running.store(false);
+    // joining our own thread (stop() called from an event callback, which
+    // runs on the engine thread) would throw through the C ABI and abort
+    // the process — set the flags and let the run loop wind down instead
+    if (p->worker.joinable() && std::this_thread::get_id() != p->worker.get_id())
+        p->worker.join();
+    if (std::this_thread::get_id() != p->worker.get_id())
+        p->running.store(false);
     return 0;
 }
 

@@ -193,3 +193,82 @@ class TestRealModelAdapters:
             assert ev.text.startswith("heard ")
             ev, _ = wait_for(p, PipelineEventType.FINAL_TRANSCRIPT)
             assert ev.text == ev.text  # final follows the partial
+
+
+class TestBargeIn:
+    def test_speech_during_speaking_interrupts(self):
+        """Audio queued while the engine speaks is drained through VAD
+        between TTS chunks; an onset raises INTERRUPTED and truncates the
+        emission (the advertised barge-in path)."""
+        cfg = PipelineConfig(min_speech_s=0.05, min_silence_s=0.1,
+                             pre_speech_s=0.1, eager_stt=False,
+                             allow_interruption=True, speak_chunk=2048)
+        with VoicePipeline(vad=fake_vad(), stt=lambda a: "hi",
+                           llm=lambda t: "a long reply",
+                           tts=lambda t: np.zeros(160000, np.int16),  # ~78 chunks
+                           config=cfg) as p:
+            p.push_audio(SPEECH)       # queued barge-in audio
+            p.push_text("user turn")   # text turns are taken first
+            ev, seen = wait_for(p, PipelineEventType.INTERRUPTED)
+            chunks = [e for e in seen if e.type == PipelineEventType.AUDIO_CHUNK]
+            assert len(chunks) < 78  # emission was truncated
+
+    def test_no_interruption_when_disabled(self):
+        cfg = PipelineConfig(min_speech_s=0.05, min_silence_s=0.1,
+                             pre_speech_s=0.1, eager_stt=False,
+                             allow_interruption=False, speak_chunk=4096)
+        with VoicePipeline(vad=fake_vad(), stt=lambda a: "hi",
+                           llm=lambda t: "reply",
+                           tts=lambda t: np.zeros(40960, np.int16),  # 10 chunks
+                           config=cfg) as p:
+            p.push_audio(SPEECH)
+            p.push_text("user turn")
+            deadline = time.time() + 10
+            chunks, interrupted = 0, False
+            while time.time() < deadline and chunks < 10:
+                try:
+                    ev = p.events.get(timeout=0.1)
+                except queue.Empty:
+                    continue
+                if ev.type == PipelineEventType.AUDIO_CHUNK:
+                    chunks += 1
+                if ev.type == PipelineEventType.INTERRUPTED:
+                    interrupted = True
+            assert chunks == 10 and not interrupted
+
+
+class TestTurnAudioIntegrity:
+    def test_transcribe_only_emits_no_errors(self):
+        """transcribe-only mode (no llm/tts) must not emit spurious ERROR
+        events ('tts failed') after each turn — absent models pass NULL
+        callbacks so the engine takes its optional paths."""
+        with make_pipeline(llm=None, tts=None) as p:
+            p.push_audio(SPEECH)
+            p.push_audio(SILENCE)
+            _, seen = wait_for(p, PipelineEventType.FINAL_TRANSCRIPT)
+            time.sleep(0.5)
+            try:
+                while True:
+                    seen.append(p.events.get_nowait())
+            except queue.Empty:
+                pass
+            errors = [e for e in seen if e.type == PipelineEventType.ERROR]
+            assert not errors, [e.aux for e in errors]
+
+    def test_onset_chunk_not_duplicated(self):
+        """The utterance passed to STT starts with the pre-speech ring,
+        which already ends with the onset chunk — it must not be appended
+        twice (an audible ~32 ms stutter at every turn start)."""
+        lens = []
+        with make_pipeline(stt=lambda a: (lens.append(len(a)), "t")[1],
+                           llm=None, tts=None) as p:
+            p.push_audio(SPEECH)
+            p.push_audio(SILENCE)
+            wait_for(p, PipelineEventType.FINAL_TRANSCRIPT)
+        assert lens, "stt never called"
+        # 12 loud chunks (onset chunk arrives via the pre-speech ring,
+        # capped at 0.1 s = 3 chunks) + the quiet chunks of the silence
+        # confirmation window; a duplicated onset chunk would add 512
+        assert lens[0] % 512 == 0
+        n_chunks = lens[0] // 512
+        assert n_chunks <= 12 + 4  # never more than pushed speech + tail
