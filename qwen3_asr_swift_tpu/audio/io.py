@@ -54,12 +54,15 @@ def read_wav(source: Union[str, Path, bytes]) -> Tuple[np.ndarray, int]:
         if chunk_id == b"fmt ":
             if chunk_size < 16:
                 raise WAVError("fmt chunk too small")
-            audio_format, channels, sample_rate, _, _, bits = struct.unpack_from(
-                "<HHIIHH", data, body_start
-            )
-            if audio_format == 0xFFFE and chunk_size >= 40:
-                # WAVE_FORMAT_EXTENSIBLE: real format in the GUID's first 2 bytes
-                (audio_format,) = struct.unpack_from("<H", data, body_start + 24)
+            try:
+                audio_format, channels, sample_rate, _, _, bits = struct.unpack_from(
+                    "<HHIIHH", data, body_start
+                )
+                if audio_format == 0xFFFE and chunk_size >= 40:
+                    # WAVE_FORMAT_EXTENSIBLE: real format in the GUID's first 2 bytes
+                    (audio_format,) = struct.unpack_from("<H", data, body_start + 24)
+            except struct.error as e:  # truncated fmt body
+                raise WAVError(f"truncated fmt chunk: {e}") from e
             if channels == 0 or channels > 64:
                 raise WAVError(f"bad channel count {channels}")
             if sample_rate == 0 or sample_rate > 1_000_000:
@@ -90,36 +93,25 @@ def read_wav(source: Union[str, Path, bytes]) -> Tuple[np.ndarray, int]:
     frame = itemsize * channels
     usable = (len(pcm) // frame) * frame
     samples = np.frombuffer(pcm[:usable], dtype=dtype)
-    if channels > 1:
-        samples = samples.reshape(-1, channels).mean(axis=1)
+    # scale to [-1, 1] BEFORE downmixing: averaging integer channels first
+    # yields float64 in PCM range, which to_float32 would pass through
+    # unscaled (±32768-range audio downstream)
     samples = to_float32(np.ascontiguousarray(samples))
-    if dtype == np.float64:
+    if samples.dtype != np.float32:
         samples = samples.astype(np.float32)
+    if channels > 1:
+        samples = samples.reshape(-1, channels).mean(axis=1).astype(np.float32)
     return samples, sample_rate
 
 
 def write_wav(path: Union[str, Path], samples: np.ndarray, sample_rate: int) -> None:
     """Write mono float32 [-1, 1] (or int16) samples as 16-bit PCM WAV."""
-    if samples.dtype != np.int16:
-        samples = np.clip(samples, -1.0, 1.0)
-        samples = (samples * 32767.0).astype(np.int16)
-    pcm = samples.tobytes()
-    buf = io.BytesIO()
-    buf.write(b"RIFF")
-    buf.write(struct.pack("<I", 36 + len(pcm)))
-    buf.write(b"WAVE")
-    buf.write(b"fmt ")
-    buf.write(struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16))
-    buf.write(b"data")
-    buf.write(struct.pack("<I", len(pcm)))
-    buf.write(pcm)
-    Path(path).write_bytes(buf.getvalue())
+    Path(path).write_bytes(wav_bytes(samples, sample_rate))
 
 
 def wav_bytes(samples: np.ndarray, sample_rate: int) -> bytes:
-    """In-memory WAV encoding (for the serving layer)."""
-    import tempfile
-
+    """In-memory 16-bit PCM WAV encoding (one header builder for both the
+    serving layer and write_wav)."""
     if samples.dtype != np.int16:
         samples = (np.clip(samples, -1.0, 1.0) * 32767.0).astype(np.int16)
     pcm = samples.tobytes()

@@ -13,7 +13,6 @@ band-limited speech signals handled here.)
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import numpy as np
 

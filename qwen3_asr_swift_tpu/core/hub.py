@@ -63,11 +63,24 @@ def get_cache_directory(model_id: str, cache_dir: Optional[str] = None) -> Path:
     return root / sanitized_cache_key(model_id)
 
 
+#: written after a snapshot_download finishes; its absence means a
+#: download never completed (a partial fetch must not masquerade as a
+#: cached model forever)
+_COMPLETE_MARKER = ".snapshot_complete"
+
+
 def _have_local_snapshot(target: Path, patterns: Sequence[str]) -> bool:
     if not target.is_dir():
         return False
-    # Minimal completeness heuristic: at least one weights file present.
+    if (target / _COMPLETE_MARKER).exists():
+        return True
+    # Pre-staged caches (no marker): require an actual weight-bearing
+    # file — metadata alone (a config.json left by an interrupted
+    # download) is not a snapshot
+    meta = {"*.json", "*.txt"}
     for pat in patterns:
+        if pat in meta:
+            continue
         if any(target.rglob(pat)):
             return True
     return False
@@ -127,6 +140,7 @@ def download_weights(
                 local_dir=str(target),
                 allow_patterns=allow,
             )
+            (target / _COMPLETE_MARKER).touch()
             if progress_handler:
                 progress_handler(1.0)
             return target

@@ -76,6 +76,8 @@ class ModelLoader:
 
         groups = sorted({s.group for s in specs})
         for g in groups:
+            if errors:
+                break  # don't burn minutes/HBM loading later groups after a failure
             group_specs = [s for s in specs if s.group == g]
             if g == 0 and len(group_specs) > 1:
                 with ThreadPoolExecutor(max_workers=len(group_specs)) as ex:
@@ -84,8 +86,9 @@ class ModelLoader:
                 for spec in group_specs:
                     run(spec)
         if errors:
-            name, err = next(iter(errors.items()))
-            raise RuntimeError(f"failed to load {name}: {err}") from err
+            summary = "; ".join(f"{n}: {e}" for n, e in errors.items())
+            _, first_err = next(iter(errors.items()))
+            raise RuntimeError(f"failed to load {summary}") from first_err
         report(1.0, "all models ready")
         return results
 

@@ -14,8 +14,13 @@ from contextlib import contextmanager
 
 _FMT = "%(asctime)s %(name)s %(levelname)s %(message)s"
 _LEVEL = os.environ.get("SPEECH_LOG_LEVEL", "INFO").upper()
+if _LEVEL not in ("CRITICAL", "ERROR", "WARNING", "INFO", "DEBUG", "NOTSET"):
+    _LEVEL = "INFO"  # a typo'd env var must not make the package unimportable
 
-logging.basicConfig(level=_LEVEL, format=_FMT)
+# only configure logging when the host application hasn't — importing a
+# library must not override an embedding app's root logger setup
+if not logging.getLogger().handlers:
+    logging.basicConfig(level=_LEVEL, format=_FMT)
 
 
 def get_logger(category: str) -> logging.Logger:

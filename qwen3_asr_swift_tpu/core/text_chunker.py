@@ -47,11 +47,22 @@ def chunk_text(text: str, max_chars: int = 300) -> List[str]:
     return chunks
 
 
+#: joining after these (CJK enders/clause marks) must NOT inject an ASCII
+#: space — the source text had none, and the inserted space mutates the
+#: synthesized text's prosody
+_NO_SPACE_AFTER = "。！？，；：、"
+
+
+def _joiner(current: str) -> str:
+    return "" if current and current[-1] in _NO_SPACE_AFTER else " "
+
+
 def _flush(chunks: List[str], current: str, piece: str, max_chars: int) -> str:
     piece = piece.strip()
     if not piece:
         return current
-    if current and len(current) + 1 + len(piece) > max_chars:
+    sep = _joiner(current)
+    if current and len(current) + len(sep) + len(piece) > max_chars:
         chunks.append(current)
         return piece
-    return f"{current} {piece}".strip()
+    return f"{current}{sep}{piece}".strip()

@@ -201,6 +201,9 @@ def maybe_dequantize_linear(params: Dict[str, np.ndarray], prefix: str, bits: in
     if scales is None:
         return w.astype(dtype) if np.issubdtype(w.dtype, np.floating) else w
     biases = params.get(f"{prefix}.biases")
+    if biases is None:
+        # symmetric/scale-only quant exports ship no biases: zeros
+        biases = np.zeros_like(np.asarray(scales))
     return dequantize_mlx(w, scales, biases, bits=bits, group_size=group_size, dtype=dtype)
 
 

@@ -32,12 +32,17 @@ def _bytes_to_unicode() -> Dict[int, str]:
     return dict(zip(bs, map(chr, cs)))
 
 
-# Qwen2 pre-tokenization pattern (contractions, letters, numbers, punct, spaces)
+# Qwen2 pre-tokenization pattern (contractions, letters, numbers, punct,
+# spaces). stdlib re has no \p{L}/\p{N}; letters are expressed as
+# [^\W\d_] (word chars minus digits/underscore) and their complement as
+# [^\w]|[\d_], keeping digits OUT of the letter run so number runs hit
+# the \d{1,3} alternative (the upstream tokenizer splits digit runs into
+# 1-3-digit groups — folding digits into \w merged them arbitrarily).
 _PRETOKENIZE = re.compile(
     r"(?:'[sS]|'[tT]|'[rR][eE]|'[vV][eE]|'[mM]|'[lL][lL]|'[dD])"
-    r"|[^\r\n\w]?\w+"
+    r"|(?:[^\r\n\w]|_)?[^\W\d_]+"
     r"|\d{1,3}"
-    r"| ?[^\s\w]+[\r\n]*"
+    r"| ?(?:[^\s\w]|_)+[\r\n]*"
     r"|\s*[\r\n]+"
     r"|\s+(?!\S)"
     r"|\s+",

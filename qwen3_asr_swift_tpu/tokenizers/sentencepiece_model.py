@@ -109,9 +109,11 @@ class SentencePieceModel:
                     match = (cand, ln)
                     break
             if match is None:
-                # byte fallback
-                byte_piece = f"<0x{ord(text[i]) & 0xFF:02X}>"
-                ids.append(self.piece_to_id.get(byte_piece, self.unk_id))
+                # byte fallback: the character's UTF-8 bytes as <0xXX>
+                # pieces (masking the codepoint to one byte corrupts any
+                # non-latin1 char and emits invalid standalone bytes)
+                for b in text[i].encode("utf-8"):
+                    ids.append(self.piece_to_id.get(f"<0x{b:02X}>", self.unk_id))
                 i += 1
             else:
                 ids.append(match[0])

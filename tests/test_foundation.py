@@ -78,6 +78,63 @@ class TestWav:
         assert len(loaded) == 50
 
 
+class TestWavRegressions:
+    def test_stereo_int16_downmix_scaled(self):
+        """Multi-channel PCM must scale to [-1, 1] BEFORE downmixing —
+        averaging integer channels first produced ±32768-range float."""
+        import struct
+
+        from qwen3_asr_swift_tpu.audio.io import read_wav
+
+        left = np.full(100, 16384, np.int16)
+        right = np.full(100, -16384, np.int16)
+        pcm = np.stack([left, right], axis=1).tobytes()
+        hdr = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVEfmt "
+               + struct.pack("<IHHIIHH", 16, 1, 2, 16000, 64000, 4, 16)
+               + b"data" + struct.pack("<I", len(pcm)) + pcm)
+        audio, rate = read_wav(hdr)
+        assert rate == 16000
+        assert np.abs(audio).max() <= 1.0
+        np.testing.assert_allclose(audio, 0.0, atol=1e-4)  # L/R cancel
+
+    def test_truncated_fmt_chunk_raises_waverror(self):
+        import struct
+
+        from qwen3_asr_swift_tpu.audio.io import WAVError, read_wav
+
+        # fmt declares 16 bytes but the file ends 6 bytes in
+        data = (b"RIFF" + struct.pack("<I", 100) + b"WAVEfmt "
+                + struct.pack("<I", 16) + b"\x01\x00\x02\x00\x80\x3e")
+        with pytest.raises(WAVError):
+            read_wav(data)
+
+    def test_partial_snapshot_not_treated_as_cached(self, tmp_path):
+        """A lone config.json left by an interrupted download must not
+        masquerade as a complete snapshot forever."""
+        from qwen3_asr_swift_tpu.core.hub import _COMPLETE_MARKER, _have_local_snapshot
+
+        snap = tmp_path / "m"
+        snap.mkdir()
+        (snap / "config.json").write_text("{}")
+        pats = ("*.safetensors", "*.json")
+        assert not _have_local_snapshot(snap, pats)
+        (snap / "model.safetensors").write_bytes(b"x")  # pre-staged weights
+        assert _have_local_snapshot(snap, pats)
+        (snap / "model.safetensors").unlink()
+        (snap / _COMPLETE_MARKER).touch()  # completed download marker
+        assert _have_local_snapshot(snap, pats)
+
+    def test_cjk_chunker_injects_no_spaces(self):
+        from qwen3_asr_swift_tpu.core.text_chunker import chunk_text
+
+        out = chunk_text("第一句话在这里。" * 30, max_chars=60)
+        assert len(out) > 1
+        assert all(" " not in c for c in out)
+        # latin joins keep the space
+        out = chunk_text("One sentence here. " * 20, max_chars=60)
+        assert "here. One" in out[0]
+
+
 class TestPcm:
     def test_int16_roundtrip(self):
         x = np.array([-32768, 0, 32767], dtype=np.int16)

@@ -151,3 +151,26 @@ class TestSentencePiece:
         assert ids[0] == sp.piece_to_id["▁hello"]
         assert ids[1] == sp.piece_to_id["▁world"]
         assert sp.decode(ids) == "hello world"
+
+
+class TestPretokenizeRegressions:
+    def test_digit_runs_split_in_threes(self):
+        """Qwen2 splits number runs into 1-3 digit groups; folding digits
+        into \\w merged whole runs into one pretoken."""
+        from qwen3_asr_swift_tpu.tokenizers.bpe import _PRETOKENIZE
+
+        assert _PRETOKENIZE.findall("12345") == ["123", "45"]
+        assert _PRETOKENIZE.findall("abc123def") == ["abc", "123", "def"]
+        assert _PRETOKENIZE.findall("a1b2") == ["a", "1", "b", "2"]
+
+    def test_spm_byte_fallback_is_utf8(self):
+        """Out-of-vocab chars fall back to their UTF-8 bytes as <0xXX>
+        pieces (masking the codepoint corrupted all non-latin1 text)."""
+        from qwen3_asr_swift_tpu.tokenizers.sentencepiece_model import SentencePieceModel as M
+
+        pieces = ([("<unk>", 0.0, M.UNKNOWN)]
+                  + [(f"<0x{b:02X}>", -1.0, M.BYTE) for b in range(256)]
+                  + [("▁hi", -1.0, M.NORMAL)])
+        m = M(pieces)
+        assert m.decode(m.encode("hi 中")) == "hi 中"
+        assert m.decode(m.encode("héllo")) == "héllo"
