@@ -345,8 +345,14 @@ class Qwen3ForcedAligner(ForcedAlignmentModel):
         remaining audio (reference: ForcedAligner.alignLong :100-216)."""
         sr = 16000
         chunk_samples = int(self.max_chunk_s * sr)
-        words_remaining = split_word_pairs(text, language)
-        surfaces = [s for s, _ in words_remaining]
+        # advance over slot_text's MERGED word list (punct-only and
+        # unencodable tokens attach to the previous word), the same units
+        # align() returns — advancing the raw split_word_pairs surfaces by
+        # merged-word counts duplicated or skipped words across chunks.
+        # The merge is stable under re-joining: slot_text(" ".join(words))
+        # regroups to the same list.
+        surfaces = slot_text(text, self.tokenizer, self.cfg.timestamp_id,
+                             language).words
         aligned: List[AlignedWord] = []
         offset_s = 0.0
         pos = 0

