@@ -230,12 +230,17 @@ def llm_generate_tokens(params, cfg: CosyVoiceConfig, text_ids, n_valid, key,
         for _ in range(cfg.num_layers)
     ]
 
-    def forward(embeds, positions, caches, start, key_valid):
+    def forward(embeds, positions, caches, start, key_valid, mask_rows=None):
+        """``positions`` are SEMANTIC (RoPE) positions; the causal mask
+        compares cache SLOT indices, which diverge from semantic positions
+        once bucket padding leaves gaps in the prefix — ``mask_rows``
+        supplies the slot row (defaults to positions, correct for the
+        prefill where slot == position)."""
         t = embeds.shape[1]
         x = embeds
         new_caches = []
         cols = jnp.arange(max_len)[None, None, None, :]
-        rows = positions[:, None, :, None]
+        rows = (positions if mask_rows is None else mask_rows)[:, None, :, None]
         mask = jnp.where((cols <= rows) & key_valid[None, None, None, :], 0.0, NEG_INF).astype(jnp.float32)
         for p, (kc, vc) in zip(params["layers"], caches):
             hd = cfg.head_dim
@@ -292,7 +297,14 @@ def llm_generate_tokens(params, cfg: CosyVoiceConfig, text_ids, n_valid, key,
         pos = (n_prefix + step - 1)[None, None]
         idx = jnp.arange(max_len)
         kv_valid = prefix_valid | ((idx >= prefix_len) & (idx < prefix_len + step))
-        hidden, caches = forward(emb, pos, caches, prefix_len + step - 1, kv_valid)
+        # mask rows are the SLOT being written (prefix_len + step - 1), not
+        # the semantic position — with bucket-padded prefixes the semantic
+        # position is smaller and would mask out the newest generated
+        # tokens including the current one
+        slot = (prefix_len + step - 1)[None, None] if hasattr(prefix_len, "shape") \
+            else jnp.asarray(prefix_len + step - 1)[None, None]
+        hidden, caches = forward(emb, pos, caches, prefix_len + step - 1, kv_valid,
+                                 mask_rows=slot)
         logits = linear(hidden[:, 0], params["speech_head"]).astype(jnp.float32)[0]
         key, kk = jax.random.split(key)
         tok = _sample_token(logits, kk, window, cfg, ignore_eos=step < min_len)

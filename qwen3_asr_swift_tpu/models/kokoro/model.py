@@ -74,7 +74,11 @@ class KokoroConfig:
 
     @property
     def samples_per_frame(self) -> int:
-        return int(np.prod(self.upsample_rates)) * self.gen_istft_hop  # 300
+        """Output samples per DURATION frame: the decoder's final
+        AdainResBlk1d upsamples ×2 before the generator's upsample stack ×
+        iSTFT hop (2·10·6·5 = 600 at 24 kHz — the published convention:
+        hexgrad Kokoro emits duration.sum()·600 samples)."""
+        return 2 * int(np.prod(self.upsample_rates)) * self.gen_istft_hop  # 600
 
 
 CONFIG_82M = KokoroConfig()
@@ -263,15 +267,24 @@ def _bilstm(p, x, n_valid):
     return jnp.concatenate([fwd, bwd], axis=-1).transpose(1, 0, 2)
 
 
-def _adain(x, p, s, eps=1e-5):
+def _adain(x, p, s, n_valid=None, eps=1e-5):
     """Instance-norm over time then style scale/shift. x: [B, T, C],
-    s: [B, sty]."""
+    s: [B, sty]. ``n_valid`` restricts the statistics to the valid prefix
+    — the buffers are padded to a static frame budget, and including the
+    zero padding in mean/var would make the output depend on the bucket
+    (the reference normalizes over the true length)."""
     h = linear(s, p["fc"])
     c = x.shape[-1]
     gamma, beta = h[:, :c], h[:, c:]
     xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=1, keepdims=True)
-    var = jnp.var(xf, axis=1, keepdims=True)
+    if n_valid is None:
+        mean = jnp.mean(xf, axis=1, keepdims=True)
+        var = jnp.var(xf, axis=1, keepdims=True)
+    else:
+        vm = (jnp.arange(x.shape[1]) < n_valid)[None, :, None].astype(jnp.float32)
+        denom = jnp.maximum(vm.sum(axis=1, keepdims=True), 1.0)
+        mean = (xf * vm).sum(axis=1, keepdims=True) / denom
+        var = (jnp.square(xf - mean) * vm).sum(axis=1, keepdims=True) / denom
     normed = (xf - mean) * jax.lax.rsqrt(var + eps)
     return ((1 + gamma[:, None].astype(jnp.float32)) * normed
             + beta[:, None].astype(jnp.float32)).astype(x.dtype)
@@ -321,16 +334,18 @@ def _lrelu(x, slope=0.2):
     return jnp.where(x > 0, x, slope * x)
 
 
-def _adain_resblk(x, p, s, upsample=False):
-    """StyleTTS2 AdainResBlk1d: (residual + shortcut)/√2. x: [B, T, C]."""
+def _adain_resblk(x, p, s, upsample=False, n_valid=None):
+    """StyleTTS2 AdainResBlk1d: (residual + shortcut)/√2. x: [B, T, C].
+    ``n_valid`` is the pre-upsample valid length (doubles internally)."""
     cin = x.shape[-1]
+    n2 = None if n_valid is None else (2 * n_valid if upsample else n_valid)
     # residual
-    h = _adain(x, p["norm1"], s)
+    h = _adain(x, p["norm1"], s, n_valid)
     h = _lrelu(h)
     if upsample:
         h = _depthwise_convt_pool(h, p["pool"], cin)
     h = _conv_same(h, p["conv1"])
-    h = _adain(h, p["norm2"], s)
+    h = _adain(h, p["norm2"], s, n2)
     h = _lrelu(h)
     h = _conv_same(h, p["conv2"])
     # shortcut
@@ -349,15 +364,15 @@ def _snake(x, alpha):
     return (xf + (1.0 / (a + 1e-9)) * sn * sn).astype(x.dtype)
 
 
-def _adain_resblock1(x, p, s, dilations):
+def _adain_resblock1(x, p, s, dilations, n_valid=None):
     """iSTFTNet AdaINResBlock1: AdaIN → Snake → dilated conv → AdaIN →
     Snake → conv → residual, per dilation."""
     h = x
     for j, d in enumerate(dilations):
-        xt = _adain(h, p["adain1"][j], s)
+        xt = _adain(h, p["adain1"][j], s, n_valid)
         xt = _snake(xt, p["alpha1"][j])
         xt = _conv_same(xt, p["convs1"][j], dilation=d)
-        xt = _adain(xt, p["adain2"][j], s)
+        xt = _adain(xt, p["adain2"][j], s, n_valid)
         xt = _snake(xt, p["alpha2"][j])
         xt = _conv_same(xt, p["convs2"][j], dilation=1)
         h = h + xt
@@ -408,12 +423,18 @@ def prosody_f0n(p, cfg: KokoroConfig, en, style, n_frames=None):
         n_frames = jnp.asarray(en.shape[1], jnp.int32)
     x = _bilstm(p["shared"], en, n_frames)
     f0 = x
+    nv = n_frames
     for i, blk in enumerate(p["F0"]):
-        f0 = _adain_resblk(f0, blk, style, upsample=(i == 1))
+        up = i == 1
+        f0 = _adain_resblk(f0, blk, style, upsample=up, n_valid=nv)
+        nv = 2 * nv if up else nv
     f0 = _conv_same(f0, p["F0_proj"])[..., 0]
     n = x
+    nv = n_frames
     for i, blk in enumerate(p["N"]):
-        n = _adain_resblk(n, blk, style, upsample=(i == 1))
+        up = i == 1
+        n = _adain_resblk(n, blk, style, upsample=up, n_valid=nv)
+        nv = 2 * nv if up else nv
     n = _conv_same(n, p["N_proj"])[..., 0]
     return f0, n
 
@@ -492,8 +513,9 @@ def _harmonic_source(p, cfg: KokoroConfig, f0_frames, key):
     return jnp.concatenate([mag, ph], axis=-1)                     # [B, T', 2*bins]
 
 
-def generator(p, cfg: KokoroConfig, x, style, f0_frames, key):
-    """iSTFTNet generator: x [B, F, upsample_initial] + style + F0 → wav."""
+def generator(p, cfg: KokoroConfig, x, style, f0_frames, key, n_valid=None):
+    """iSTFTNet generator: x [B, F, upsample_initial] + style + F0 → wav.
+    ``n_valid`` = valid length of x; scales with each upsample stage."""
     har = _harmonic_source(p, cfg, f0_frames, key)
     n_up = len(cfg.upsample_rates)
     n_k = len(cfg.resblock_kernels)
@@ -510,16 +532,22 @@ def generator(p, cfg: KokoroConfig, x, style, f0_frames, key):
             x_src = (x_src + p["noise_convs"][i]["bias"].astype(jnp.float32)).astype(x.dtype)
         else:
             x_src = _conv_same(har.astype(x.dtype), p["noise_convs"][i])
-        x_src = _adain_resblock1(x_src, p["noise_res"][i], style, cfg.resblock_dilations)
         x = _conv_transpose_same(x, p["ups"][i], cfg.upsample_rates[i])
+        if n_valid is not None:
+            n_valid = n_valid * cfg.upsample_rates[i]
         if i == n_up - 1:
             x = jnp.concatenate([x[:, 1:2], x], axis=1)            # ReflectionPad1d((1,0))
+            if n_valid is not None:
+                n_valid = n_valid + 1
+        x_src = _adain_resblock1(x_src, p["noise_res"][i], style,
+                                 cfg.resblock_dilations, n_valid=n_valid)
         m = min(x.shape[1], x_src.shape[1])
         x = x[:, :m] + x_src[:, :m]
-        acc = _adain_resblock1(x, p["resblocks"][i * n_k], style, cfg.resblock_dilations)
+        acc = _adain_resblock1(x, p["resblocks"][i * n_k], style,
+                               cfg.resblock_dilations, n_valid=n_valid)
         for j in range(1, n_k):
             acc = acc + _adain_resblock1(x, p["resblocks"][i * n_k + j], style,
-                                         cfg.resblock_dilations)
+                                         cfg.resblock_dilations, n_valid=n_valid)
         x = acc / n_k
     x = jnp.where(x > 0, x, 0.01 * x)
     x = _conv_same(x, p["conv_post"])
@@ -529,22 +557,25 @@ def generator(p, cfg: KokoroConfig, x, style, f0_frames, key):
     return _gen_istft(spec, phase, cfg)
 
 
-def decode(p, cfg: KokoroConfig, asr, f0_curve, n_curve, style, key):
+def decode(p, cfg: KokoroConfig, asr, f0_curve, n_curve, style, key,
+           n_frames=None):
     """StyleTTS2 istftnet Decoder.forward: asr [B, F, d], F0/N [B, 2F]."""
     f0 = _conv_same(f0_curve[..., None], p["F0_conv"], stride=2)    # [B, F, 1]
     nn_ = _conv_same(n_curve[..., None], p["N_conv"], stride=2)
     x = jnp.concatenate([asr, f0, nn_], axis=-1)
-    x = _adain_resblk(x, p["encode"], style)
+    x = _adain_resblk(x, p["encode"], style, n_valid=n_frames)
     asr_res = _conv_same(asr, p["asr_res"])
     res = True
+    nv = n_frames
     for i, blk in enumerate(p["decode"]):
         up = (i == len(p["decode"]) - 1)
         if res:
             x = jnp.concatenate([x, asr_res, f0, nn_], axis=-1)
-        x = _adain_resblk(x, blk, style, upsample=up)
+        x = _adain_resblk(x, blk, style, upsample=up, n_valid=nv)
         if up:
             res = False
-    return generator(p["generator"], cfg, x, style, f0_curve, key)
+            nv = None if nv is None else 2 * nv
+    return generator(p["generator"], cfg, x, style, f0_curve, key, n_valid=nv)
 
 
 # -- full forward --------------------------------------------------------------------
@@ -582,7 +613,8 @@ def kokoro_forward(params, cfg: KokoroConfig, ids, n_valid, ref_s, speed, key,
 
     t_en = text_encode(params["text_encoder"], cfg, ids, n_valid, valid)
     asr = jnp.where(fmask, t_en[:, tok_idx], 0.0)
-    wav = decode(params["decoder"], cfg, asr, f0_pred, n_pred, s_dec, key)
+    wav = decode(params["decoder"], cfg, asr, f0_pred, n_pred, s_dec, key,
+                 n_frames=total[0])
     return wav, total[0], pred_dur[0]
 
 
@@ -671,13 +703,19 @@ class KokoroTTS(SpeechGenerationModel):
         voice = voice or self.available_voices[0]
         ids = phonemes_to_ids(phonemize(text, language, lexicon=self.lexicon))[
             : self.cfg.max_phonemes - 2]
+        n_phonemes = len(ids)
         ids = [0, *ids, 0]  # pad tokens bracket the sequence (kokoro convention)
         n = len(ids)
         bucket = max(16, int(2 ** np.ceil(np.log2(n))))
         arr = np.zeros(bucket, np.int32)
         arr[:n] = ids
-        ref_s = self._ref_s(voice, n)
-        max_frames = bucket * min(self.cfg.max_dur, 24)
+        # published packs index the style row by PHONEME count
+        # (hexgrad: pack[len(ps) - 1]), not the bracket-padded length
+        ref_s = self._ref_s(voice, max(1, n_phonemes))
+        # frame budget: per-token durations reach ~24 frames at speed 1
+        # but scale by 1/speed — a fixed 24 silently truncated slow speech
+        per_tok = min(self.cfg.max_dur, int(np.ceil(24 / max(float(speed), 0.25))))
+        max_frames = bucket * per_tok
         wav, total, _ = self._fwd(self.params, ids=jnp.asarray(arr)[None],
                                   n_valid=jnp.asarray(n, jnp.int32),
                                   ref_s=jnp.asarray(ref_s)[None],

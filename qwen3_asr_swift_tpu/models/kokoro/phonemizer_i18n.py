@@ -326,7 +326,22 @@ def phonemize_ja(text: str) -> str:
     ASCII letters pass through lowercased."""
     result = []
     last_was_word = False
+    kana_run: list = []
+
+    def flush_kana():
+        # whole runs go through katakana_to_phonemes so its yoon/extended
+        # DIGRAPH lookahead (キョ→kyo, シャ→sha, ...) can actually match —
+        # per-character feeding made every palatalized syllable mispronounce
+        if kana_run:
+            result.append(katakana_to_phonemes("".join(kana_run)))
+            kana_run.clear()
+
     for ch in text:
+        if "ぁ" <= ch <= "ヿ":       # kana: accumulate the run
+            kana_run.append(ch)
+            last_was_word = True
+            continue
+        flush_kana()
         if ch in _JA_PUNCT:
             result.append(_JA_PUNCT[ch])
             last_was_word = False
@@ -334,9 +349,6 @@ def phonemize_ja(text: str) -> str:
             if last_was_word:
                 result.append(" ")
             last_was_word = False
-        elif "ぁ" <= ch <= "ヿ":       # kana
-            result.append(katakana_to_phonemes(ch))
-            last_was_word = True
         elif ch.isascii() and ch.isalpha():
             if not last_was_word:
                 result.append(" ")
@@ -346,6 +358,7 @@ def phonemize_ja(text: str) -> str:
             result.append(ch)
             last_was_word = False
         # kanji / unknown: skipped silently
+    flush_kana()
     return "".join(result).strip()
 
 

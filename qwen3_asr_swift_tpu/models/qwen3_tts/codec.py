@@ -254,18 +254,34 @@ class CodecDecoder:
         self.params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
         self._jit = jax.jit(functools.partial(codec_decode, cfg=cfg))
 
+    #: frame-count bucketing quantum: the decoder graph is causal, so
+    #: right-padding codes to a bucket and slicing the output is exact —
+    #: and bounds recompilation to one program per bucket instead of one
+    #: per distinct utterance length
+    DECODE_BUCKET_FRAMES = 8
+
     def decode(self, codes: np.ndarray) -> np.ndarray:
         """codes: [16, T] or [B, 16, T] → waveform [T*1920] / [B, T*1920]."""
         single = codes.ndim == 2
         if single:
             codes = codes[None]
+        t = codes.shape[2]
+        q = self.DECODE_BUCKET_FRAMES
+        bucket = max(q, ((t + q - 1) // q) * q)
+        if bucket != t:
+            codes = np.pad(np.asarray(codes), ((0, 0), (0, 0), (0, bucket - t)))
         out = np.asarray(self._jit(self.params, codes=jnp.asarray(codes, jnp.int32)))
+        out = out[:, : t * self.cfg.samples_per_frame]
         return out[0] if single else out
 
     def decode_stream(self, codes: np.ndarray, chunk: int = 25, left_context: int = 10
                       ) -> Iterator[np.ndarray]:
-        """Yield waveform chunks; causal convs + left context make chunked
-        output match the full decode on the kept samples."""
+        """Yield waveform chunks. The graph is prefix-causal, so output is
+        EXACT when ``left_context`` covers the full prefix; with a bounded
+        left context it is the same approximation the reference's
+        chunkedDecode makes (SpeechTokenizerDecoder.swift:696) — the
+        pre-transformer's window re-anchors per chunk, decaying with more
+        context (tests pin exact-at-full-context and first-chunk bounds)."""
         if codes.ndim == 2:
             codes = codes[None]
         t = codes.shape[2]

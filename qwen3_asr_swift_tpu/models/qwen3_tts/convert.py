@@ -122,6 +122,24 @@ def _decoder_layers(L: _Loader, prefix: str, n_layers: int) -> list:
     return out
 
 
+def _rvq_codebook(other: dict, prefix: str) -> np.ndarray:
+    """Resolve an RVQ codebook the reference's way
+    (TTSWeightLoading.swift:285-300): precomputed ``embed`` /
+    ``embedding.weight`` first, else the EMA statistics
+    ``embedding_sum / clamp(cluster_usage, 1e-7)`` — the raw sum is an
+    accumulator, NOT the codebook."""
+    for k in (f"{prefix}.embed", f"{prefix}.embedding.weight"):
+        if k in other:
+            return np.asarray(other[k])
+    es = other.get(f"{prefix}.embedding_sum")
+    cu = other.get(f"{prefix}.cluster_usage")
+    if es is None:
+        raise KeyError(f"no codebook tensors under {prefix}")
+    if cu is not None:
+        return np.asarray(es) / np.maximum(np.asarray(cu), 1e-7)[..., None]
+    return np.asarray(es)
+
+
 def convert_tts_checkpoint(flat: Dict[str, np.ndarray], cfg: Qwen3TTSConfig,
                            bits: int = 4, group: int = 64):
     talker_flat = {}
@@ -163,15 +181,13 @@ def convert_tts_checkpoint(flat: Dict[str, np.ndarray], cfg: Qwen3TTSConfig,
     ccfg = cfg.codec
     codec = {
         "rvq_first": {
-            "codebook": np.stack([other["decoder.quantizer.rvq_first.vq.layers.0._codebook.embedding_sum"]
-                                  if "decoder.quantizer.rvq_first.vq.layers.0._codebook.embedding_sum" in other
-                                  else other["decoder.quantizer.rvq_first.vq.layers.0._codebook.embedding.weight"]]),
+            "codebook": np.stack([_rvq_codebook(
+                other, "decoder.quantizer.rvq_first.vq.layers.0._codebook")]),
             "output_proj": DL.conv("decoder.quantizer.rvq_first.output_proj"),
         },
         "rvq_rest": {
             "codebook": np.stack([
-                other.get(f"decoder.quantizer.rvq_rest.vq.layers.{i}._codebook.embedding.weight",
-                          other.get(f"decoder.quantizer.rvq_rest.vq.layers.{i}._codebook.embedding_sum"))
+                _rvq_codebook(other, f"decoder.quantizer.rvq_rest.vq.layers.{i}._codebook")
                 for i in range(ccfg.num_quantizers - 1)
             ]),
             "output_proj": DL.conv("decoder.quantizer.rvq_rest.output_proj"),

@@ -341,6 +341,26 @@ class TestLLMGeneration:
         # all emitted tokens are valid FSQ codes (stop/fill rows never emitted)
         assert (out[:n] < cfg.speech_token_size).all()
 
+    def test_bucket_padding_invariant(self, setup):
+        """Generation must not depend on the text bucket size: the decode
+        mask compares cache SLOT indices, so a padded prefix (slot index >
+        semantic position) must not hide the newest generated tokens —
+        the pre-fix mask made output a function of the bucket."""
+        cfg, params = setup
+        ids = (np.arange(5) % cfg.text_vocab).astype(np.int32)
+        outs = []
+        for bucket in (8, 16, 32):
+            text = np.zeros(bucket, np.int32)
+            text[:5] = ids
+            out, n = llm_generate_tokens(params, cfg, jnp.asarray(text),
+                                         jnp.asarray(5, jnp.int32),
+                                         jax.random.PRNGKey(3),
+                                         max_tokens=cfg.max_tokens)
+            outs.append((np.asarray(out), int(n)))
+        for o, nn in outs[1:]:
+            assert nn == outs[0][1]
+            np.testing.assert_array_equal(o, outs[0][0])
+
     def test_deterministic_given_key(self, setup):
         cfg, params = setup
         text = jnp.arange(16, dtype=jnp.int32) % cfg.text_vocab

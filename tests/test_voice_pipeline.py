@@ -205,13 +205,17 @@ class TestBargeIn:
                              allow_interruption=True, speak_chunk=2048)
         with VoicePipeline(vad=fake_vad(), stt=lambda a: "hi",
                            llm=lambda t: "a long reply",
-                           tts=lambda t: np.zeros(160000, np.int16),  # ~78 chunks
+                           tts=lambda t: np.zeros(320000, np.int16),  # ~156 chunks
                            config=cfg) as p:
-            p.push_audio(SPEECH)       # queued barge-in audio
-            p.push_text("user turn")   # text turns are taken first
-            ev, seen = wait_for(p, PipelineEventType.INTERRUPTED)
+            # text first: if audio were pushed before the text turn, the
+            # engine could consume it as a user utterance in LISTENING
+            # before the turn starts (race). Pushed right after, it queues
+            # during THINKING/SPEAKING and the speaking loop drains it.
+            p.push_text("user turn")
+            p.push_audio(SPEECH)
+            ev, seen = wait_for(p, PipelineEventType.INTERRUPTED, timeout=20)
             chunks = [e for e in seen if e.type == PipelineEventType.AUDIO_CHUNK]
-            assert len(chunks) < 78  # emission was truncated
+            assert len(chunks) < 156  # emission was truncated
 
     def test_no_interruption_when_disabled(self):
         cfg = PipelineConfig(min_speech_s=0.05, min_silence_s=0.1,
@@ -221,8 +225,8 @@ class TestBargeIn:
                            llm=lambda t: "reply",
                            tts=lambda t: np.zeros(40960, np.int16),  # 10 chunks
                            config=cfg) as p:
-            p.push_audio(SPEECH)
             p.push_text("user turn")
+            p.push_audio(SPEECH)
             deadline = time.time() + 10
             chunks, interrupted = 0, False
             while time.time() < deadline and chunks < 10:
