@@ -127,7 +127,9 @@ def omni_forward(params, cfg: OmniConfig, audio, n_valid_samples):
         feature_group_count=cfg.conv_pos_groups, preferred_element_type=jnp.float32,
     ).astype(h.dtype) + pc["bias"]
     h = h + jax.nn.gelu(pos, approximate=False)
-    h = layer_norm(h, params["encoder_ln"]["weight"], params["encoder_ln"]["bias"], cfg.layer_norm_eps)
+    # NOTE: stable-layer-norm wav2vec2 applies encoder.layer_norm AFTER the
+    # transformer stack (HF Wav2Vec2EncoderStableLayerNorm.forward), not
+    # before it — the CTC head reads normalized states
 
     f = h.shape[1]
     n_valid_f = conv_output_length(n_valid_samples) if isinstance(n_valid_samples, int) else _conv_len_device(n_valid_samples)
@@ -144,6 +146,7 @@ def omni_forward(params, cfg: OmniConfig, audio, n_valid_samples):
         hh = layer_norm(h, p["ln2"]["weight"], p["ln2"]["bias"], cfg.layer_norm_eps)
         h = h + linear(jax.nn.gelu(linear(hh, p["ff1"]), approximate=False), p["ff2"])
 
+    h = layer_norm(h, params["encoder_ln"]["weight"], params["encoder_ln"]["bias"], cfg.layer_norm_eps)
     logits = linear(h[0], params["ctc_head"]).astype(jnp.float32)
     return jax.nn.log_softmax(logits, axis=-1), n_valid_f
 

@@ -48,6 +48,14 @@ def _ln(sd, name, dtype=np.float32) -> dict:
     return {"weight": sd[f"{name}.weight"].astype(dtype), "bias": sd[f"{name}.bias"].astype(dtype)}
 
 
+def _pw(sd, name) -> dict:
+    """Pointwise conv1d [out, in, 1] → linear {kernel [in, out], bias?}."""
+    p = {"kernel": np.ascontiguousarray(sd[f"{name}.weight"][:, :, 0].T).astype(np.float32)}
+    if f"{name}.bias" in sd:
+        p["bias"] = sd[f"{name}.bias"].astype(np.float32)
+    return p
+
+
 def convert_encoder(sd: Dict[str, np.ndarray], cfg: ParakeetConfig) -> dict:
     e = "encoder"
 
@@ -120,13 +128,16 @@ def convert_encoder(sd: Dict[str, np.ndarray], cfg: ParakeetConfig) -> dict:
                 },
                 "conv": {
                     "ln": _ln(sd, f"{l}.norm_conv"),
-                    # pointwise conv1d [out, in, 1] → kernel [in, out]
-                    "pw1": {"kernel": np.ascontiguousarray(sd[f"{l}.conv.pointwise_conv1.weight"][:, :, 0].T).astype(np.float32)},
+                    # pointwise conv1d [out, in, 1] → kernel [in, out];
+                    # checkpoints shipping conv biases keep them (dropping
+                    # them offsets every layer's conv-module activations)
+                    "pw1": _pw(sd, f"{l}.conv.pointwise_conv1"),
                     "dw": {"kernel": np.transpose(sd[f"{l}.conv.depthwise_conv.weight"], (2, 1, 0)).astype(np.float32),
-                           "bias": np.zeros(sd[f"{l}.conv.depthwise_conv.weight"].shape[0], np.float32)},
+                           "bias": sd.get(f"{l}.conv.depthwise_conv.bias",
+                                          np.zeros(sd[f"{l}.conv.depthwise_conv.weight"].shape[0])).astype(np.float32)},
                     "norm_scale": scale.astype(np.float32),
                     "norm_bias": shift.astype(np.float32),
-                    "pw2": {"kernel": np.ascontiguousarray(sd[f"{l}.conv.pointwise_conv2.weight"][:, :, 0].T).astype(np.float32)},
+                    "pw2": _pw(sd, f"{l}.conv.pointwise_conv2"),
                 },
                 "ln_out": _ln(sd, f"{l}.norm_out"),
             }

@@ -30,6 +30,14 @@ def _ln(sd, name, dtype=np.float32) -> dict:
             "bias": sd[f"{name}.bias"].astype(dtype)}
 
 
+def _pwconv(sd, name) -> dict:
+    """Pointwise conv1d [out, in, 1] → linear {kernel [in, out], bias?}."""
+    p = {"kernel": np.ascontiguousarray(sd[f"{name}.weight"][:, :, 0].T).astype(np.float32)}
+    if f"{name}.bias" in sd:
+        p["bias"] = sd[f"{name}.bias"].astype(np.float32)
+    return p
+
+
 def convert_streaming_encoder(sd: Dict[str, np.ndarray],
                               cfg: StreamingConformerConfig) -> dict:
     e = "encoder"
@@ -75,14 +83,15 @@ def convert_streaming_encoder(sd: Dict[str, np.ndarray],
             },
             "conv_ln": _ln(sd, f"{l}.norm_conv"),
             "conv": {
-                "pw1": {"kernel": np.ascontiguousarray(
-                    sd[f"{l}.conv.pointwise_conv1.weight"][:, :, 0].T).astype(np.float32)},
+                # checkpoints shipping conv biases keep them (dropping them
+                # offsets every layer's conv-module activations)
+                "pw1": _pwconv(sd, f"{l}.conv.pointwise_conv1"),
                 "dw": {"kernel": np.transpose(
                     sd[f"{l}.conv.depthwise_conv.weight"], (2, 1, 0)).astype(np.float32),
-                    "bias": np.zeros(cfg.encoder_hidden, np.float32)},
+                    "bias": sd.get(f"{l}.conv.depthwise_conv.bias",
+                                   np.zeros(cfg.encoder_hidden)).astype(np.float32)},
                 "norm": {"weight": scale, "bias": shift},
-                "pw2": {"kernel": np.ascontiguousarray(
-                    sd[f"{l}.conv.pointwise_conv2.weight"][:, :, 0].T).astype(np.float32)},
+                "pw2": _pwconv(sd, f"{l}.conv.pointwise_conv2"),
             },
             "ff2_ln": _ln(sd, f"{l}.norm_feed_forward2"),
             "ff2_in": _lin(sd, f"{l}.feed_forward2.linear1"),

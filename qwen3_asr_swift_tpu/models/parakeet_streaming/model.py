@@ -104,21 +104,26 @@ def rnnt_chunk_decode(dec_params, cfg: StreamingConformerConfig, encoded,
         logits = joint(encoded[t], dec_o)
         logp = jax.nn.log_softmax(logits)
         tok = jnp.argmax(logits).astype(jnp.int32)
-        is_blank = (tok == blank) | (sym + 1 >= cfg.max_symbols_per_frame)
+        is_blank = tok == blank
         is_eou = tok == cfg.eou_token_id
 
+        # the cap EMITS the max_symbols-th token then forces the frame
+        # advance (reference: `for _ in 0..<maxSymbolsPerStep` — up to max
+        # tokens per frame, RNNTGreedyDecoder.swift:81); treating the cap
+        # as blank dropped the capping token and its LSTM update
         emit = (~is_blank) & (~is_eou)
+        capped = emit & (sym + 1 >= cfg.max_symbols_per_frame)
         tokens = tokens.at[n].set(jnp.where(emit, tok, tokens[n]))
         logps = logps.at[n].set(jnp.where(emit, logp[tok], logps[n]))
         n = n + emit.astype(jnp.int32)
         eou = eou | is_eou
 
         dec_o2, h2, c2 = pred_out(tok, h, c)
-        adv = is_blank | is_eou
-        dec_o = jnp.where(adv, dec_o, dec_o2)
-        h = jnp.where(adv, h, h2)
-        c = jnp.where(adv, c, c2)
-        last = jnp.where(adv, last, tok)
+        dec_o = jnp.where(emit, dec_o2, dec_o)
+        h = jnp.where(emit, h2, h)
+        c = jnp.where(emit, c2, c)
+        last = jnp.where(emit, tok, last)
+        adv = is_blank | is_eou | capped
         t = t + adv.astype(jnp.int32)
         sym = jnp.where(adv, 0, sym + 1)
         return t, sym, n, tokens, logps, eou, dec_o, h, c, last
@@ -170,18 +175,25 @@ class StreamingSession:
 
     def finalize(self) -> List[StreamingResult]:
         spc = self.cfg.samples_per_chunk
+        out: List[StreamingResult] = []
         if len(self._buffer):
             chunk = np.zeros(spc, np.float32)
             chunk[: len(self._buffer)] = self._buffer[:spc]
             self._buffer = np.zeros((0,), np.float32)
-            self._process(chunk)
+            # the flushed tail can itself confirm an EOU and emit a final
+            # segment (which advances _eou_offset past its tokens) —
+            # dropping it would lose the last segment's text
+            res = self._process(chunk)
+            if res is not None:
+                out.append(res)
         pending = self._tokens[self._eou_offset:]
         if not pending:
-            return []
+            return out
         text = self.model.decode_tokens(pending)
         conf = self._confidence(self._logprobs[self._eou_offset:])
         self._eou_offset = len(self._tokens)
-        return [StreamingResult(text, True, conf, False, self._segment)]
+        out.append(StreamingResult(text, True, conf, False, self._segment))
+        return out
 
     def force_end_of_utterance(self) -> Optional[StreamingResult]:
         """External boundary (e.g. VAD silence) — emit pending text as

@@ -82,7 +82,13 @@ class StreamingKwsDecoder:
         self.reset()
 
     def reset(self) -> None:
+        """Full stream reset: beam state AND the stream clock (new audio)."""
         self._t = 0
+        self._reset_beam()
+
+    def _reset_beam(self) -> None:
+        """Reset the search state but keep the stream clock — detections
+        after a reset must still report stream-absolute frame indices."""
         self._frames_since_emission = 0
         self._dec_cache.clear()
         init_ys = [-1] * max(self.context_size - 1, 0) + [self.blank_id]
@@ -168,14 +174,20 @@ class StreamingKwsDecoder:
                         timestamps=top.timestamps[-matched.level:],
                         frame_index=self._t,
                         score=float(ac_prob)))
-                    self.reset()
+                    self._reset_beam()
                     self._t += 1
                     return emissions
 
         self._t += 1
-        self._frames_since_emission += 1
+        # auto-reset counts SILENCE (consecutive trailing blanks on the
+        # best hypothesis), not wall clock — an unconditional 1.5 s reset
+        # would wipe a partially matched phrase mid-keyword
+        if top is not None and top.num_trailing_blanks == 0:
+            self._frames_since_emission = 0
+        else:
+            self._frames_since_emission += 1
         if self._frames_since_emission >= self.auto_reset_frames:
-            self.reset()
+            self._reset_beam()
         return emissions
 
     def step_chunk(self, frames: np.ndarray) -> List[KeywordDetection]:

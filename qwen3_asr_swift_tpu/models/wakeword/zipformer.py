@@ -254,7 +254,6 @@ def init_states(cfg: ZipformerConfig, batch: int = 1, dtype=jnp.float32) -> dict
         for _ in range(n):
             layer_states.append({
                 "cached_key": jnp.zeros((batch, left, h * cfg.query_head_dim), dtype),
-                "cached_pos": jnp.zeros((batch, left, h * cfg.pos_head_dim), dtype),
                 "cached_val1": jnp.zeros((batch, left, h * cfg.value_head_dim), dtype),
                 "cached_val2": jnp.zeros((batch, left, h * cfg.value_head_dim), dtype),
                 "cached_nonlin": jnp.zeros((batch, left, hidden), dtype),
@@ -293,7 +292,12 @@ def embed_chunk(params, mel, left_pad):
     # x: [B, T', 19, 128]
     cn = params["convnext"]
     padded = jnp.concatenate([left_pad, x], axis=1)            # causal time pad
-    new_left_pad = padded[:, -6:]
+    # consecutive windows overlap by 3 conv frames (19 produced, 16-frame
+    # stride), so the next window's causal context is the 6 frames BEFORE
+    # its first conv frame: padded[-9:-3], not the last 6 (which would
+    # duplicate frames the next window recomputes and skip 3 older ones,
+    # time-shifting every chunk's ConvNeXt receptive field)
+    new_left_pad = padded[:, -9:-3]
     dw = jax.lax.conv_general_dilated(
         padded, cn["dw"]["w"], window_strides=(1, 1),
         padding=((0, 0), (3, 3)),
@@ -317,11 +321,13 @@ def _rel_pos_embedding(rel: jnp.ndarray, pos_dim: int) -> jnp.ndarray:
     return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
 
 
-def attention_weights(p, x, cached_key, cached_pos, cfg: ZipformerConfig, n_heads: int):
+def attention_weights(p, x, cached_key, cfg: ZipformerConfig, n_heads: int):
     """Shared relative-position attention weights over (left | chunk).
 
     x: [B, T, D] current chunk at this stack's rate. Returns
-    (weights [B, H, T, L+T], new_cached_key, new_cached_pos).
+    (weights [B, H, T, L+T], new_cached_key). Positional scores involve
+    only the CURRENT chunk's query projections, so no positional state is
+    cached.
     """
     qd, pd = cfg.query_head_dim, cfg.pos_head_dim
     b, t, _ = x.shape
@@ -343,9 +349,8 @@ def attention_weights(p, x, cached_key, cached_pos, cfg: ZipformerConfig, n_head
     pos_scores = jnp.einsum("bhtd,tshd->bhts", ph, pos_proj)
     weights = jax.nn.softmax(scores + pos_scores, axis=-1)
 
-    new_pos = jnp.concatenate([cached_pos, pq], axis=1)[:, -left:] if left > 0 else cached_pos[:, :0]
     new_key = keys[:, -left:] if left > 0 else keys[:, :0]
-    return weights, new_key, new_pos
+    return weights, new_key
 
 
 def self_attention(p, x, cached_val, weights, n_heads: int, vd: int):
@@ -405,8 +410,8 @@ def encoder_layer(p, x, state, cfg: ZipformerConfig, stack: int):
     n_heads = cfg.num_heads[stack]
     vd = cfg.value_head_dim
     src_orig = x
-    weights, new_key, new_pos = attention_weights(
-        p["attn_weights"], x, state["cached_key"], state["cached_pos"], cfg, n_heads)
+    weights, new_key = attention_weights(
+        p["attn_weights"], x, state["cached_key"], cfg, n_heads)
 
     x = x + feed_forward(p["feed_forward1"], x)
     na, new_nonlin = nonlin_attention(p["nonlin_attention"], x, state["cached_nonlin"], weights[:, 0])
@@ -424,7 +429,7 @@ def encoder_layer(p, x, state, cfg: ZipformerConfig, stack: int):
     x = x + feed_forward(p["feed_forward3"], x)
     x = bias_norm(x, p["norm"])
     x = bypass(p["bypass"], src_orig, x)
-    new_state = {"cached_key": new_key, "cached_pos": new_pos,
+    new_state = {"cached_key": new_key,
                  "cached_val1": new_val1, "cached_val2": new_val2,
                  "cached_nonlin": new_nonlin,
                  "cached_conv1": new_conv1, "cached_conv2": new_conv2}

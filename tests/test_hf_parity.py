@@ -208,6 +208,14 @@ class TestWav2Vec2Parity:
         torch.manual_seed(2)
         hf = Wav2Vec2ForCTC(hf_cfg).eval()
         sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+        # scale the transformer-layer weights away from near-init: a
+        # near-identity stack hides placement errors (e.g. the final
+        # encoder.layer_norm applied pre- vs post-stack) inside the
+        # tolerance
+        for k in list(sd):
+            if ".encoder.layers." in k and k.endswith(".weight") and sd[k].ndim == 2:
+                sd[k] = sd[k] * 3.0
+        hf.load_state_dict({k: torch.tensor(v) for k, v in sd.items()})
         params = convert_wav2vec2(sd, tiny)
 
         audio = np.random.default_rng(3).standard_normal(3200).astype(np.float32)

@@ -150,3 +150,56 @@ class TestConvert:
         out1, _ = encode_chunk(detector.params, CFG, win, init_states(CFG))
         out2, _ = encode_chunk(det2.params, CFG, win, init_states(CFG))
         np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+
+class TestEmbedCausalCache:
+    def test_convnext_cache_matches_full_sequence(self):
+        """Chunked Conv2dSubsampling+ConvNeXt with the carried 6-frame
+        cache must equal a FULL-SEQUENCE causal computation: windows
+        overlap by 3 conv frames (19 produced / 16 stride), so the cache
+        is padded[-9:-3] — the 6 frames preceding the next window's first
+        conv frame, not the last 6."""
+        import jax.numpy as jnp
+
+        from qwen3_asr_swift_tpu.models.wakeword.zipformer import (
+            _conv2d, bias_norm, embed_chunk, linear, swoosh_l, swoosh_r)
+
+        cfg = CFG
+        params = init_zipformer_params(jax.random.PRNGKey(5), cfg)
+        emb = params["embed"]
+        n_win = 4
+        total_mel = cfg.mel_window + cfg.mel_stride * (n_win - 1)
+        rng = np.random.default_rng(6)
+        mel = jnp.asarray(rng.standard_normal((1, total_mel, 80)), jnp.float32)
+
+        # chunked: carry the cache across windows, keep last chunk_size
+        left = jnp.zeros((1, 6, cfg.embed_freq_out, cfg.embed_channels[2]))
+        outs = []
+        for w in range(n_win):
+            win = mel[:, w * cfg.mel_stride: w * cfg.mel_stride + cfg.mel_window]
+            feats, left = embed_chunk(emb, win, left)
+            outs.append(np.asarray(feats[:, -cfg.chunk_size:]))
+        chunked = np.concatenate(outs, axis=1)
+
+        # full-sequence oracle: same conv stages over the whole mel, then a
+        # causal ConvNeXt over the full conv-frame sequence
+        x = mel[..., None]
+        x = swoosh_r(_conv2d(x, emb["conv0"], pad=((0, 0), (1, 1))))
+        x = swoosh_r(_conv2d(x, emb["conv1"], stride=(2, 2)))
+        x = swoosh_r(_conv2d(x, emb["conv2"], stride=(1, 2)))
+        cn = emb["convnext"]
+        padded = jnp.concatenate(
+            [jnp.zeros((1, 6) + x.shape[2:], x.dtype), x], axis=1)
+        dw = jax.lax.conv_general_dilated(
+            padded, cn["dw"]["w"], window_strides=(1, 1), padding=((0, 0), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=x.shape[-1]) + cn["dw"]["b"]
+        y = linear(swoosh_l(linear(dw, cn["pw1"])), cn["pw2"])
+        x = x + y[:, : x.shape[1]]
+        b, t, f, c = x.shape
+        full = bias_norm(linear(x.reshape(b, t, f * c), emb["out"]), emb["out_norm"])
+        # window w keeps conv frames at global stride-16 positions; window
+        # 0's kept frames start at global conv frame 3 (the first 3 are
+        # edge frames discarded by the overlap design)
+        expect = np.asarray(full[:, 3: 3 + n_win * cfg.chunk_size])
+        np.testing.assert_allclose(chunked, expect, atol=2e-5)
