@@ -36,38 +36,33 @@ def agglomerative_cluster(embeddings: np.ndarray, threshold: float,
     n = len(embeddings)
     if n == 0:
         return np.zeros(0, np.int32)
-    clusters = [[i] for i in range(n)]
-    sim = embeddings @ embeddings.T
-    dist = 1.0 - sim
+    if n == 1:
+        return np.zeros(1, np.int32)
+    from scipy.cluster.hierarchy import fcluster, linkage
+    from scipy.spatial.distance import squareform
 
-    def cluster_dist(a, b):
-        return float(np.mean([dist[i, j] for i in a for j in b]))
+    # O(n² log n) via scipy — the previous per-merge Python rescan was
+    # O(n³)+ and unusable past a few hundred windows (an hour of audio is
+    # ~4800 windows)
+    dist = np.clip(1.0 - embeddings @ embeddings.T, 0.0, None)
+    np.fill_diagonal(dist, 0.0)
+    z = linkage(squareform(dist, checks=False), method="average")
+    if num_clusters is not None:
+        raw = fcluster(z, t=max(1, num_clusters), criterion="maxclust")
+    else:
+        raw = fcluster(z, t=threshold, criterion="distance")
+        if raw.max() > max_clusters:
+            # same forcing the merge loop applied: past the threshold keep
+            # merging until the speaker cap holds
+            raw = fcluster(z, t=max_clusters, criterion="maxclust")
 
-    while len(clusters) > 1:
-        if num_clusters is not None and len(clusters) <= num_clusters:
-            break
-        best = None
-        best_d = np.inf
-        for i in range(len(clusters)):
-            for j in range(i + 1, len(clusters)):
-                d = cluster_dist(clusters[i], clusters[j])
-                if d < best_d:
-                    best_d = d
-                    best = (i, j)
-        if best is None:
-            break
-        if num_clusters is None and best_d > threshold and len(clusters) <= max_clusters:
-            break
-        i, j = best
-        clusters[i] = clusters[i] + clusters[j]
-        del clusters[j]
-
-    labels = np.zeros(n, np.int32)
     # stable speaker ids ordered by first appearance
-    order = sorted(range(len(clusters)), key=lambda c: min(clusters[c]))
-    for new_id, c in enumerate(order):
-        for idx in clusters[c]:
-            labels[idx] = new_id
+    labels = np.zeros(n, np.int32)
+    seen: dict = {}
+    for i, r in enumerate(raw):
+        if r not in seen:
+            seen[r] = len(seen)
+        labels[i] = seen[r]
     return labels
 
 

@@ -241,32 +241,40 @@ class SortformerDiarizer:
     # -- NeMo streaming_update (reference: SortformerDiarizer.swift:284-360)
 
     def _update_state(self, embs: np.ndarray):
+        """Append a chunk's embeddings to the FIFO; overflow (oldest
+        first) moves into the speaker cache, which itself drops its
+        oldest rows past capacity. Handles chunks LARGER than the FIFO
+        (the pretrained config's 75-frame chunks vs fifo_len 40 — the
+        old in-place shuffle read stale rows and over-wrote capacity
+        there)."""
         n = len(embs)
         if n == 0:
             return
-        cap_f, cap_c = self.cfg.fifo_len, self.cfg.spkcache_len
-        if self._fifo_len + n <= cap_f:
-            self._fifo[self._fifo_len:self._fifo_len + n] = embs
-            self._fifo_len += n
+        cap_f = self.cfg.fifo_len
+        stream = np.concatenate([self._fifo[: self._fifo_len], embs])  # oldest..newest
+        if len(stream) > cap_f:
+            split = len(stream) - cap_f
+            self._push_spkcache(stream[:split])
+            stream = stream[split:]
+        self._fifo[: len(stream)] = stream
+        self._fifo_len = len(stream)
+
+    def _push_spkcache(self, moved: np.ndarray):
+        cap_c = self.cfg.spkcache_len
+        if len(moved) >= cap_c:
+            self._spkcache[:] = moved[-cap_c:]
+            self._spk_len = cap_c
             return
-        overflow = self._fifo_len + n - cap_f
-        moved = self._fifo[:overflow].copy()
-        if self._spk_len + overflow <= cap_c:
-            self._spkcache[self._spk_len:self._spk_len + overflow] = moved
-            self._spk_len += overflow
-        else:
-            cache_overflow = self._spk_len + overflow - cap_c
-            keep = self._spk_len - cache_overflow
-            if keep > 0:
-                self._spkcache[:keep] = self._spkcache[cache_overflow:self._spk_len]
-            self._spkcache[max(keep, 0):max(keep, 0) + overflow] = moved[:cap_c - max(keep, 0)]
-            self._spk_len = min(cap_c, max(keep, 0) + overflow)
-        remaining = self._fifo_len - overflow
-        if remaining > 0:
-            self._fifo[:remaining] = self._fifo[overflow:self._fifo_len]
-        self._fifo_len = remaining
-        self._fifo[self._fifo_len:self._fifo_len + n] = embs
-        self._fifo_len += n
+        total = self._spk_len + len(moved)
+        if total <= cap_c:
+            self._spkcache[self._spk_len : total] = moved
+            self._spk_len = total
+            return
+        drop = total - cap_c
+        keep = self._spk_len - drop
+        self._spkcache[:keep] = self._spkcache[drop : self._spk_len]
+        self._spkcache[keep : keep + len(moved)] = moved
+        self._spk_len = cap_c
 
     # -- public API -----------------------------------------------------------
 

@@ -41,7 +41,6 @@ from .dfn3 import (
     NB_DF,
     NB_ERB,
     DfnState,
-    dfn3_forward,
     dfn3_step,
     init_dfn3_params,
     init_state,
@@ -190,34 +189,6 @@ def _featurize(frames, mean_state, unit_state):
     return erb_n, spec_n, re, im, mean_state, unit_state
 
 
-def _apply_mask_and_df(re, im, mask, coefs):
-    """ERB mask over the full band, deep-filter output replacing the low
-    bins.  re/im: [F, N_BINS] raw spectrum; coefs [F, 96, 5, 2]; the tap n
-    reads frame t + n - (DF_ORDER-1-LOOKAHEAD) with clamped indexing."""
-    inv = jnp.asarray(erb_inverse_filterbank())
-    full_mask = mask @ inv                      # [F, N_BINS]
-    out_re = re * full_mask
-    out_im = im * full_mask
-
-    pad_before = DF_ORDER - 1 - LOOKAHEAD       # 2
-    lo_re = jnp.pad(re[:, :N_DF_BINS], ((pad_before, DF_ORDER - 1 - pad_before), (0, 0)),
-                    mode="edge")
-    lo_im = jnp.pad(im[:, :N_DF_BINS], ((pad_before, DF_ORDER - 1 - pad_before), (0, 0)),
-                    mode="edge")
-    n_frames = re.shape[0]
-    df_re = jnp.zeros((n_frames, N_DF_BINS))
-    df_im = jnp.zeros((n_frames, N_DF_BINS))
-    for n in range(DF_ORDER):
-        xr = jax.lax.dynamic_slice_in_dim(lo_re, n, n_frames, axis=0)
-        xi = jax.lax.dynamic_slice_in_dim(lo_im, n, n_frames, axis=0)
-        wr, wi = coefs[:, :, n, 0], coefs[:, :, n, 1]
-        df_re += xr * wr - xi * wi
-        df_im += xi * wr + xr * wi
-    out_re = out_re.at[:, :N_DF_BINS].set(df_re)
-    out_im = out_im.at[:, :N_DF_BINS].set(df_im)
-    return out_re, out_im
-
-
 def _istft_ola(re, im, synthesis_mem):
     """Inverse DFT → synthesis window → overlap-add.  Emits hop samples per
     frame (reference AudioProcessing.swift:208-270); Vorbis COLA means no
@@ -278,7 +249,11 @@ class SpeechEnhancer(SpeechEnhancementModel):
         if len(audio) == 0:
             return AudioChunk(np.zeros(0, np.float32), SR)
         t_in = len(audio)
-        session = StreamingEnhancer(self, chunk_samples=max(HOP, t_in // HOP * HOP))
+        # fixed-size chunks through the (batch-exact) streaming path: one
+        # compiled program per chunk shape + at most chunk/HOP tail
+        # variants — sizing the chunk to the utterance recompiled the
+        # whole pipeline for every distinct input length
+        session = StreamingEnhancer(self)
         out = np.concatenate([session.push(np.asarray(audio, np.float32)),
                               session.flush()])
         out = np.pad(out, (0, max(0, t_in - len(out))))[:t_in]

@@ -209,26 +209,17 @@ class FireRedVAD(VoiceActivityDetectionModel):
             kernel = np.ones(w) / w
             probs = np.convolve(probs, kernel, mode="same")
         frame_s = self.cfg.hop * self.cfg.lfr_n / self.cfg.sample_rate
-        speech = probs >= self.cfg.speech_threshold
-        segs: List[Tuple[float, float]] = []
-        start = None
-        for i, s in enumerate(speech):
-            if s and start is None:
-                start = i * frame_s
-            elif not s and start is not None:
-                segs.append((start, i * frame_s))
-                start = None
-        if start is not None:
-            segs.append((start, len(speech) * frame_s))
-        # merge short silences, drop short speech
-        merged: List[Tuple[float, float]] = []
-        for s, e in segs:
-            if merged and s - merged[-1][1] < self.cfg.min_silence_s:
-                merged[-1] = (merged[-1][0], e)
-            else:
-                merged.append((s, e))
-        return [SpeechSegment(start=s, end=e) for s, e in merged
-                if e - s >= self.cfg.min_speech_s]
+        # shared hysteresis/merge/min-duration machinery (onset == offset =
+        # the plain threshold this model uses); one implementation with
+        # silero/pyannote/sortformer instead of a third hand-rolled copy
+        from ..pyannote.model import binarize
+
+        segs = binarize(probs, frame_s,
+                        onset=self.cfg.speech_threshold,
+                        offset=self.cfg.speech_threshold,
+                        min_speech_s=self.cfg.min_speech_s,
+                        min_silence_s=self.cfg.min_silence_s)
+        return [SpeechSegment(start=s, end=e) for s, e in segs]
 
     def speech_probabilities(self, audio: np.ndarray, sample_rate: int = 16000) -> np.ndarray:
         return self.frame_probabilities(np.asarray(audio, np.float32), sample_rate)

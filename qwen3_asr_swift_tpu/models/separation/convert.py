@@ -48,8 +48,6 @@ def _convert_stem(sd: Dict[str, np.ndarray]) -> dict:
 
 
 def load_umx_checkpoint(model_dir) -> Dict[str, dict]:
-    import torch
-
     model_dir = Path(model_dir)
     out = {}
     for stem in STEMS:
@@ -58,12 +56,17 @@ def load_umx_checkpoint(model_dir) -> Dict[str, dict]:
             continue
         path = candidates[0]
         if path.suffix == ".pth":
+            import torch  # only the .pth branch needs torch
+
             sd = torch.load(str(path), map_location="cpu", weights_only=True)
             sd = {k: v.float().numpy() for k, v in sd.items()}
         else:
-            from ...core.weights import load_safetensors
+            # load ONLY this stem's file — loading the directory would
+            # merge all four stems' identically-named keys into one dict
+            # (every stem silently converted from whichever file won)
+            from safetensors.numpy import load_file
 
-            sd = load_safetensors(path.parent)
+            sd = load_file(str(path))
         out[stem] = _convert_stem(sd)
     if not out:
         raise FileNotFoundError(f"no stem checkpoints in {model_dir}")

@@ -169,7 +169,7 @@ def umx_forward(params, mag, nb_bins: int = 1487):
     return jax.nn.relu(h) * mag
 
 
-def wiener_masks(estimates, mix_power, eps=1e-10):
+def wiener_masks(estimates, eps=1e-10):
     """Single-iteration Wiener soft mask: power-ratio of stem estimates
     (reference: WienerFilter). estimates: [S, F, bins, C]."""
     power = estimates ** 2
@@ -190,7 +190,7 @@ class SourceSeparator(SourceSeparationModel):
             re, im = stft(audio, n_frames)  # [C, F, bins]
             mag = jnp.sqrt(re ** 2 + im ** 2).transpose(1, 2, 0)  # [F, bins, C]
             ests = jnp.stack([umx_forward(p, mag) for p in params_list])  # [S, F, bins, C]
-            masks = wiener_masks(ests, mag)
+            masks = wiener_masks(ests)
             outs = []
             for s in range(ests.shape[0]):
                 m = masks[s].transpose(2, 0, 1)  # [C, F, bins]

@@ -104,8 +104,13 @@ def _htk_mel_banks(n_mels=80, n_fft=512, sr=16000, fmin=20.0):
     return fb.astype(np.float32)
 
 
-def campplus_fbank(audio, cfg: CampPlusConfig = CONFIG_CAMPPLUS):
-    """audio [T] at 16 kHz → [n_frames, feat_dim] CMN'd log-mel."""
+def campplus_fbank(audio, n_valid_samples=None, cfg: CampPlusConfig = CONFIG_CAMPPLUS):
+    """audio [T] at 16 kHz → [n_frames, feat_dim] CMN'd log-mel.
+
+    ``n_valid_samples`` (traced scalar) supports length-bucketed calls:
+    the audio is padded to a bucket so ONE compiled program serves a
+    range of durations (instead of recompiling per clip length); CMN
+    statistics cover only the valid frames and padded rows return 0."""
     frame_len, hop = 400, 160
     t = audio.shape[-1]
     n_frames = max(0, 1 + (t - frame_len) // hop)
@@ -122,7 +127,12 @@ def campplus_fbank(audio, cfg: CampPlusConfig = CONFIG_CAMPPLUS):
     n_fft = 512
     fb = jnp.asarray(_htk_mel_banks(cfg.feat_dim, n_fft, cfg.sample_rate))
     mel = jnp.log(jnp.maximum(power @ fb, 1e-10))
-    return mel - mel.mean(axis=0, keepdims=True)        # CMN
+    if n_valid_samples is None:
+        return mel - mel.mean(axis=0, keepdims=True)    # CMN
+    nvf = jnp.maximum(1 + (n_valid_samples - frame_len) // hop, 1)
+    valid = (jnp.arange(n_frames) < nvf)[:, None]
+    mean = jnp.sum(jnp.where(valid, mel, 0.0), axis=0, keepdims=True) / nvf
+    return jnp.where(valid, mel - mean, 0.0)            # CMN over valid rows
 
 
 def prepare_frames(mel: np.ndarray, target: int) -> np.ndarray:
@@ -325,6 +335,8 @@ class CampPlusSpeaker(SpeakerEmbeddingModel):
     """192-d CAM++ speaker embeddings (not L2-normalized — the CosyVoice
     flow normalizes internally, CamPlusPlusSpeaker.swift:82)."""
 
+    FBANK_BUCKETS_S = (2, 5, 10, 20, 30)
+
     def __init__(self, cfg: CampPlusConfig, params, dtype=jnp.float32):
         from ...ops.quant import cast_tree
 
@@ -363,7 +375,18 @@ class CampPlusSpeaker(SpeakerEmbeddingModel):
         if len(audio) < 1600:
             raise ValueError(
                 f"Audio too short for speaker embedding ({len(audio)} samples, need >= 1600)")
-        mel = np.asarray(self._fbank(jnp.asarray(audio, jnp.float32)))
+        # pad to a seconds bucket so one compiled fbank program serves a
+        # range of clip lengths (voice-cloning prompts are arbitrary)
+        frame_len, hop = 400, 160
+        n_real = len(audio)
+        for bucket_s in self.FBANK_BUCKETS_S:
+            if n_real <= bucket_s * self.cfg.sample_rate:
+                break
+        target = max(bucket_s * self.cfg.sample_rate, n_real)
+        padded = np.pad(np.asarray(audio, np.float32), (0, target - n_real))
+        mel = np.asarray(self._fbank(jnp.asarray(padded),
+                                     jnp.asarray(n_real, jnp.int32)))
+        mel = mel[: max(1 + (n_real - frame_len) // hop, 0)]
         if len(mel) < 10:
             raise ValueError(f"Too few mel frames ({len(mel)}, need >= 10)")
         mel = prepare_frames(mel, self.cfg.target_frames)

@@ -95,10 +95,16 @@ def wespeaker_forward(params, fbank, n_valid_frames):
     for si, stage in enumerate(params["stages"]):
         for bi, blk in enumerate(stage):
             h = _basic_block(h, blk, stride=2 if (bi == 0 and si > 0) else 1)
-    # h: [1, T', mel', C] — stats pooling over valid time
+    # h: [1, T', mel', C] — stats pooling over valid time. The valid
+    # output length follows the convs' own length transform (k=3 s=2 p=1
+    # → (n-1)//2 + 1, three stride-2 stages) — a t//t_out quotient
+    # over-counts for short audio in long padding buckets, letting
+    # pad-derived frames into the mean/std
     t_out = h.shape[1]
-    factor = max(1, t // t_out)
-    valid_out = jnp.arange(t_out) < jnp.maximum(n_valid_frames // factor, 1)
+    nv = n_valid_frames
+    for _ in range(3):
+        nv = (nv - 1) // 2 + 1
+    valid_out = jnp.arange(t_out) < jnp.maximum(nv, 1)
     m = valid_out[None, :, None, None]
     cnt = jnp.maximum(valid_out.sum(), 1).astype(jnp.float32)
     mu = jnp.sum(jnp.where(m, h, 0.0), axis=1) / cnt  # [1, mel', C]

@@ -295,3 +295,27 @@ class TestGoldenParity:
                                    rtol=3e-4, atol=3e-5)
         core = np.asarray(preds)[cfg.spkcache_len + cfg.fifo_len:][:n]
         np.testing.assert_allclose(core, t_preds[0].numpy(), rtol=3e-4, atol=3e-5)
+
+
+class TestStreamingStateAtPretrainedSizes:
+    def test_update_state_handles_chunks_larger_than_fifo(self):
+        """The pretrained config feeds 75-frame chunks into a 40-slot FIFO;
+        the old in-place shuffle read stale zero rows into the speaker
+        cache and then crashed on a broadcast mismatch."""
+        import numpy as np
+
+        from qwen3_asr_swift_tpu.models.diarization.sortformer import (
+            CONFIG_SORTFORMER, SortformerDiarizer)
+
+        d = SortformerDiarizer.__new__(SortformerDiarizer)
+        d.cfg = CONFIG_SORTFORMER
+        d.reset_state()
+        for chunk in range(5):
+            embs = np.full((75, d.cfg.d_model), chunk + 1, np.float32)
+            d._update_state(embs)
+            assert d._fifo_len <= d.cfg.fifo_len
+            assert d._spk_len <= d.cfg.spkcache_len
+        # FIFO ends with the newest chunk's rows; cache rows are real (no
+        # stale zeros marked valid)
+        assert (d._fifo[d._fifo_len - 1] == 5).all()
+        assert (d._spkcache[: d._spk_len] != 0).any(axis=1).all()
