@@ -471,15 +471,19 @@ def _xf_stream(layers, cfg: MimiConfig, st, x):
     cos, sin = cos[:, None], sin[:, None]
     rep = cfg.num_heads // cfg.num_kv_heads
 
-    # slot j (after this frame's shift-in) holds absolute position
-    # pos0 + t - w + j; query i sits at pos0 + i
-    abs_key = pos0 + t - w + jnp.arange(w)              # [w]
+    # STATE slot j holds absolute position pos0 - w + j (the w positions
+    # before this chunk); attention runs over [state || new] = w + t keys
+    # so a chunk's FIRST query still sees its full window (pre-shifting
+    # into w slots evicted up to t-1 still-in-window keys, silently
+    # diverging from the batch op once the stream passed w positions)
+    abs_key = pos0 - w + jnp.arange(w + t)              # [w+t]
     q_abs = pos0 + jnp.arange(t)                        # [t]
     ok = ((abs_key[None, :] <= q_abs[:, None])
           & (abs_key[None, :] > q_abs[:, None] - w)
           & (abs_key[None, :] >= 0))
     mask = jnp.where(ok, 0.0, NEG_INF)[None, None].astype(jnp.float32)
 
+    s_len = w + t
     new_k = st["k"]
     new_v = st["v"]
     for li, p in enumerate(layers):
@@ -490,12 +494,12 @@ def _xf_stream(layers, cfg: MimiConfig, st, x):
         q, k = apply_rope(q, cos, sin), apply_rope(k, cos, sin)
         k = k.transpose(0, 2, 1, 3).reshape(b, t, -1)   # [B, t, kv]
         v = v.reshape(b, t, -1)
-        kbuf = jnp.concatenate([new_k[li, :, t:], k], axis=1)   # [B, w, kv]
-        vbuf = jnp.concatenate([new_v[li, :, t:], v], axis=1)
-        new_k = new_k.at[li].set(kbuf)
-        new_v = new_v.at[li].set(vbuf)
-        kh = kbuf.reshape(b, w, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-        vh = vbuf.reshape(b, w, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        kbuf = jnp.concatenate([new_k[li], k], axis=1)          # [B, w+t, kv]
+        vbuf = jnp.concatenate([new_v[li], v], axis=1)
+        new_k = new_k.at[li].set(kbuf[:, t:])                   # keep last w
+        new_v = new_v.at[li].set(vbuf[:, t:])
+        kh = kbuf.reshape(b, s_len, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        vh = vbuf.reshape(b, s_len, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
         if rep > 1:
             kh = jnp.repeat(kh, rep, axis=1)
             vh = jnp.repeat(vh, rep, axis=1)

@@ -42,11 +42,18 @@ from ...ops.rope import apply_rope, rope_angles
 from .diffusion import (DiffusionConfig, diffusion_config_tiny, dpm_solve,
                         init_diffusion_params)
 from .tokenizer import (TokenizerConfig, decode_chunked, encode, init_tokenizer_params,
-                        sample_latents, tokenizer_config_tiny)
+                        tokenizer_config_tiny)
 
 NEGATIVE_TEXT_ID = 151655
 SPEECH_START_ID = 151652
 SPEECH_END_ID = 151653
+SPEECH_DIFFUSION_ID = 151654
+
+#: reference: VibeVoiceTTSModel.systemPromptVibeVoice (the upstream
+#: processor's system prompt; encoded with BOS)
+SYSTEM_PROMPT = (" Transform the text provided by various speakers into "
+                 "speech output, utilizing the distinct voice of each "
+                 "respective speaker.\n")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -66,6 +73,9 @@ class VibeVoiceConfig:
     sample_rate: int = 24000
     max_frames: int = 750
     negative_text_id: int = NEGATIVE_TEXT_ID
+    speech_start_id: int = SPEECH_START_ID
+    speech_end_id: int = SPEECH_END_ID
+    speech_diffusion_id: int = SPEECH_DIFFUSION_ID
 
     @property
     def lm_layers(self) -> int:
@@ -90,7 +100,8 @@ def config_tiny() -> VibeVoiceConfig:
     return VibeVoiceConfig(
         hidden_size=32, num_layers=3, tts_backbone_layers=2, num_heads=2,
         num_kv_heads=1, head_dim=16, intermediate_size=64, vocab_size=300,
-        diffusion=diff, tokenizer=tok, max_frames=8, negative_text_id=299)
+        diffusion=diff, tokenizer=tok, max_frames=8, negative_text_id=299,
+        speech_start_id=296, speech_end_id=297, speech_diffusion_id=298)
 
 
 def _qwen2_layer_init(key, cfg: VibeVoiceConfig, dtype):
@@ -191,35 +202,40 @@ def lm_forward(p, cfg: VibeVoiceConfig, embeds, valid):
     return x  # NO final norm
 
 
-def generate_frames(p, cfg: VibeVoiceConfig, ids, n_valid, voice_latents, n_voice,
-                    key, max_frames: int, num_inference_steps: int, cfg_scale: float):
+def generate_frames(p, cfg: VibeVoiceConfig, ids, valid, type_ids, voice_latents,
+                    audio_start, key, max_frames: int, num_inference_steps: int,
+                    cfg_scale: float):
     """Full jitted generation: dual-stream prefill + frame while_loop.
 
-    ids: [T_bucket] right-padded text; voice_latents: [V_bucket, latent]
-    LM-space voice-prompt latents (n_voice valid; V_bucket may be 0).
+    ids: [T_bucket] the STRUCTURED prompt (system | " Speaker 0:"
+    <speech_start> vae* <speech_end> "\n" | " Text input:\n Speaker
+    0:{text}\n" | " Speech output:\n" <speech_start> — the reference's
+    exact layout, VibeVoiceTTSModel.swift:439-471), with the vae
+    placeholder block at ``audio_start``; ``valid`` and ``type_ids``
+    (text=1 / speech=0 per position) are host-built [T_bucket] arrays.
+    voice_latents [V_bucket, latent] overwrite the placeholder block's
+    embeddings, and the MERGED sequence runs through the base LM before
+    the type embeds + TTS backbone (reference :476-494).
     Returns (latents [max_frames, latent], n_frames).
     """
     b = 1
     t_bucket = ids.shape[0]
     v_bucket = voice_latents.shape[0]
-    prefix_len = t_bucket + v_bucket
+    prefix_len = t_bucket
     max_len = prefix_len + max_frames
     dtype = p["embed_tokens"].dtype
 
     # ---- positive stream prefill ----
-    text_valid = (jnp.arange(t_bucket) < n_valid)[None]
-    text_embeds = jnp.take(p["embed_tokens"], ids, axis=0)[None]
-    lm_hidden = lm_forward(p, cfg, text_embeds, text_valid)
-
-    voice_embeds = acoustic_connect(p["acoustic_connector"],
-                                    voice_latents.astype(dtype))[None]
-    embeds = jnp.concatenate([lm_hidden, voice_embeds], axis=1)
-    valid = jnp.concatenate(
-        [text_valid, (jnp.arange(v_bucket) < n_voice)[None]], axis=1)
-    # input-type embedding: text = 1, speech = 0
-    type_ids = jnp.concatenate([jnp.ones((t_bucket,), jnp.int32),
-                                jnp.zeros((v_bucket,), jnp.int32)])[None]
-    embeds = embeds + jnp.take(p["tts_input_types"], type_ids, axis=0)
+    valid = valid[None]
+    embeds = jnp.take(p["embed_tokens"], ids, axis=0)[None]
+    if v_bucket:
+        voice_embeds = acoustic_connect(p["acoustic_connector"],
+                                        voice_latents.astype(dtype))[None]
+        embeds = jax.lax.dynamic_update_slice(
+            embeds, voice_embeds.astype(embeds.dtype),
+            (jnp.asarray(0, jnp.int32), audio_start, jnp.asarray(0, jnp.int32)))
+    lm_hidden = lm_forward(p, cfg, embeds, valid)
+    embeds = lm_hidden + jnp.take(p["tts_input_types"], type_ids, axis=0)[None]
 
     positions = (jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1) * valid
     n_prefix = jnp.sum(valid.astype(jnp.int32))
@@ -361,29 +377,54 @@ class VibeVoiceTTS(SpeechGenerationModel):
 
     # -- internals ---------------------------------------------------------------
 
-    def _encode_text(self, text: str) -> np.ndarray:
-        ids = (self.tokenizer.encode(text) if self.tokenizer
-               else [3 + (ord(c) % 64) for c in text])[:256]
-        return np.asarray(ids, np.int32)
-
     def _load_voice(self, voice: Optional[str]) -> np.ndarray:
         if voice and Path(voice).exists():
             return np.load(voice)["latents"].astype(np.float32)
         return np.zeros((0, self.cfg.latent_dim), np.float32)
 
+    def _enc(self, s: str):
+        return (self.tokenizer.encode(s) if self.tokenizer
+                else [3 + (ord(c) % 64) for c in s])
+
+    def _build_prompt(self, text: str, v_bucket: int, n_voice: int):
+        """The reference's structured prompt (VibeVoiceTTSModel.swift:
+        439-471): system | speaker exemplar with the speech delimiters
+        around the vae placeholder block | text input | speech-output cue
+        | <speech_start>. Returns (ids, valid, type_ids, audio_start)."""
+        cfg = self.cfg
+        pre = list(self._enc(SYSTEM_PROMPT))
+        if v_bucket:
+            pre += self._enc(" Speaker 0:") + [cfg.speech_start_id]
+        audio_start = len(pre)
+        mid = [cfg.speech_diffusion_id] * v_bucket
+        post = ([cfg.speech_end_id] + self._enc("\n")) if v_bucket else []
+        post += self._enc(f" Text input:\n Speaker 0:{text}\n")
+        post += self._enc(" Speech output:\n") + [cfg.speech_start_id]
+        ids = np.asarray(pre + mid + post, np.int32)
+        valid = np.ones(len(ids), bool)
+        valid[audio_start + n_voice : audio_start + v_bucket] = False
+        type_ids = np.ones(len(ids), np.int32)         # text = 1
+        type_ids[audio_start : audio_start + v_bucket] = 0  # speech = 0
+        return ids, valid, type_ids, audio_start
+
     def _run(self, text: str, voice_latents: np.ndarray, max_frames: int, seed: int):
-        ids = self._encode_text(text)
-        n = len(ids)
-        bucket = max(16, ((n + 15) // 16) * 16)
-        arr = np.zeros(bucket, np.int32)
-        arr[:n] = ids
         v = len(voice_latents)
         v_bucket = 0 if v == 0 else max(8, ((v + 7) // 8) * 8)
         vl = np.zeros((v_bucket, self.cfg.latent_dim), np.float32)
         vl[:v] = voice_latents[:v_bucket]
+        ids, valid, type_ids, a0 = self._build_prompt(text, v_bucket, v)
+        n = len(ids)
+        bucket = max(16, ((n + 15) // 16) * 16)
+        arr = np.zeros(bucket, np.int32)
+        arr[:n] = ids
+        varr = np.zeros(bucket, bool)
+        varr[:n] = valid
+        tarr = np.ones(bucket, np.int32)
+        tarr[:n] = type_ids
         latents, n_f = self._generate(
-            self.params, ids=jnp.asarray(arr), n_valid=jnp.asarray(n, jnp.int32),
-            voice_latents=jnp.asarray(vl), n_voice=jnp.asarray(v, jnp.int32),
+            self.params, ids=jnp.asarray(np.minimum(arr, self.cfg.vocab_size - 1)),
+            valid=jnp.asarray(varr), type_ids=jnp.asarray(tarr),
+            voice_latents=jnp.asarray(vl), audio_start=jnp.asarray(a0, jnp.int32),
             key=jax.random.PRNGKey(seed), max_frames=max_frames)
         return np.asarray(latents), int(n_f)
 

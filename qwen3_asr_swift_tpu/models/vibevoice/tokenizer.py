@@ -50,6 +50,22 @@ class TokenizerConfig:
     def encoder_ratios(self) -> Tuple[int, ...]:
         return tuple(reversed(self.ratios))
 
+    @property
+    def decoder_latent_receptive(self) -> int:
+        """Latent-domain left receptive field of the causal decoder: the
+        minimum ``left_context`` for which chunked decode is exact. Each
+        causal conv of kernel k holds k-1 left taps at its stage's rate;
+        dividing by the cumulative upsample converts to latent frames."""
+        k1 = self.kernel - 1
+        rf = k1 * (1 + self.depths[0])       # stage-0 conv + its blocks
+        u = 1
+        for i in range(1, len(self.depths)):
+            rf += int(np.ceil(k1 / u))       # upsample conv (pre-upsample rate)
+            u *= self.ratios[i - 1]
+            rf += self.depths[i] * int(np.ceil(k1 / u))
+        rf += int(np.ceil(k1 / u))           # head conv
+        return rf
+
 
 def tokenizer_config_tiny() -> TokenizerConfig:
     return TokenizerConfig(vae_dim=8, n_filters=4, ratios=(4, 2), depths=(1, 1, 1),
@@ -196,10 +212,15 @@ def decode(p, cfg: TokenizerConfig, latents):
 
 
 def decode_chunked(p, cfg: TokenizerConfig, latents, chunk: int = 16,
-                   left_context: int = 8):
+                   left_context: int | None = None):
     """Chunked decode with left-context re-computation: every conv in the
     decoder is causal, so with left_context ≥ the latent-domain receptive
-    field the emitted samples equal the full decode exactly."""
+    field the emitted samples equal the full decode exactly. The default
+    derives that field from the config (a fixed small context was exact
+    only for tiny test configs — the 0.5B decoder needs ~45 latent
+    frames, and short contexts put audible seams at every boundary)."""
+    if left_context is None:
+        left_context = cfg.decoder_latent_receptive
     b, t, _ = latents.shape
     spf = cfg.total_ratio
     outs = []

@@ -258,6 +258,16 @@ def map_voxcpm2_state_dict(sd: Dict[str, np.ndarray],
 
     vae_params, vae_cfg = _vae(sd, CONFIG_2B.vae)
 
+    def _tower_head_dim(rope_key, cfg_key):
+        # per-tower head dim: the tower's own rope buffer is authoritative
+        # (the reference honors per-tower kv_channels, Configuration.swift)
+        if rope_key in sd:
+            return 2 * sd[rope_key].reshape(-1).shape[0]
+        return ((config_json or {}).get(cfg_key, {}) or {}).get("kv_channels", head_dim)
+
+    enc_hd = _tower_head_dim("feat_encoder.encoder.rope.inv_freq", "encoder_config")
+    dit_hd = _tower_head_dim("feat_decoder.decoder.rope.inv_freq", "dit_config")
+
     cfg = dataclasses.replace(
         CONFIG_2B,
         hidden_size=bi["hidden"],
@@ -273,9 +283,11 @@ def map_voxcpm2_state_dict(sd: Dict[str, np.ndarray],
         patch_size=(config_json or {}).get("patch_size", CONFIG_2B.patch_size),
         fsq_latent=fsq_in["kernel"].shape[1],
         enc_hidden=ei["hidden"], enc_layers=ei["layers"],
-        enc_heads=ei["q_out"] // head_dim, enc_inter=ei["inter"],
+        enc_heads=ei["q_out"] // enc_hd, enc_inter=ei["inter"],
+        enc_head_dim=enc_hd,
         dit_hidden=di["hidden"], dit_layers=di["layers"],
-        dit_heads=di["q_out"] // head_dim, dit_inter=di["inter"],
+        dit_heads=di["q_out"] // dit_hd, dit_inter=di["inter"],
+        dit_head_dim=dit_hd,
         vae=vae_cfg,
     )
 

@@ -103,6 +103,11 @@ class VoxCPM2Config:
     dit_hidden: int = 1024
     dit_layers: int = 12
     dit_heads: int = 16
+    #: per-tower head dims (the reference honors per-tower kv_channels;
+    #: None = inherit the base LM's head_dim — the published default is a
+    #: uniform 128)
+    enc_head_dim: Optional[int] = None
+    dit_head_dim: Optional[int] = None
     dit_inter: int = 4096
     cfm_steps: int = 10
     cfg_value: float = 2.0
@@ -132,10 +137,12 @@ class VoxCPM2Config:
                            self.num_kv_heads, self.head_dim, self.intermediate_size, False)
         if which == "enc":
             return ModDims(self.enc_layers, self.enc_hidden, self.enc_heads,
-                           self.enc_heads, self.head_dim, self.enc_inter, True)
+                           self.enc_heads, self.enc_head_dim or self.head_dim,
+                           self.enc_inter, True)
         if which == "dit":
             return ModDims(self.dit_layers, self.dit_hidden, self.dit_heads,
-                           self.dit_heads, self.head_dim, self.dit_inter, True)
+                           self.dit_heads, self.dit_head_dim or self.head_dim,
+                           self.dit_inter, True)
         raise KeyError(which)
 
 
@@ -389,6 +396,7 @@ class VoxCPM2TTS(SpeechGenerationModel):
 
         self.cfg = cfg
         self.tokenizer = tokenizer
+        params = dict(params)  # don't mutate the caller's tree
         vae_params = params.pop("audio_vae") if "audio_vae" in params else None
         self.params = cast_tree(params, dtype)
         if vae_params is not None:

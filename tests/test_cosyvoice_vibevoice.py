@@ -808,3 +808,33 @@ class TestStreamSeamQuality:
         streamed = np.concatenate(pieces)
         err = np.abs(streamed - offline).max() / np.abs(offline).max()
         assert err > 1e-2  # starved context IS detectable by this gate
+
+
+class TestVibeVoiceChunkContext:
+    def test_default_context_exact_beyond_small_rf(self):
+        """The chunked decode's default left context derives from the
+        config's receptive field; a config whose RF exceeds the old fixed
+        default (8) must still decode exactly."""
+        import dataclasses
+
+        from qwen3_asr_swift_tpu.models.vibevoice.tokenizer import (
+            TokenizerConfig, decode, decode_chunked, init_tokenizer_params)
+
+        # layer_scale near 1 so the ConvNeXt blocks (the long-range taps)
+        # contribute visibly — at the 1e-6 init their receptive field is
+        # numerically invisible and any context looks "exact"
+        cfg = TokenizerConfig(vae_dim=8, n_filters=4, ratios=(4, 2),
+                              depths=(2, 2, 2), kernel=7, layer_scale_init=0.5)
+        rf = cfg.decoder_latent_receptive
+        assert rf > 8, rf
+        params = init_tokenizer_params(jax.random.PRNGKey(3), cfg)
+        lat = jnp.asarray(
+            np.random.default_rng(4).standard_normal((1, 40, cfg.vae_dim)),
+            jnp.float32)
+        full = np.asarray(decode(params, cfg, lat))
+        chunked = np.asarray(decode_chunked(params, cfg, lat, chunk=7))
+        np.testing.assert_allclose(chunked, full, atol=2e-5)
+        # the OLD fixed default is NOT exact for this config — pins that
+        # the derived context is actually load-bearing
+        short = np.asarray(decode_chunked(params, cfg, lat, chunk=7, left_context=8))
+        assert np.abs(short - full).max() > 1e-4

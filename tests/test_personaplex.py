@@ -53,6 +53,33 @@ class TestMimi:
         wav = mimi_decode(params, cfg, codes)
         assert np.isfinite(np.asarray(wav)).all()
 
+    def test_streaming_exact_past_sliding_window(self):
+        """Frame-by-frame streaming must stay exact BEYOND the transformer's
+        sliding window: the old KV ring held exactly w slots, so once the
+        stream passed w positions each chunk's first query lost up to t-1
+        still-in-window keys."""
+        import dataclasses
+
+        from qwen3_asr_swift_tpu.models.personaplex.mimi import (
+            config_tiny as mt, init_mimi_encoder_stream, init_mimi_params,
+            mimi_encode, mimi_encode_frame)
+
+        cfg = dataclasses.replace(mt(), sliding_window=6)
+        params = init_mimi_params(jax.random.PRNGKey(9), cfg)
+        spf = cfg.samples_per_frame
+        n = 14  # well past the 6-position window (2 positions per frame)
+        audio = jnp.asarray(
+            0.3 * np.random.default_rng(8).standard_normal((1, spf * n)),
+            jnp.float32)
+        full = np.asarray(mimi_encode(params, cfg, audio))
+        st = init_mimi_encoder_stream(params, cfg)
+        got = []
+        for i in range(n):
+            codes, st = mimi_encode_frame(params, cfg, st,
+                                          audio[:, i * spf:(i + 1) * spf])
+            got.append(np.asarray(codes))
+        np.testing.assert_array_equal(np.concatenate(got, axis=2), full)
+
     def test_streaming_encode_exact(self, mimi):
         """Frame-by-frame carried-state encode ≡ the batch encode: conv
         carries reproduce the zero causal padding, the KV ring reproduces
