@@ -154,7 +154,14 @@ def cmd_vad(args):
     else:
         from .models.silero_vad import SileroVAD as Model
 
-    model = Model.init_random() if args.random_weights else Model.from_pretrained(args.model)
+    if args.random_weights:
+        model = Model.init_random()
+    elif args.model:
+        model = Model.from_pretrained(args.model)
+    else:
+        # each engine has its own checkpoint default — passing the silero
+        # id to pyannote/firered would convert the wrong repo
+        model = Model.from_pretrained()
     audio, _ = _load_audio(args.audio)
     segs = model.detect_speech(audio)
     _print([{"start": round(s.start, 3), "end": round(s.end, 3)} for s in segs])
@@ -245,7 +252,10 @@ def cmd_separate(args):
 def cmd_wake(args):
     from .models.wakeword import Keyword, WakeWordDetector
 
-    keywords = [Keyword(k, [hash(c) % 400 + 4 for c in k], threshold=args.threshold)
+    # deterministic char->token mapping (hash() is salted per process; the
+    # real inventory comes from the model's BPE — these synthetic ids only
+    # serve --random-weights runs and reproducibility)
+    keywords = [Keyword(k, [(ord(c) * 31) % 400 + 4 for c in k], threshold=args.threshold)
                 for k in args.keywords]
     model = (WakeWordDetector.init_random(keywords) if args.random_weights
              else WakeWordDetector.from_pretrained(keywords=keywords))
@@ -349,6 +359,11 @@ def cmd_serve(args):
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="speech", description="TPU speech toolkit")
+    p.add_argument("--platform", default=None, metavar="NAME",
+                   help="force a JAX backend (e.g. 'cpu', 'tpu') before any "
+                        "compute runs; the JAX_PLATFORMS env var is ignored "
+                        "by plugins registered via sitecustomize, this is "
+                        "the reliable switch")
     sub = p.add_subparsers(dest="command", required=True)
 
     def add(name, fn, **arguments):
@@ -406,7 +421,8 @@ def build_parser() -> argparse.ArgumentParser:
                              help="also print per-step text tokens / entropy "
                                   "/ hidden stats (respondDiagnostic)")})
     add("vad", cmd_vad, audio={}, **{
-        "--model": dict(default="silero-vad-v5"),
+        "--model": dict(default=None, help="checkpoint id (default: the "
+                                           "selected engine's own)"),
         "--engine": dict(default="silero", choices=["silero", "pyannote", "firered"])})
     add("vad-stream", cmd_vad_stream, audio={}, **{"--model": dict(default="silero-vad-v5")})
     add("diarize", cmd_diarize, audio={}, **{
@@ -455,6 +471,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     t0 = time.perf_counter()
     args.fn(args)
     print(f"[{time.perf_counter() - t0:.1f}s]", file=sys.stderr)

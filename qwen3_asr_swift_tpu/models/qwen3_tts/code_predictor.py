@@ -64,10 +64,20 @@ def init_cp_params(key, cfg: CodePredictorConfig, dtype=jnp.float32) -> dict:
     return params
 
 
+def _maybe_project(params, cfg: CodePredictorConfig, emb):
+    if cfg.needs_projection:
+        return linear(emb, params["projection"])
+    return emb
+
+
 def _cp_forward(params, cfg: CodePredictorConfig, x, positions, k_caches, v_caches, start, kv_len):
-    """Shared layer stack. x: [B, T, H]; positions: [B, T];
+    """Shared layer stack. x: [B, T, embedding_dim]; positions: [B, T];
     k_caches/v_caches: [L, B, Hkv, MAX_CP_LEN, D]; writes at ``start``.
-    Returns (normed hidden [B, T, H], k_caches, v_caches)."""
+    EVERY input projects embedding_dim → hidden first when the config
+    needs it (the reference applies smallToMtpProjection at the top of
+    each CP forward, CodePredictor.swift:191,233 — the 1.7B talker is
+    2048-wide, the CP stack 1024). Returns (normed [B, T, H], caches)."""
+    x = _maybe_project(params, cfg, x)
     b, t, _ = x.shape
     hd = cfg.head_dim
     cols = jnp.arange(MAX_CP_LEN)[None, None, None, :]
@@ -106,10 +116,6 @@ def _cp_forward(params, cfg: CodePredictorConfig, x, positions, k_caches, v_cach
     return rms_norm(x, params["norm"]["weight"], cfg.rms_norm_eps), k_caches, v_caches
 
 
-def _maybe_project(params, cfg: CodePredictorConfig, emb):
-    if cfg.needs_projection:
-        return linear(emb, params["projection"])
-    return emb
 
 
 def predict_codebooks(params, cfg: CodePredictorConfig, hidden, code0_embed, key,
@@ -149,7 +155,7 @@ def predict_codebooks(params, cfg: CodePredictorConfig, hidden, code0_embed, key
     def body(carry, group_idx):
         code_prev, k_caches, v_caches, key = carry
         emb_table = params["group_embeds"][group_idx - 1]  # previous group's table
-        emb = _maybe_project(params, cfg, jnp.take(emb_table, code_prev, axis=0))[:, None, :]
+        emb = jnp.take(emb_table, code_prev, axis=0)[:, None, :]  # projected in _cp_forward
         pos = jnp.broadcast_to((group_idx + 1)[None, None], (b, 1))
         normed, k_caches, v_caches = _cp_forward(
             params, cfg, emb.astype(dtype), pos, k_caches, v_caches,
@@ -171,11 +177,13 @@ def predict_codebooks(params, cfg: CodePredictorConfig, hidden, code0_embed, key
 
 
 def embed_all_groups(params, cfg: CodePredictorConfig, codes):
-    """Sum of all 15 group embeddings for the next talker input
-    (reference: batchEmbedAllGroups). codes: [B, 15] → [B, H]."""
+    """Sum of all 15 group embeddings for the next TALKER input
+    (reference: batchEmbedAllGroups — talker-side sums stay at
+    embedding_dim; the small_to_mtp projection exists only on the CP
+    stack's input side). codes: [B, 15] → [B, embedding_dim]."""
     def one(group_idx, code):
         table = params["group_embeds"][group_idx]
-        return _maybe_project(params, cfg, jnp.take(table, code, axis=0))
+        return jnp.take(table, code, axis=0)
 
     embs = jax.vmap(one, in_axes=(0, 1), out_axes=1)(
         jnp.arange(cfg.num_code_groups - 1), codes

@@ -284,6 +284,9 @@ class CodecDecoder:
         context (tests pin exact-at-full-context and first-chunk bounds)."""
         if codes.ndim == 2:
             codes = codes[None]
+        if codes.shape[0] != 1:
+            raise ValueError("decode_stream is single-utterance; decode() "
+                             "handles batches")  # yielding row 0 silently
         t = codes.shape[2]
         spf = self.cfg.samples_per_frame
         pos = 0

@@ -20,6 +20,19 @@ class TalkerConfig:
     text_vocab_size: int = 151936
     text_hidden_size: int = 2048
     codec_vocab_size: int = 3072
+    # text-vocab special ids (reference: Configuration.swift:152-194 —
+    # Qwen chat-template ids plus the TTS pad/bos/eos text tokens). Config
+    # fields, not constants, so reduced-vocab configs stay in range:
+    # jnp.take fills out-of-vocab gathers with NaN, which silently poisons
+    # the whole prompt (same convention as qwen3_asr/config.py:81-89).
+    im_start_id: int = 151644
+    im_end_id: int = 151645
+    nl_id: int = 198
+    assistant_id: int = 77091
+    user_id: int = 872
+    tts_pad_id: int = 151671
+    tts_bos_id: int = 151672
+    tts_eos_id: int = 151673
 
 
 @dataclasses.dataclass(frozen=True)
@@ -123,6 +136,9 @@ def config_tiny() -> Qwen3TTSConfig:
             hidden_size=48, num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
             intermediate_size=96, mrope_sections=(4, 2, 2), text_vocab_size=512,
             text_hidden_size=64, codec_vocab_size=3072,
+            # remap the text-vocab special ids inside the tiny vocab
+            im_start_id=500, im_end_id=501, nl_id=198, assistant_id=502,
+            user_id=503, tts_pad_id=504, tts_bos_id=505, tts_eos_id=506,
         ),
         code_predictor=CodePredictorConfig(
             hidden_size=48, embedding_dim=48, num_layers=2, num_heads=4, num_kv_heads=2,

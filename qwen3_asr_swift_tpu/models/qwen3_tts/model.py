@@ -203,7 +203,12 @@ class Qwen3TTS(SpeechGenerationModel):
         cfg = detect_tts_config(model_id, model_dir)
         tokenizer = BPETokenizer.from_pretrained_dir(model_dir)
         flat = load_safetensors(model_dir)
-        talker, cp, codec = convert_tts_checkpoint(flat, cfg)
+        from ...core.config import detect_bits
+
+        # dense (non-packed) tensors need the repo's quantization width —
+        # hardcoding 4 silently corrupted 8-bit repos' embeddings
+        talker, cp, codec = convert_tts_checkpoint(
+            flat, cfg, bits=detect_bits(model_id) or 4)
         speakers = load_speaker_config(model_dir)
         return cls(cfg, talker, cp, codec, tokenizer=tokenizer, dtype=dtype,
                    speakers=speakers, **kw)
@@ -220,11 +225,20 @@ class Qwen3TTS(SpeechGenerationModel):
         spliced into the prefill after BOS)."""
         if self.tokenizer is None:
             raise RuntimeError("synthesis requires a tokenizer")
-        IM_START, IM_END, NL, ASSISTANT, USER = 151644, 151645, 198, 77091, 872
+        tk = self.cfg.talker
+        IM_START, IM_END, NL, ASSISTANT, USER = (
+            tk.im_start_id, tk.im_end_id, tk.nl_id, tk.assistant_id, tk.user_id)
         if clone is not None:
             text = f"{clone[1]} {text}" if clone[1] else text
         text_tokens = [IM_START, ASSISTANT, NL] + self.tokenizer.encode(text) + \
                       [IM_END, NL, IM_START, ASSISTANT, NL]
+        oov = max(text_tokens)
+        if oov >= tk.text_vocab_size:
+            # fail loudly: jnp.take would fill the gather with NaN and the
+            # sampler would silently emit code 0 forever
+            raise ValueError(f"text token id {oov} >= text_vocab_size "
+                             f"{tk.text_vocab_size}; tokenizer does not "
+                             f"match this checkpoint's text vocabulary")
         lang_id = CodecTokens.language_id(language) or CodecTokens.LANGUAGES["en"]
         spk_id = self.speakers.get((speaker or "").lower())
         codec_prefix = [CodecTokens.THINK, CodecTokens.THINK_BOS, lang_id, CodecTokens.THINK_EOS]
@@ -238,7 +252,7 @@ class Qwen3TTS(SpeechGenerationModel):
         codec_embeds = embed_codec(tp, jnp.asarray(codec_prefix, jnp.int32)[None])
 
         special = embed_text(tp, jnp.asarray(
-            [CodecTokens.TTS_PAD, CodecTokens.TTS_BOS, CodecTokens.TTS_EOS], jnp.int32)[None], tcfg)
+            [tk.tts_pad_id, tk.tts_bos_id, tk.tts_eos_id], jnp.int32)[None], tcfg)
         tts_pad, tts_bos, tts_eos = special[0, 0], special[0, 1], special[0, 2]
 
         n_codec = len(codec_prefix)
@@ -259,6 +273,9 @@ class Qwen3TTS(SpeechGenerationModel):
         pieces.append(first_text)
         if instruct:
             instruct_ids = [IM_START, USER, NL] + self.tokenizer.encode(instruct) + [IM_END, NL]
+            if max(instruct_ids) >= tk.text_vocab_size:
+                raise ValueError(f"instruct token id {max(instruct_ids)} >= "
+                                 f"text_vocab_size {tk.text_vocab_size}")
             pieces.insert(0, embed_text(tp, jnp.asarray(instruct_ids, jnp.int32)[None], tcfg))
         prefill = jnp.concatenate(pieces, axis=1)
 
@@ -311,10 +328,17 @@ class Qwen3TTS(SpeechGenerationModel):
         return AudioChunk(np.asarray(wav, np.float32), self.cfg.codec.sample_rate)
 
     def synthesize_stream(self, text: str, voice: Optional[str] = None, language: str = "english",
-                          max_frames: Optional[int] = None, **kwargs) -> Iterator[AudioChunk]:
-        sampling = (dataclasses.replace(TTSSamplingConfig(), max_frames=max_frames)
-                    if max_frames is not None else None)
-        codes, n = self.generate_codes(text, language, voice, sampling=sampling)
+                          max_frames: Optional[int] = None,
+                          instruct: Optional[str] = None,
+                          sampling: Optional["TTSSamplingConfig"] = None,
+                          seed: int = 0) -> Iterator[AudioChunk]:
+        """Same options as :meth:`synthesize` (instruct/sampling/seed were
+        previously swallowed silently — a streaming caller lost its style
+        instruction and always got seed 0)."""
+        if sampling is None and max_frames is not None:
+            sampling = dataclasses.replace(TTSSamplingConfig(), max_frames=max_frames)
+        codes, n = self.generate_codes(text, language, voice, instruct,
+                                       sampling=sampling, seed=seed)
         if n == 0:
             return
         for chunk in self.codec.decode_stream(codes):
@@ -400,9 +424,13 @@ class Qwen3TTS(SpeechGenerationModel):
             out.append(AudioChunk(np.asarray(wav, np.float32), self.cfg.codec.sample_rate))
         return out
 
-    def warm_up(self) -> None:
+    def warm_up(self, max_frames: Optional[int] = None) -> None:
+        """Compile the programs real requests use: max_frames is a STATIC
+        jit argument, so warming with a throwaway small value left the
+        first real synthesize() paying the full talker-loop compile."""
         if self.tokenizer is not None:
-            self.synthesize("hi", sampling=TTSSamplingConfig(max_frames=4))
+            mf = max_frames or TTSSamplingConfig().max_frames
+            self.synthesize("hi", sampling=TTSSamplingConfig(max_frames=mf))
 
     def unload(self) -> None:
         self.talker_params = None

@@ -45,10 +45,12 @@ class TranscriptionStore:
 
     def commit(self, text: str, start: float = 0.0, end: float = 0.0,
                confidence: Optional[float] = None) -> None:
-        if not text:
-            return
+        # an empty final still ENDS the segment: the in-flight partial must
+        # clear (otherwise a rejected/empty segment leaves a dead partial
+        # on screen forever)
         with self._lock:
-            self._segments.append(TranscriptSegment(text, start, end, confidence))
+            if text:
+                self._segments.append(TranscriptSegment(text, start, end, confidence))
             self._partial = ""
         self._notify()
 

@@ -138,6 +138,27 @@ class TestCodePredictor:
         out = embed_all_groups(cp, CFG.code_predictor, codes)
         assert out.shape == (3, CFG.code_predictor.hidden_size)
 
+    def test_projected_config_dims(self):
+        """The 1.7B layout: talker/embedding dim WIDER than the CP stack.
+        The small_to_mtp projection applies at the CP transformer's input
+        (every forward), and talker-side group sums stay at embedding_dim
+        — the old wiring fed 2x-wide inputs into the CP layers (crash)
+        and projected the talker-side sum (broadcast error)."""
+        import dataclasses
+
+        cpc = dataclasses.replace(CFG.code_predictor, embedding_dim=2 * CFG.code_predictor.hidden_size)
+        assert cpc.needs_projection
+        cp = init_cp_params(jax.random.PRNGKey(1), cpc, jnp.float32)
+        hidden = jnp.asarray(np.random.default_rng(2).standard_normal(
+            (2, cpc.embedding_dim)), jnp.float32)  # talker-width
+        code0 = jnp.asarray(np.random.default_rng(3).standard_normal(
+            (2, cpc.embedding_dim)), jnp.float32)
+        codes = predict_codebooks(cp, cpc, hidden, code0, jax.random.PRNGKey(0))
+        assert codes.shape == (2, 15)
+        # talker-side sum returns embedding_dim, not CP hidden
+        out = embed_all_groups(cp, cpc, codes)
+        assert out.shape == (2, cpc.embedding_dim)
+
 
 class TestModel:
     @pytest.fixture(scope="class")
@@ -153,6 +174,31 @@ class TestModel:
         chunk = model.synthesize("ab", sampling=TTSSamplingConfig(max_frames=3, temperature=0.0))
         assert chunk.sample_rate == 24000
         assert len(chunk.samples) % CFG.codec.samples_per_frame == 0
+
+    def test_prompt_embeds_finite_and_seed_sensitive(self, model):
+        """config_tiny remaps the Qwen chat-template/TTS special ids into
+        its 512-entry vocab; out-of-vocab ids hit jnp.take's NaN fill and
+        used to poison the entire prompt (argmax(NaN)=0 → every frame
+        sampled code 0, silently — seeds had no effect)."""
+        prefill, trailing, _ = model._build_prompt_embeds(
+            "hello world", "english", None, None, clone=None)
+        assert np.isfinite(np.asarray(prefill, np.float32)).all()
+        assert np.isfinite(np.asarray(trailing, np.float32)).all()
+        s = TTSSamplingConfig(max_frames=6)
+        c1, _ = model.generate_codes("hello world", sampling=s, seed=3)
+        c2, _ = model.generate_codes("hello world", sampling=s, seed=4)
+        c3, _ = model.generate_codes("hello world", sampling=s, seed=3)
+        assert not np.array_equal(c1, c2)   # sampling actually randomized
+        assert np.array_equal(c1, c3)       # and reproducible per seed
+
+    def test_out_of_vocab_text_ids_raise(self, model):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            CFG, talker=dataclasses.replace(CFG.talker, im_start_id=151644))
+        m = Qwen3TTS.init_random(cfg, dtype=jnp.float32, tokenizer=byte_tokenizer())
+        with pytest.raises(ValueError, match="text_vocab_size"):
+            m.generate_codes("x", sampling=TTSSamplingConfig(max_frames=2))
 
     def test_stream_matches_batch(self, model):
         full = model.synthesize("abc", sampling=TTSSamplingConfig(max_frames=3, temperature=0.0), seed=1)
