@@ -35,9 +35,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...core import AudioChunk, SpeechGenerationModel
-from ...ops.attention import NEG_INF, sdpa
-from ...ops.nn import init_linear, linear, rms_norm, swiglu_mlp
-from ...ops.rope import apply_rope, rope_angles
+from ...ops.attention import NEG_INF
+from ...ops.nn import init_linear, linear, rms_norm
+from ...ops.qwen2 import qwen2_decoder_layer
 from .dit import (CosyDiTConfig, CosyFlowConfig, flow_config_tiny, flow_generate,
                   init_flow_params)
 from .hift import CosyHiFTConfig, hift_config_tiny, hift_generate, init_hift_params
@@ -236,30 +236,18 @@ def llm_generate_tokens(params, cfg: CosyVoiceConfig, text_ids, n_valid, key,
         once bucket padding leaves gaps in the prefix — ``mask_rows``
         supplies the slot row (defaults to positions, correct for the
         prefill where slot == position)."""
-        t = embeds.shape[1]
         x = embeds
         new_caches = []
         cols = jnp.arange(max_len)[None, None, None, :]
         rows = (positions if mask_rows is None else mask_rows)[:, None, :, None]
         mask = jnp.where((cols <= rows) & key_valid[None, None, None, :], 0.0, NEG_INF).astype(jnp.float32)
         for p, (kc, vc) in zip(params["layers"], caches):
-            hd = cfg.head_dim
-            hx = rms_norm(x, p["input_layernorm"]["weight"], cfg.rms_norm_eps)
-            q = linear(hx, p["q_proj"]).reshape(b, t, cfg.num_heads, hd)
-            k = linear(hx, p["k_proj"]).reshape(b, t, cfg.num_kv_heads, hd)
-            v = linear(hx, p["v_proj"]).reshape(b, t, cfg.num_kv_heads, hd)
-            cos, sin = rope_angles(positions, hd, cfg.rope_theta)
-            cos, sin = cos[:, None], sin[:, None]
-            q = apply_rope(q.transpose(0, 2, 1, 3), cos, sin)
-            k = apply_rope(k.transpose(0, 2, 1, 3), cos, sin)
-            v = v.transpose(0, 2, 1, 3)
-            kc = jax.lax.dynamic_update_slice_in_dim(kc, k.astype(kc.dtype), start, axis=2)
-            vc = jax.lax.dynamic_update_slice_in_dim(vc, v.astype(vc.dtype), start, axis=2)
+            x, kc, vc = qwen2_decoder_layer(
+                p, x, positions, mask, num_heads=cfg.num_heads,
+                num_kv_heads=cfg.num_kv_heads, head_dim=cfg.head_dim,
+                rope_theta=cfg.rope_theta, rms_norm_eps=cfg.rms_norm_eps,
+                kc=kc, vc=vc, start=start)
             new_caches.append((kc, vc))
-            a = sdpa(q, kc, vc, 1.0 / np.sqrt(hd), mask)
-            x = x + linear(a.transpose(0, 2, 1, 3).reshape(b, t, -1), p["o_proj"])
-            h2 = rms_norm(x, p["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
-            x = x + swiglu_mlp(h2, p["mlp"])
         return rms_norm(x, params["norm"]["weight"], cfg.rms_norm_eps), new_caches
 
     positions = jnp.arange(prefix_len)[None]

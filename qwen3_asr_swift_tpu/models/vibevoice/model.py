@@ -36,9 +36,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...core import AudioChunk, SpeechGenerationModel
-from ...ops.attention import NEG_INF, sdpa
-from ...ops.nn import init_linear, linear, rms_norm, swiglu_mlp
-from ...ops.rope import apply_rope, rope_angles
+from ...ops.attention import NEG_INF
+from ...ops.nn import init_linear, linear, rms_norm
+from ...ops.qwen2 import qwen2_decoder_layer
 from .diffusion import (DiffusionConfig, diffusion_config_tiny, dpm_solve,
                         init_diffusion_params)
 from .tokenizer import (TokenizerConfig, decode_chunked, encode, init_tokenizer_params,
@@ -166,26 +166,11 @@ def eos_probability(p, hidden):
 def _layer_forward(lp, x, positions, mask, cfg, kc=None, vc=None, start=None):
     """One Qwen2 layer; if kc/vc given, write K/V at ``start`` and attend
     over the cache, else self-attend within x."""
-    b, t, _ = x.shape
-    hd = cfg.head_dim
-    h = rms_norm(x, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
-    q = linear(h, lp["q_proj"]).reshape(b, t, cfg.num_heads, hd)
-    k = linear(h, lp["k_proj"]).reshape(b, t, cfg.num_kv_heads, hd)
-    v = linear(h, lp["v_proj"]).reshape(b, t, cfg.num_kv_heads, hd)
-    cos, sin = rope_angles(positions, hd, cfg.rope_theta)
-    cos, sin = cos[:, None], sin[:, None]
-    q = apply_rope(q.transpose(0, 2, 1, 3), cos, sin)
-    k = apply_rope(k.transpose(0, 2, 1, 3), cos, sin)
-    v = v.transpose(0, 2, 1, 3)
-    if kc is not None:
-        kc = jax.lax.dynamic_update_slice_in_dim(kc, k.astype(kc.dtype), start, axis=2)
-        vc = jax.lax.dynamic_update_slice_in_dim(vc, v.astype(vc.dtype), start, axis=2)
-        a = sdpa(q, kc, vc, 1.0 / np.sqrt(hd), mask)
-    else:
-        a = sdpa(q, k, v, 1.0 / np.sqrt(hd), mask)
-    x = x + linear(a.transpose(0, 2, 1, 3).reshape(b, t, -1), lp["o_proj"])
-    h2 = rms_norm(x, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
-    return x + swiglu_mlp(h2, lp["mlp"]), kc, vc
+    return qwen2_decoder_layer(
+        lp, x, positions, mask, num_heads=cfg.num_heads,
+        num_kv_heads=cfg.num_kv_heads, head_dim=cfg.head_dim,
+        rope_theta=cfg.rope_theta, rms_norm_eps=cfg.rms_norm_eps,
+        kc=kc, vc=vc, start=start)
 
 
 def lm_forward(p, cfg: VibeVoiceConfig, embeds, valid):

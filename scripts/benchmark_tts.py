@@ -1,0 +1,174 @@
+"""TTS engine RTF on real TPU hardware (random weights, published configs).
+
+Measures synthesis real-time factor (wall seconds per generated audio
+second; RTF < 1 = faster than real time) for each TTS family at its
+published model size, mirroring the reference's round-trip speed table
+(reference: docs/benchmarks/tts-roundtrip.md — Kokoro RTF 0.17, CosyVoice3
+0.59, Qwen3-TTS 0.79, VibeVoice 0.68; M2 Max).
+
+Random weights time the same compiled programs as real checkpoints (same
+shapes, same step counts); engines whose stopping decision is a learned
+binary head (VibeVoice EOS classifier, VoxCPM2 stop head) have that head
+biased off so random weights cannot stop generation after one frame —
+frame budgets are pinned instead, like the reference's fixed-sentence set.
+
+Timing closes with the host-side numpy conversion of the waveform
+(synthesize returns host arrays), so tunnel RPC and device→host transfer
+are included — consistent with bench.py's timing-honesty convention.
+
+Usage: python scripts/benchmark_tts.py [--engine all|kokoro|qwen3_tts|
+       cosyvoice|vibevoice|voxcpm2] [--runs N] [--frames N]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+TEXT = ("The quick brown fox jumps over the lazy dog near the river bank "
+        "every sunny morning before the town wakes up.")
+
+
+class _StubTokenizer:
+    """Deterministic text→id stub for random-weight benches (ids stay well
+    inside every engine's text vocab)."""
+
+    def encode(self, s: str):
+        return [(ord(c) * 31 + i) % 5000 for i, c in enumerate(s)]
+
+    def decode(self, ids):
+        return "".join(chr(97 + (i % 26)) for i in ids)
+
+
+def _bench(name, synth, runs):
+    """Warm up (compile), then time `runs` calls; report p50 RTF."""
+    t0 = time.perf_counter()
+    chunk = synth()
+    compile_s = time.perf_counter() - t0
+    if chunk.duration <= 0:
+        print(f"{name}: produced no audio (duration 0) — skipped", file=sys.stderr)
+        return None
+    walls, durs = [], []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        chunk = synth()
+        np.asarray(chunk.samples)  # value fetch closes the timing
+        walls.append(time.perf_counter() - t0)
+        durs.append(chunk.duration)
+    rtfs = sorted(w / d for w, d in zip(walls, durs))
+    p50 = rtfs[len(rtfs) // 2]
+    best = rtfs[0]
+    print(f"{name}: RTF p50 {p50:.3f} best {best:.3f} "
+          f"(audio {np.median(durs):.1f}s, wall p50 {sorted(walls)[len(walls)//2]:.2f}s, "
+          f"compile+warmup {compile_s:.0f}s, {runs} runs)", file=sys.stderr)
+    return {"engine": name, "rtf_p50": round(p50, 4), "rtf_best": round(best, 4),
+            "audio_s": round(float(np.median(durs)), 2), "runs": runs}
+
+
+def bench_kokoro(runs):
+    from qwen3_asr_swift_tpu.models.kokoro import CONFIG_82M, KokoroTTS
+
+    model = KokoroTTS.init_random(CONFIG_82M)
+    return _bench("kokoro_82m", lambda: model.synthesize(TEXT), runs)
+
+
+def bench_qwen3_tts(runs, frames):
+    import jax.numpy as jnp
+
+    from qwen3_asr_swift_tpu.models.qwen3_tts import Qwen3TTS
+
+    model = Qwen3TTS.init_random(dtype=jnp.bfloat16, tokenizer=_StubTokenizer())
+    # pin the frame budget: random weights rarely emit codec EOS, but a fixed
+    # budget makes run-to-run audio length identical (125 frames = 10 s)
+    return _bench("qwen3_tts_0.6b",
+                  lambda: model.synthesize(TEXT, max_frames=frames, seed=1), runs)
+
+
+def bench_cosyvoice(runs):
+    import jax.numpy as jnp
+
+    from qwen3_asr_swift_tpu.models.cosyvoice import CONFIG_05B, CosyVoiceTTS
+
+    model = CosyVoiceTTS.init_random(CONFIG_05B, dtype=jnp.bfloat16)
+    return _bench("cosyvoice3_0.5b", lambda: model.synthesize(TEXT, seed=1), runs)
+
+
+def bench_vibevoice(runs, frames):
+    import jax.numpy as jnp
+
+    from qwen3_asr_swift_tpu.models.vibevoice import CONFIG_05B, VibeVoiceTTS
+
+    model = VibeVoiceTTS.init_random(CONFIG_05B, dtype=jnp.bfloat16)
+    # random weights would trip the sigmoid EOS classifier ~50%/frame;
+    # bias it hard off so the full frame budget is timed
+    p = dict(model.params)
+    eos = dict(p["eos_classifier"])
+    fc2 = dict(eos["fc2"])
+    fc2["bias"] = fc2["bias"] - 30.0
+    eos["fc2"] = fc2
+    p["eos_classifier"] = eos
+    model.params = p
+    return _bench("vibevoice_0.5b",
+                  lambda: model.synthesize(TEXT, max_frames=frames, seed=1), runs)
+
+
+def bench_voxcpm2(runs, frames):
+    import jax.numpy as jnp
+
+    from qwen3_asr_swift_tpu.models.voxcpm2 import CONFIG_2B, VoxCPM2TTS
+
+    model = VoxCPM2TTS.init_random(CONFIG_2B, dtype=jnp.bfloat16)
+    # the stop head is a learned 2-class argmax: zero it so random weights
+    # never stop, and pin the budget via max_tokens (25 Hz patches: the
+    # default 125-frame budget = 5 s of 48 kHz audio)
+    p = dict(model.params)
+    sh = dict(p["stop_head"])
+    sh["kernel"] = jnp.zeros_like(sh["kernel"])
+    p["stop_head"] = sh
+    model.params = p
+    return _bench("voxcpm2_2b",
+                  lambda: model.synthesize(TEXT, seed=1, max_tokens=frames), runs)
+
+
+ENGINES = {
+    "kokoro": lambda a: bench_kokoro(a.runs),
+    "qwen3_tts": lambda a: bench_qwen3_tts(a.runs, a.frames),
+    "cosyvoice": lambda a: bench_cosyvoice(a.runs),
+    "vibevoice": lambda a: bench_vibevoice(a.runs, a.frames),
+    "voxcpm2": lambda a: bench_voxcpm2(a.runs, a.frames),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--engine", default="all", choices=["all", *ENGINES])
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--frames", type=int, default=125,
+                    help="AR frame budget (12.5 Hz engines: 125 = 10 s)")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    names = list(ENGINES) if args.engine == "all" else [args.engine]
+    results = []
+    for name in names:
+        try:
+            r = ENGINES[name](args)
+        except Exception as e:  # keep going: one engine's OOM shouldn't kill the sweep
+            print(f"{name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+            r = None
+        if r:
+            results.append(r)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
