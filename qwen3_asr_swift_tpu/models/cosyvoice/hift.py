@@ -145,10 +145,13 @@ def _causal_conv(x, p, dilation=1, stride=1, pad_mode="left", pad_override=None)
     k = p["kernel"].shape[0]
     pad = (k - 1) * dilation if pad_override is None else pad_override
     padding = ((pad, 0),) if pad_mode == "left" else ((0, pad),)
+    # inputs follow the param dtype (the source-STFT branch arrives fp32
+    # regardless of model dtype); accumulation stays fp32 either way
     y = jax.lax.conv_general_dilated(
-        x, p["kernel"], (stride,), padding, rhs_dilation=(dilation,),
+        x.astype(p["kernel"].dtype), p["kernel"], (stride,), padding,
+        rhs_dilation=(dilation,),
         dimension_numbers=("NHC", "HIO", "NHC"), preferred_element_type=jnp.float32)
-    return (y + p["bias"].astype(jnp.float32)).astype(x.dtype)
+    return (y + p["bias"].astype(jnp.float32)).astype(p["kernel"].dtype)
 
 
 def _resblock(x, rp, dilations):

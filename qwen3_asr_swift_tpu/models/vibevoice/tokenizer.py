@@ -140,9 +140,9 @@ def _sconv(x, p, stride=1):
     ideal = (int(np.ceil(n_frames)) - 1) * stride + (k - pad_total)
     extra = max(ideal - length, 0)
     y = jax.lax.conv_general_dilated(
-        x, p["kernel"], (stride,), ((pad_total, extra),),
+        x.astype(p["kernel"].dtype), p["kernel"], (stride,), ((pad_total, extra),),
         dimension_numbers=("NHC", "HIO", "NHC"), preferred_element_type=jnp.float32)
-    return (y + p["bias"].astype(jnp.float32)).astype(x.dtype)
+    return (y + p["bias"].astype(jnp.float32)).astype(p["kernel"].dtype)
 
 
 def _sconv_transpose(x, p, stride):
@@ -150,13 +150,13 @@ def _sconv_transpose(x, p, stride):
     RIGHT (trim_right_ratio=1 — reference: StreamingConv1d.swift:269-371)."""
     k = p["kernel"].shape[0]
     y = jax.lax.conv_transpose(
-        x, p["kernel"], (stride,), "VALID",
+        x.astype(p["kernel"].dtype), p["kernel"], (stride,), "VALID",
         dimension_numbers=("NHC", "HIO", "NHC"), preferred_element_type=jnp.float32)
     y = y + p["bias"].astype(jnp.float32)
     trim = k - stride
     if trim > 0:
         y = y[:, :-trim]
-    return y.astype(x.dtype)
+    return y.astype(p["kernel"].dtype)
 
 
 def _block(x, p, cfg: TokenizerConfig):
@@ -172,10 +172,10 @@ def _block(x, p, cfg: TokenizerConfig):
 def _sconv_depthwise(x, p, dim):
     k = p["kernel"].shape[0]
     y = jax.lax.conv_general_dilated(
-        x, p["kernel"], (1,), ((k - 1, 0),),
+        x.astype(p["kernel"].dtype), p["kernel"], (1,), ((k - 1, 0),),
         dimension_numbers=("NHC", "HIO", "NHC"), feature_group_count=dim,
         preferred_element_type=jnp.float32)
-    return (y + p["bias"].astype(jnp.float32)).astype(x.dtype)
+    return (y + p["bias"].astype(jnp.float32)).astype(p["kernel"].dtype)
 
 
 def encode(p, cfg: TokenizerConfig, audio):
