@@ -838,3 +838,22 @@ class TestVibeVoiceChunkContext:
         # the derived context is actually load-bearing
         short = np.asarray(decode_chunked(params, cfg, lat, chunk=7, left_context=8))
         assert np.abs(short - full).max() > 1e-4
+
+
+class TestBF16Inference:
+    """bfloat16-weighted models must run end-to-end: the HiFT source-STFT
+    branch and the VibeVoice acoustic tokenizer receive inherently-fp32
+    activations, so their convs cast inputs to the kernel dtype (regression
+    for a dtype mismatch that broke every bf16 CosyVoice/VibeVoice run)."""
+
+    def test_cosyvoice_bf16_synthesize(self):
+        m = CosyVoiceTTS.init_random(cosy_tiny(), dtype=jnp.bfloat16)
+        chunk = m.synthesize("hello world", seed=0)
+        s = np.asarray(chunk.samples, np.float32)
+        assert s.size > 0 and np.isfinite(s).all()
+
+    def test_vibevoice_bf16_synthesize(self):
+        m = VibeVoiceTTS.init_random(vibe_tiny(), dtype=jnp.bfloat16)
+        chunk = m.synthesize("hello world", seed=0, max_frames=4)
+        s = np.asarray(chunk.samples, np.float32)
+        assert s.size > 0 and np.isfinite(s).all()
