@@ -249,13 +249,21 @@ class SpeechEnhancer(SpeechEnhancementModel):
         if len(audio) == 0:
             return AudioChunk(np.zeros(0, np.float32), SR)
         t_in = len(audio)
-        # fixed-size chunks through the (batch-exact) streaming path: one
-        # compiled program per chunk shape + at most chunk/HOP tail
-        # variants — sizing the chunk to the utterance recompiled the
-        # whole pipeline for every distinct input length
+        # the (batch-exact) streaming path, fed greedily through a geometric
+        # chunk ladder: compiled shapes stay bounded (3 programs) while a
+        # 10 s clip is ~2 dispatches, not ~200 — per-dispatch host↔device
+        # round-trips, not compute, dominate this 2.1M-param model
         session = StreamingEnhancer(self)
-        out = np.concatenate([session.push(np.asarray(audio, np.float32)),
-                              session.flush()])
+        parts = []
+        buf = np.asarray(audio, np.float32)
+        for mult in (1000, 100, 10):
+            bucket = mult * HOP
+            while len(buf) >= bucket:
+                parts.append(session._ingest(buf[:bucket]))
+                buf = buf[bucket:]
+        session._buf = buf  # tail < 10 hops: flush pads and drains it
+        parts.append(session.flush())
+        out = np.concatenate(parts)
         out = np.pad(out, (0, max(0, t_in - len(out))))[:t_in]
         return AudioChunk(out.astype(np.float32), SR)
 

@@ -107,10 +107,50 @@ class WakeWordDetector(WakeWordModel):
 
     def detect_keywords(self, audio: np.ndarray, sample_rate: int = 16000
                         ) -> List[KeywordDetection]:
-        session = self.new_session()
-        hits = session.push(audio if sample_rate == 16000 else _resample(audio, sample_rate))
-        hits += session.finalize()
-        return hits
+        """Batch detection: one fbank program + one scanned-encoder program
+        over ALL chunk windows (the streaming session's per-window dispatch
+        costs a host↔device round-trip every 0.32 s of audio), then the host
+        beam search over the full 25 Hz frame sequence. Window/tail
+        semantics are exactly WakeWordSession's — windows of ``mel_window``
+        frames advancing ``mel_stride``, the tail (≥1 frame) padded with
+        kaldi-silence frames — and kaldi_fbank is per-frame stateless, so
+        sliced full-utterance fbank ≡ the session's per-window fbank."""
+        if sample_rate != 16000:
+            audio = _resample(audio, sample_rate)
+        frames = self._batch_encoder_frames(np.asarray(audio, np.float32))
+        if frames is None:
+            return []
+        return self.make_kws_decoder().step_chunk(frames)
+
+    def _batch_encoder_frames(self, audio: np.ndarray):
+        """Joiner-space frames for a whole utterance in one scanned encoder
+        program; None if the audio is shorter than one fbank frame. Tested
+        equal to WakeWordSession's per-window frames."""
+        cfg = self.config
+        if len(audio) < WakeWordSession.FRAME:
+            return None
+        fb = np.asarray(kaldi_fbank(jnp.asarray(audio * 32768.0, jnp.float32)))
+        wins, pos = [], 0
+        while pos + cfg.mel_window <= fb.shape[0]:
+            wins.append(fb[pos: pos + cfg.mel_window])
+            pos += cfg.mel_stride
+        if pos < fb.shape[0]:
+            tail = fb[pos:]
+            pad = np.full((cfg.mel_window - tail.shape[0], cfg.num_mel_bins),
+                          _PAD_MEL, np.float32)
+            wins.append(np.concatenate([tail, pad]))
+        # pad the window COUNT to a power-of-2 bucket (bounded compiles for
+        # the static scan length); padded silence windows come after all
+        # real ones in a causal scan, so their frames are simply dropped
+        n_real = len(wins)
+        n_bucket = 1 << (n_real - 1).bit_length()
+        wins += [np.full((cfg.mel_window, cfg.num_mel_bins), _PAD_MEL, np.float32)
+                 ] * (n_bucket - n_real)
+        out, _ = self._encode_windows(
+            self.params, windows=jnp.asarray(np.stack(wins))[:, None],
+            states=init_states(cfg))
+        frames = np.asarray(out[0])
+        return frames[: n_real * (frames.shape[0] // n_bucket)]
 
     def new_session(self) -> "WakeWordSession":
         return WakeWordSession(self)

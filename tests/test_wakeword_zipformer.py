@@ -203,3 +203,25 @@ class TestEmbedCausalCache:
         # edge frames discarded by the overlap design)
         expect = np.asarray(full[:, 3: 3 + n_win * cfg.chunk_size])
         np.testing.assert_allclose(chunked, expect, atol=2e-5)
+
+
+class TestBatchEqualsStreaming:
+    def test_batch_frames_equal_session_frames(self, detector):
+        """detect_keywords' one-scan batch path (full-utterance fbank,
+        window slicing, silence-padded tail, window-count bucketing) must
+        produce exactly the streaming session's joiner-space frames."""
+        from qwen3_asr_swift_tpu.models.wakeword.model import WakeWordSession
+
+        rng = np.random.default_rng(7)
+        # 3 full windows plus a partial tail (not a multiple of the stride)
+        session0 = WakeWordSession(detector)
+        n = 3 * session0.stride_samples + session0.window_samples // 2
+        audio = (0.1 * rng.standard_normal(n)).astype(np.float32)
+
+        session = WakeWordSession(detector, collect_encoder=True)
+        session.push(audio)
+        session.finalize()
+        stream_frames = np.concatenate(session.encoder_frames, axis=0)
+
+        batch_frames = detector._batch_encoder_frames(audio)
+        np.testing.assert_allclose(batch_frames, stream_frames, atol=2e-5)
