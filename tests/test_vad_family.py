@@ -274,6 +274,30 @@ class TestFireRedConvert:
         # frame 5 stacks [f4, f5, repeat(f5)]
         np.testing.assert_allclose(out[5], np.concatenate([feats[4], feats[5], feats[5]]))
 
+    def test_fused_bucketed_equals_eager(self):
+        """The fused fbank→LFR→FSMN program on bucket-padded audio must
+        equal the eager unpadded frontend + fsmn_forward at every length —
+        the clamped-index LFR and the valid-row conv mask make bucket
+        padding invisible (incl. the rorder>0 lookahead in config_tiny)."""
+        import jax.numpy as jnp
+
+        from qwen3_asr_swift_tpu.models.firered_vad import FireRedVAD, config_tiny
+        from qwen3_asr_swift_tpu.models.firered_vad.model import (fsmn_forward,
+                                                                  kaldi_fbank, lfr_stack)
+
+        m = FireRedVAD.init_random(config_tiny())
+        cfg = m.cfg
+        rng = np.random.default_rng(11)
+        for n in (4000, 16001, 31997):
+            audio = (0.3 * rng.standard_normal(n)).astype(np.float32)
+            got = m.frame_probabilities(audio)
+            feats = kaldi_fbank(jnp.asarray(audio), num_bins=cfg.num_mels,
+                                frame_len=cfg.frame_len, hop=cfg.hop)
+            stacked = lfr_stack(feats, cfg.lfr_m, cfg.lfr_n)
+            want = np.asarray(fsmn_forward(m.params, cfg, stacked[None])[0])
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, atol=1e-5)
+
     def test_chunked_equals_single_pass(self):
         """Long-audio chunking overlaps by the receptive extent and discards
         the overlap, so chunked scores equal single-pass scores (unlike the
