@@ -207,14 +207,25 @@ def main():
     # loaded first-token probe (north star: <150 ms UNDER load): a prober
     # thread injects a single short transcribe every ~1.5 s while the
     # submitters saturate the chip; its p50 is the latency a newly
-    # arriving request actually sees.
+    # arriving request actually sees. The dispatch gate (serving/dispatch)
+    # bounds the device queue to `slots` chunks and admits the probe on
+    # the latency lane, so it waits out running chunks — not whole queued
+    # generates (round 3's 2.4 s worst case was unbounded queue depth).
+    gate_slots = int(os.environ.get("BENCH_GATE_SLOTS", "2"))
+    if gate_slots:
+        from qwen3_asr_swift_tpu.serving.dispatch import LATENCY, DispatchGate
+
+        model.dispatch_gate = DispatchGate(slots=gate_slots)
+        probe_prio = {"priority": LATENCY}
+    else:
+        probe_prio = {}
     probe_lat = []
     probe_stop = threading.Event()
 
     def _probe():
         while not probe_stop.wait(1.5):
             t0 = time.perf_counter()
-            model.transcribe(short, options=ft_opts)
+            model.transcribe(short, options=ft_opts, **probe_prio)
             probe_lat.append(time.perf_counter() - t0)
 
     prober = threading.Thread(target=_probe, daemon=True)
@@ -246,6 +257,9 @@ def main():
               f"best {pl[0]*1000:.0f} ms, worst {pl[-1]*1000:.0f} ms "
               f"({len(pl)} probes while {n_workers} submitters saturate the chip)",
               file=sys.stderr)
+    if getattr(model, "dispatch_gate", None) is not None:
+        print(f"dispatch gate: {model.dispatch_gate.stats}", file=sys.stderr)
+        model.dispatch_gate = None
 
     # robust aggregate: mean of the best half of the trials. Tunnel
     # bandwidth drifts 4x on a scale of minutes (r02: 76x–141x across a

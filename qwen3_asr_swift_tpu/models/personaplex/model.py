@@ -1124,14 +1124,21 @@ class PersonaPlex(SpeechToSpeechModel):
                          context_frames: int = 8,
                          voice_prompt: Optional[np.ndarray] = None,
                          system_prompt=None,
-                         seed: int = 0) -> "RealtimeSession":
+                         seed: int = 0, batch: int = 1) -> "RealtimeSession":
         """Full-duplex frame loop: one user frame in → one agent frame out
         at 12.5 Hz (reference: realtime mode, PersonaPlex.swift:344-…).
         Every Mimi conv is causal, so windowed per-frame encode/decode with
-        ``context_frames`` of carried left context is exact."""
+        ``context_frames`` of carried left context is exact.
+
+        ``batch`` > 1 steps N independent full-duplex sessions in ONE
+        fused frame program (``push_frames``) — per-token cost is weight-
+        read-bound, so N sessions cost barely more than one. This is the
+        structural capability the reference cannot have (its single-stream
+        realtime RTF is ~1.4, docs/models/personaplex.md:97-98).
+        ``voice_prompt``/``system_prompt`` may be per-session lists."""
         return RealtimeSession(self, sampling or PersonaSampling(),
                                context_frames, voice_prompt, seed,
-                               system_prompt=system_prompt)
+                               system_prompt=system_prompt, batch=batch)
 
     def warm_up(self) -> None:
         self.respond(np.zeros(self.cfg.mimi.samples_per_frame * 2, np.float32),

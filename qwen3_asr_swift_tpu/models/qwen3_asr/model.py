@@ -66,6 +66,8 @@ class Qwen3ASR(SpeechRecognitionModel):
         kv_dtype=None,
         decode_chunk_tokens: Optional[int] = None,
         quant_compute: str = "packed",
+        dispatch_gate=None,
+        first_chunk_tokens: int = 8,
     ):
         # host→device audio format: int16 halves PCM transfer (audio is
         # natively 16-bit), "mulaw"/int8 halves it again via G.711 µ-law
@@ -83,7 +85,20 @@ class Qwen3ASR(SpeechRecognitionModel):
         # output), dense-matmul execution — wins at batched decode where the
         # packed path's per-call fixed cost dominates; "packed" keeps the
         # 4×-smaller HBM footprint and the GEMV Pallas kernel.
+        # dispatch_gate (serving/dispatch.DispatchGate) bounds the device
+        # program queue: every encode / decode-chunk dispatch takes a gate
+        # slot and syncs (value fetch — block_until_ready returns early over
+        # the tunneled backend) before releasing, so a latency-lane request
+        # waits out at most ``slots`` running chunks instead of whole queued
+        # generates. A request's FIRST decode dispatch (gen_start + up to
+        # first_chunk_tokens tokens) rides the latency lane; continuation
+        # chunks ride the bulk lane. Gated chunk syncs also fetch ``done``,
+        # so the host loop early-exits once every row hit EOS (chunked
+        # decode turns EOS into real wall-time savings, not just device
+        # while_loop exits). None (default) = ungated async dispatch.
         self.cfg = cfg
+        self.dispatch_gate = dispatch_gate
+        self.first_chunk_tokens = first_chunk_tokens
         self.decode_chunk_tokens = decode_chunk_tokens
         self.quant_compute = quant_compute
         self.dtype = dtype
@@ -92,6 +107,8 @@ class Qwen3ASR(SpeechRecognitionModel):
         self.tokenizer = tokenizer
         self.wire_dtype = np.dtype(np.int8 if wire_dtype == "mulaw" else wire_dtype)
         self._mesh = None  # set by shard()
+        self._spans_processes = False  # multi-host mesh (set by shard())
+        self._replicate_out = None
         #: introspection: sharding + per-device shape of the last staged batch
         self.last_staging: dict = {}
         from ...ops.quant import cast_tree
@@ -237,18 +254,46 @@ class Qwen3ASR(SpeechRecognitionModel):
 
         def _generate(dec_params, prefix_ids, prefix_len, suffix_ids, suffix_len,
                       audio_tokens, n_audio, key, *, a_pad, prefix_block,
-                      suffix_block, max_new, opts):
-            state = _gen_start(
-                dec_params, prefix_ids, prefix_len, suffix_ids, suffix_len,
-                audio_tokens, n_audio, key, a_pad=a_pad, prefix_block=prefix_block,
-                suffix_block=suffix_block, max_new=max_new, opts=opts)
+                      suffix_block, max_new, opts, priority=None):
+            gate = self.dispatch_gate
             chunk = self.decode_chunk_tokens or max_new
-            step = 1
-            while step < max_new:
-                end = min(step + chunk, max_new)
-                state = _gen_chunk(dec_params, state, jnp.asarray(end, jnp.int32),
-                                   opts=opts)
-                step = end
+            if gate is None:
+                # async path: dispatch every chunk back-to-back, no host
+                # sync until the caller fetches results
+                state = _gen_start(
+                    dec_params, prefix_ids, prefix_len, suffix_ids, suffix_len,
+                    audio_tokens, n_audio, key, a_pad=a_pad, prefix_block=prefix_block,
+                    suffix_block=suffix_block, max_new=max_new, opts=opts)
+                step = 1
+                while step < max_new:
+                    end = min(step + chunk, max_new)
+                    state = _gen_chunk(dec_params, state, jnp.asarray(end, jnp.int32),
+                                       opts=opts)
+                    step = end
+            else:
+                from ...serving.dispatch import BULK, LATENCY
+
+                first_prio = LATENCY if priority is None else priority
+                first_end = min(max(self.first_chunk_tokens, 1), max_new)
+                with gate.slot(first_prio):
+                    state = _gen_start(
+                        dec_params, prefix_ids, prefix_len, suffix_ids, suffix_len,
+                        audio_tokens, n_audio, key, a_pad=a_pad,
+                        prefix_block=prefix_block, suffix_block=suffix_block,
+                        max_new=max_new, opts=opts)
+                    if first_end > 1:
+                        state = _gen_chunk(dec_params, state,
+                                           jnp.asarray(first_end, jnp.int32), opts=opts)
+                    done = np.asarray(state[4])  # value fetch = real sync
+                step = first_end
+                cont_prio = BULK if priority is None else priority
+                while step < max_new and not done.all():
+                    end = min(step + chunk, max_new)
+                    with gate.slot(cont_prio):
+                        state = _gen_chunk(dec_params, state,
+                                           jnp.asarray(end, jnp.int32), opts=opts)
+                        done = np.asarray(state[4])
+                    step = end
             _, tokens, logprobs, _, _, _, _ = state
             n_gen = jnp.sum(tokens != self.cfg.pad_id, axis=1)
             return tokens, n_gen, logprobs
@@ -378,17 +423,18 @@ class Qwen3ASR(SpeechRecognitionModel):
     def transcribe(self, audio: np.ndarray, sample_rate: int = 16000,
                    language: Optional[str] = None, context: Optional[str] = None,
                    max_tokens: int = 448, options: Optional[SamplingOptions] = None,
-                   **kwargs) -> TranscriptionResult:
+                   priority: Optional[int] = None, **kwargs) -> TranscriptionResult:
         results = self.transcribe_batch(
             [audio], sample_rate=sample_rate, language=language, context=context,
-            max_tokens=max_tokens, options=options,
+            max_tokens=max_tokens, options=options, priority=priority,
         )
         return results[0]
 
     def transcribe_batch(self, audios: Sequence[np.ndarray], sample_rate: int = 16000,
                          language: Optional[str] = None, context: Optional[str] = None,
                          max_tokens: int = 448, options: Optional[SamplingOptions] = None,
-                         seed: int = 0, timings: Optional[dict] = None) -> List[TranscriptionResult]:
+                         seed: int = 0, timings: Optional[dict] = None,
+                         priority: Optional[int] = None) -> List[TranscriptionResult]:
         """Transcribe a batch. All clips share one audio bucket (the largest
         needed), one prompt shape, and one compiled decode program.
 
@@ -429,12 +475,25 @@ class Qwen3ASR(SpeechRecognitionModel):
         elif self.wire_dtype == np.int16:
             stage = np.round(np.clip(stage, -1.0, 1.0) * 32767.0).astype(np.int16)
         n_valid = np.array([p[1] for p in prepared], np.int32)
+        # multi-host (SURVEY §2h DCN half): every process runs this same
+        # code with the same global batch; put_global materializes only
+        # each process's addressable rows, so dp batches split across
+        # hosts and their results ride DCN collectives back
+        mp = self._mesh is not None and self._spans_processes
         if dp > 1:
-            from ...parallel import batch_sharding
+            from ...parallel import batch_sharding, put_global
 
             sh = batch_sharding(self._mesh)
-            padded_dev = jax.device_put(stage, sh)
-            n_valid_dev = jax.device_put(n_valid, sh)
+            padded_dev = put_global(stage, sh)
+            n_valid_dev = put_global(n_valid, sh)
+        elif mp:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from ...parallel import put_global
+
+            sh = NamedSharding(self._mesh, PartitionSpec())
+            padded_dev = put_global(stage, sh)
+            n_valid_dev = put_global(n_valid, sh)
         else:
             padded_dev = jnp.asarray(stage)
             n_valid_dev = jnp.asarray(n_valid)
@@ -448,17 +507,27 @@ class Qwen3ASR(SpeechRecognitionModel):
             timings["host_prep"] = time.perf_counter() - t_start
             t_stage = time.perf_counter()
 
-        if use_sp:
-            # long single utterance on a sharded model: sequence-parallel
-            # encode over the dp axis (bit-identical to the batch path)
-            tok, n_tok = self._encode_audio_sp(
-                self.encoder_params, padded_dev[0], n_valid_dev[0], bucket
-            )
-            audio_tokens, n_audio = tok[None], n_tok[None]
-        else:
-            audio_tokens, n_audio = self._encode_audio_batch(
-                self.encoder_params, padded_dev, n_valid_dev, bucket
-            )
+        # gated dispatch: the encode program takes one dispatch slot (and
+        # syncs before releasing it) so it can't stack behind/over other
+        # groups' chunks — single requests ride the latency lane
+        from ...serving.dispatch import BULK, LATENCY, gate_slot
+
+        enc_prio = priority if priority is not None else (
+            LATENCY if n_req == 1 else BULK)
+        with gate_slot(self.dispatch_gate, enc_prio):
+            if use_sp:
+                # long single utterance on a sharded model: sequence-parallel
+                # encode over the dp axis (bit-identical to the batch path)
+                tok, n_tok = self._encode_audio_sp(
+                    self.encoder_params, padded_dev[0], n_valid_dev[0], bucket
+                )
+                audio_tokens, n_audio = tok[None], n_tok[None]
+            else:
+                audio_tokens, n_audio = self._encode_audio_batch(
+                    self.encoder_params, padded_dev, n_valid_dev, bucket
+                )
+            if self.dispatch_gate is not None:
+                np.asarray(n_audio)  # value fetch = program completed
         if timings is not None:
             jax.block_until_ready(audio_tokens)
             timings["encode"] = time.perf_counter() - t_stage
@@ -475,8 +544,8 @@ class Qwen3ASR(SpeechRecognitionModel):
         prefix_len = np.full((b,), len(prefix), np.int32)
         suffix_len = np.full((b,), len(suffix), np.int32)
 
-        if dp > 1:
-            put = lambda x: jax.device_put(x, sh)  # noqa: E731 — batch-dim inputs
+        if dp > 1 or mp:
+            put = lambda x: put_global(x, sh)  # noqa: E731 — batch-dim inputs
         else:
             put = jnp.asarray
         tokens, n_gen, logprobs = self._generate(
@@ -486,12 +555,16 @@ class Qwen3ASR(SpeechRecognitionModel):
             audio_tokens, n_audio,
             jax.random.PRNGKey(seed),
             a_pad=a_pad, prefix_block=pb, suffix_block=sb,
-            max_new=opts.max_tokens, opts=opts,
+            max_new=opts.max_tokens, opts=opts, priority=priority,
         )
         if timings is not None:
             jax.block_until_ready(tokens)
             timings["generate"] = time.perf_counter() - t_stage
             t_stage = time.perf_counter()
+        if mp and dp > 1:
+            # dp-sharded outputs live partly on other hosts: replicate over
+            # DCN (one all-gather) so every process fetches the full batch
+            tokens, n_gen, logprobs = self._replicate_out(tokens, n_gen, logprobs)
         tokens = np.asarray(tokens)
         n_gen = np.asarray(n_gen)
         logprobs = np.asarray(logprobs)
@@ -536,6 +609,15 @@ class Qwen3ASR(SpeechRecognitionModel):
 
         mesh = mesh or make_mesh(dp=dp, tp=tp)
         self._mesh = mesh
+        from ...parallel import spans_processes
+
+        self._spans_processes = spans_processes(mesh)
+        if self._spans_processes:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._replicate_out = jax.jit(
+                lambda *xs: xs,
+                out_shardings=NamedSharding(mesh, PartitionSpec()))
         self.encoder_params = shard_pytree(self.encoder_params, mesh, QWEN3_ENCODER_RULES)
         # TP partitions q/k/v and gate/up per projection: unfuse, shard,
         # and re-fuse only when tp leaves them whole (dp-only meshes).

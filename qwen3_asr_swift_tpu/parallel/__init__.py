@@ -5,7 +5,10 @@ from .mesh import (  # noqa: F401
     QWEN3_DECODER_RULES,
     QWEN3_ENCODER_RULES,
     batch_sharding,
+    init_distributed,
     make_mesh,
+    put_global,
     replicate,
     shard_pytree,
+    spans_processes,
 )

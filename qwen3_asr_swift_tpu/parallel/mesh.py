@@ -31,9 +31,62 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Initialize the multi-host runtime (SURVEY §2h: DCN for multi-host DP).
+
+    On a real TPU pod slice the three arguments come from the launcher env
+    and may all be None (jax auto-detects); for CPU-simulated multi-host
+    tests pass them explicitly (scripts/multihost_dryrun.py). After this,
+    ``jax.devices()`` is the GLOBAL device list and ``make_mesh`` builds a
+    process-spanning mesh: lay out ``dp`` so its rows split on process
+    boundaries (jax device order is process-major, so any dp that is a
+    multiple of the per-process row count does) — dp gradients/batches then
+    ride DCN between hosts while tp collectives stay on intra-host ICI.
+
+    Idempotent: a second call is a no-op (jax.distributed raises on
+    re-initialization; serving respawn paths re-enter this)."""
+    if getattr(init_distributed, "_done", False):
+        return
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    init_distributed._done = True
+
+
+def spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh includes devices of other processes (multi-host)."""
+    pid = jax.process_index()
+    return any(d.process_index != pid for d in mesh.devices.flat)
+
+
+def put_global(x, sharding: NamedSharding):
+    """``device_put`` that also works on process-spanning shardings.
+
+    Single-process: plain ``jax.device_put``. Multi-host: every process
+    calls this with the same global value (SPMD discipline) and each
+    process materializes only its addressable shards — the per-shard
+    callback slices the host array, so non-local rows are never
+    transferred by this process."""
+    if not spans_processes(sharding.mesh):
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
 def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
               tp: Optional[int] = None, devices=None) -> Mesh:
-    """Build a (dp, tp) mesh. Defaults: all devices on dp."""
+    """Build a (dp, tp) mesh. Defaults: all devices on dp.
+
+    After ``init_distributed`` the default device list is global
+    (process-major order), so dp rows split on process boundaries and the
+    dp axis becomes the DCN axis of SURVEY §2h."""
     if devices is None:
         devices = jax.devices()
     n = n_devices or len(devices)
@@ -113,8 +166,10 @@ def _spec_fits(spec: P, shape, mesh: Mesh) -> bool:
 
 
 def shard_pytree(tree, mesh: Mesh, rules: Sequence[Tuple[str, P]]):
-    """device_put every leaf according to the first matching rule whose
-    sharding divides the leaf's shape (replicate otherwise)."""
+    """Place every leaf according to the first matching rule whose
+    sharding divides the leaf's shape (replicate otherwise). Works on
+    process-spanning meshes: each process stores only its addressable
+    shards (put_global)."""
     compiled = [(re.compile(pat), spec) for pat, spec in rules]
 
     def place(path, leaf):
@@ -122,16 +177,16 @@ def shard_pytree(tree, mesh: Mesh, rules: Sequence[Tuple[str, P]]):
         for pat, spec in compiled:
             if pat.match(name):
                 if _spec_fits(spec, getattr(leaf, "shape", ()), mesh):
-                    return jax.device_put(leaf, NamedSharding(mesh, spec))
+                    return put_global(leaf, NamedSharding(mesh, spec))
                 break
-        return jax.device_put(leaf, NamedSharding(mesh, P()))
+        return put_global(leaf, NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map_with_path(place, tree)
 
 
 def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(
-        lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P())), tree
+        lambda leaf: put_global(leaf, NamedSharding(mesh, P())), tree
     )
 
 

@@ -57,10 +57,20 @@ class ContinuousBatcher:
 
     def __init__(self, model, max_batch: int = 16, max_wait_ms: float = 30.0,
                  group_key: Optional[Callable[[_Request], Any]] = None,
-                 workers: int = 2):
+                 workers: int = 2, gate_slots: int = 2):
         self.model = model
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
+        # Attach a priority dispatch gate to the model (if it supports one
+        # and none is attached yet): decode chunks from different groups
+        # then interleave on the device at chunk granularity, and a newly
+        # arriving request's first chunk rides the latency lane instead of
+        # waiting out whole queued generates (serving/dispatch.py).
+        self.gate = None
+        if gate_slots and getattr(model, "dispatch_gate", "absent") is None:
+            from .dispatch import DispatchGate
+
+            self.gate = model.dispatch_gate = DispatchGate(slots=gate_slots)
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._group_key = group_key or self._default_group_key
         self._stats_lock = threading.Lock()
@@ -164,11 +174,14 @@ class ContinuousBatcher:
     @property
     def stats(self) -> dict:
         with self._stats_lock:
-            return {
+            out = {
                 "requests_served": self.requests_served,
                 "batches_run": self.batches_run,
                 "mean_batch_size": self.requests_served / max(1, self.batches_run),
             }
+        if self.gate is not None:
+            out["dispatch_gate"] = self.gate.stats
+        return out
 
 
 @dataclasses.dataclass
@@ -183,9 +196,15 @@ class TTSBatcher:
     """Groups concurrent synthesis requests into one batched talker/CP
     program (models/qwen3_tts.synthesize_batch). Requests group by their
     generation kwargs (voice/language/sampling) — mixed settings run in
-    separate batches."""
+    separate batches.
 
-    def __init__(self, model, max_batch: int = 8, max_wait_ms: float = 30.0):
+    ``workers`` > 1 runs several dispatcher threads: one slow synthesis
+    (a long text, a cold bucket compile) no longer blocks the whole TTS
+    queue — another worker picks up the next group while it runs, and the
+    device serializes the compute."""
+
+    def __init__(self, model, max_batch: int = 8, max_wait_ms: float = 30.0,
+                 workers: int = 2):
         self.model = model
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
@@ -194,8 +213,12 @@ class TTSBatcher:
         self.requests_served = 0
         self.batches_run = 0
         self._stop = False
-        self._thread = threading.Thread(target=self._run, daemon=True, name="tts-batcher")
-        self._thread.start()
+        self._threads = [
+            threading.Thread(target=self._run, daemon=True, name=f"tts-batcher-{i}")
+            for i in range(max(1, workers))
+        ]
+        for t in self._threads:
+            t.start()
 
     def submit(self, text: str, **kwargs) -> Future:
         fut: Future = Future()
@@ -207,8 +230,10 @@ class TTSBatcher:
 
     def shutdown(self):
         self._stop = True
-        self._queue.put(None)
-        self._thread.join(timeout=5)
+        for _ in self._threads:
+            self._queue.put(None)
+        for t in self._threads:
+            t.join(timeout=5)
         while True:
             try:
                 req = self._queue.get_nowait()
@@ -237,7 +262,8 @@ class TTSBatcher:
                 except queue.Empty:
                     break
                 if req is None:
-                    continue
+                    self._queue.put(None)  # re-queue another worker's sentinel
+                    break
                 if req.kwargs == first.kwargs:
                     batch.append(req)
                 else:

@@ -1,0 +1,138 @@
+"""Priority dispatch gate: bounds the device program queue.
+
+NEW subsystem (no reference counterpart — the reference serves one request
+at a time, Sources/AudioServer/AudioServer.swift:182-237). On this stack
+the problem is the opposite: JAX dispatch is asynchronous, so N submitter
+threads can enqueue seconds of device work back-to-back (a batch generate
+is start + k decode chunks, all dispatched without waiting), and a newly
+arriving latency-sensitive request then waits out the whole queue — the
+observed 2.4 s worst-case loaded first-token of round 3 was queue depth,
+not compute.
+
+``DispatchGate`` fixes this by admission control at the *dispatch* level:
+
+- at most ``slots`` program dispatches may be in flight on the device at
+  once; a holder must complete (value-fetch sync) before releasing;
+- waiters are admitted by (priority, FIFO) — priority 0 is the latency
+  lane (a request's FIRST chunk, short probes), priority 1 the bulk lane
+  (continuation chunks of an in-flight generate);
+- with chunked decode (``decode_chunk_tokens``) every chunk is a separate
+  gated dispatch, so the maximum wait for a latency-lane arrival is the
+  residual of ``slots`` running chunks — milliseconds, not batches.
+
+``slots=2`` (default) double-buffers dispatch: while one program computes,
+the next holder's dispatch RPC travels to the device, so bounding the
+queue costs no device idle time over the tunneled backend.
+
+Host transfers (device_put staging) are deliberately NOT gated — they ride
+a different resource (the host↔device link) and should overlap compute.
+"""
+
+from __future__ import annotations
+
+import heapq
+import itertools
+import threading
+from contextlib import contextmanager
+from typing import Optional
+
+#: priority of the latency lane (first chunks, interactive probes)
+LATENCY = 0
+#: priority of the bulk lane (continuation chunks, batch throughput work)
+BULK = 1
+
+
+class DispatchGate:
+    """Counting semaphore with priority-ordered admission.
+
+    Unlike ``threading.Semaphore``, waiters are served (priority, FIFO)
+    rather than arbitrarily, so a latency-lane waiter is admitted at the
+    next slot release even if bulk waiters queued first.
+    """
+
+    def __init__(self, slots: int = 2):
+        if slots < 1:
+            raise ValueError("slots must be >= 1")
+        self._slots = slots
+        self._free = slots
+        self._lock = threading.Lock()
+        self._waiters: list = []  # heap of (priority, seq, Event)
+        self._seq = itertools.count()
+        # stats
+        self._stats_lock = threading.Lock()
+        self.acquired = {LATENCY: 0, BULK: 0}
+        self.waited_s = {LATENCY: 0.0, BULK: 0.0}
+
+    def acquire(self, priority: int = BULK, timeout: Optional[float] = None) -> bool:
+        import time
+
+        t0 = time.perf_counter()
+        with self._lock:
+            if self._free > 0 and not self._waiters:
+                self._free -= 1
+                self._note(priority, 0.0)
+                return True
+            # even with a free slot, queued waiters go first (no barging)
+            if self._free > 0 and self._waiters and self._waiters[0][0] > priority:
+                # ... unless every queued waiter is lower-priority than us
+                self._free -= 1
+                self._note(priority, 0.0)
+                return True
+            ev = threading.Event()
+            entry = (priority, next(self._seq), ev)
+            heapq.heappush(self._waiters, entry)
+        if not ev.wait(timeout):
+            with self._lock:
+                try:
+                    self._waiters.remove(entry)
+                    heapq.heapify(self._waiters)
+                except ValueError:
+                    # released to us between timeout and removal: accept it
+                    self._note(priority, time.perf_counter() - t0)
+                    return True
+            return False
+        self._note(priority, time.perf_counter() - t0)
+        return True
+
+    def release(self) -> None:
+        with self._lock:
+            if self._waiters:
+                _, _, ev = heapq.heappop(self._waiters)
+                ev.set()  # slot handed over directly; _free unchanged
+            else:
+                self._free = min(self._slots, self._free + 1)
+
+    @contextmanager
+    def slot(self, priority: int = BULK):
+        self.acquire(priority)
+        try:
+            yield
+        finally:
+            self.release()
+
+    def _note(self, priority: int, waited: float) -> None:
+        with self._stats_lock:
+            self.acquired[priority] = self.acquired.get(priority, 0) + 1
+            self.waited_s[priority] = self.waited_s.get(priority, 0.0) + waited
+
+    @property
+    def stats(self) -> dict:
+        with self._stats_lock:
+            out = {}
+            for p, name in ((LATENCY, "latency"), (BULK, "bulk")):
+                n = self.acquired.get(p, 0)
+                out[name] = {
+                    "acquired": n,
+                    "mean_wait_ms": 1e3 * self.waited_s.get(p, 0.0) / max(1, n),
+                }
+            return out
+
+
+@contextmanager
+def _null():
+    yield
+
+
+def gate_slot(gate: Optional[DispatchGate], priority: int = BULK):
+    """``with gate_slot(maybe_gate, prio):`` — no-op when gate is None."""
+    return gate.slot(priority) if gate is not None else _null()

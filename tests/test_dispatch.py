@@ -1,0 +1,162 @@
+"""DispatchGate: priority admission + gated chunked decode correctness."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from qwen3_asr_swift_tpu.serving.dispatch import BULK, LATENCY, DispatchGate
+
+
+class TestDispatchGate:
+    def test_slots_bound_concurrency(self):
+        gate = DispatchGate(slots=2)
+        active = []
+        peak = []
+        lock = threading.Lock()
+
+        def work(i):
+            with gate.slot(BULK):
+                with lock:
+                    active.append(i)
+                    peak.append(len(active))
+                time.sleep(0.02)
+                with lock:
+                    active.remove(i)
+
+        threads = [threading.Thread(target=work, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert max(peak) <= 2
+
+    def test_latency_lane_jumps_bulk_queue(self):
+        gate = DispatchGate(slots=1)
+        order = []
+        gate.acquire(BULK)  # occupy the only slot
+
+        started = threading.Barrier(4)
+
+        def waiter(prio, name):
+            started.wait()
+            time.sleep(0.05 if prio == LATENCY else 0.0)  # bulk enqueues first
+            with gate.slot(prio):
+                order.append(name)
+
+        threads = [
+            threading.Thread(target=waiter, args=(BULK, "bulk1")),
+            threading.Thread(target=waiter, args=(BULK, "bulk2")),
+            threading.Thread(target=waiter, args=(LATENCY, "lat")),
+        ]
+        for t in threads:
+            t.start()
+        started.wait()
+        time.sleep(0.15)  # all three are queued; latency queued LAST
+        gate.release()
+        for t in threads:
+            t.join()
+        assert order[0] == "lat", order
+
+    def test_fifo_within_priority(self):
+        gate = DispatchGate(slots=1)
+        gate.acquire(BULK)
+        order = []
+        evs = []
+        for i in range(3):
+            ev = threading.Event()
+
+            def waiter(i=i, ev=ev):
+                ev.set()
+                with gate.slot(BULK):
+                    order.append(i)
+
+            t = threading.Thread(target=waiter)
+            t.start()
+            ev.wait()
+            time.sleep(0.02)  # deterministic enqueue order
+            evs.append(t)
+        gate.release()
+        for t in evs:
+            t.join()
+        assert order == [0, 1, 2]
+
+    def test_timeout_returns_false(self):
+        gate = DispatchGate(slots=1)
+        gate.acquire(BULK)
+        t0 = time.perf_counter()
+        assert not gate.acquire(BULK, timeout=0.05)
+        assert time.perf_counter() - t0 < 1.0
+        gate.release()
+        # slot is usable again after the timed-out waiter removed itself
+        assert gate.acquire(LATENCY, timeout=0.5)
+        gate.release()
+
+    def test_stats(self):
+        gate = DispatchGate(slots=1)
+        with gate.slot(LATENCY):
+            pass
+        with gate.slot(BULK):
+            pass
+        s = gate.stats
+        assert s["latency"]["acquired"] == 1
+        assert s["bulk"]["acquired"] == 1
+
+
+class TestGatedGenerate:
+    @pytest.fixture(scope="class")
+    def model(self):
+        from qwen3_asr_swift_tpu.models.qwen3_asr import Qwen3ASR, config_tiny
+
+        return Qwen3ASR.init_random(config_tiny(), dtype=np.float32,
+                                    audio_buckets_s=(8,),
+                                    decode_chunk_tokens=4)
+
+    def test_gated_equals_ungated(self, model):
+        rng = np.random.default_rng(0)
+        audio = (0.1 * rng.standard_normal(16000)).astype(np.float32)
+        base = model.transcribe(audio, max_tokens=12).text
+        model.dispatch_gate = DispatchGate(slots=1)
+        try:
+            gated = model.transcribe(audio, max_tokens=12).text
+            batch = model.transcribe_batch([audio, audio], max_tokens=12)
+        finally:
+            model.dispatch_gate = None
+        assert gated == base
+        assert [r.text for r in batch] == [base, base]
+
+    def test_latency_request_overtakes_bulk_generate(self, model):
+        """While a long bulk-lane generate holds the device, a short
+        latency-lane request completes before the bulk one finishes —
+        chunk-granular admission, the round-4 serving contract."""
+        gate = DispatchGate(slots=1)
+        model.dispatch_gate = gate
+        rng = np.random.default_rng(1)
+        long_audio = (0.1 * rng.standard_normal(16000 * 4)).astype(np.float32)
+        short_audio = (0.1 * rng.standard_normal(8000)).astype(np.float32)
+        # warm both programs so compile time doesn't mask scheduling
+        model.transcribe(long_audio, max_tokens=64)
+        model.transcribe(short_audio, max_tokens=2)
+
+        done_at = {}
+        started = threading.Event()
+
+        def bulk():
+            started.set()
+            model.transcribe_batch([long_audio, long_audio], max_tokens=64,
+                                   priority=BULK)
+            done_at["bulk"] = time.perf_counter()
+
+        try:
+            t = threading.Thread(target=bulk)
+            t.start()
+            started.wait()
+            time.sleep(0.05)  # let the bulk generate get in flight
+            model.transcribe(short_audio, max_tokens=2, priority=LATENCY)
+            done_at["lat"] = time.perf_counter()
+            t.join()
+        finally:
+            model.dispatch_gate = None
+        assert done_at["lat"] < done_at["bulk"], done_at
+        assert gate.stats["latency"]["acquired"] >= 1
