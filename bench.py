@@ -219,6 +219,29 @@ def main():
         probe_prio = {"priority": LATENCY}
     else:
         probe_prio = {}
+    # EOS early-exit A/B: random weights never emit EOS, so every decode
+    # above ran its full budget. force_eos_after plants a deterministic
+    # stop at step 30 (~ a real 30 s transcript is ~100 tokens; short
+    # utterances stop much earlier), exercising the SAME branch pattern
+    # real checkpoints produce: the device while_loop exits early AND the
+    # gated host loop skips the remaining chunks entirely.
+    if gate_slots:
+        ee_opts = SamplingOptions(max_tokens=max_tokens, force_eos_after=30)
+        model.transcribe_batch(clips, options=ee_opts)  # compile
+        t_full, t_ee = [], []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            model.transcribe_batch(clips, options=opts)
+            t_full.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            model.transcribe_batch(clips, options=ee_opts)
+            t_ee.append(time.perf_counter() - t0)
+        print(f"eos early-exit A/B (gated): full-{max_tokens}-token budget "
+              f"p50 {sorted(t_full)[1]:.3f}s vs stop-at-30 p50 "
+              f"{sorted(t_ee)[1]:.3f}s "
+              f"({sorted(t_full)[1]/max(sorted(t_ee)[1],1e-9):.2f}x)",
+              file=sys.stderr)
+
     probe_lat = []
     probe_stop = threading.Event()
 

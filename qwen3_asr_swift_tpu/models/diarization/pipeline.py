@@ -112,7 +112,12 @@ class DiarizationPipeline(SpeakerDiarizationModel):
         if not windows:
             return []
 
-        embs = np.stack([self.embedder.embed(w[2], sr) for w in windows])
+        if hasattr(self.embedder, "embed_batch"):
+            # one batched program for the whole window sweep (N dispatches
+            # → 1; windows share a bucket, so one compile)
+            embs = np.asarray(self.embedder.embed_batch([w[2] for w in windows], sr))
+        else:
+            embs = np.stack([self.embedder.embed(w[2], sr) for w in windows])
         labels = agglomerative_cluster(embs, cfg.cluster_threshold, num_speakers, cfg.max_speakers)
 
         # merge adjacent same-speaker windows (reference: merge/compact)

@@ -250,18 +250,20 @@ class SpeechEnhancer(SpeechEnhancementModel):
             return AudioChunk(np.zeros(0, np.float32), SR)
         t_in = len(audio)
         # the (batch-exact) streaming path, fed greedily through a geometric
-        # chunk ladder: compiled shapes stay bounded (3 programs) while a
-        # 10 s clip is ~2 dispatches, not ~200 — per-dispatch host↔device
-        # round-trips, not compute, dominate this 2.1M-param model
+        # chunk ladder: compiled shapes stay bounded (3 ladder bucket
+        # programs, plus small per-tail-length flush variants and the
+        # first-chunk lookahead-skip variants) while a 10 s clip is ~2
+        # dispatches, not ~200 — per-dispatch host↔device round-trips, not
+        # compute, dominate this 2.1M-param model
         session = StreamingEnhancer(self)
         parts = []
         buf = np.asarray(audio, np.float32)
         for mult in (1000, 100, 10):
             bucket = mult * HOP
             while len(buf) >= bucket:
-                parts.append(session._ingest(buf[:bucket]))
+                parts.append(session.push_exact(buf[:bucket]))
                 buf = buf[bucket:]
-        session._buf = buf  # tail < 10 hops: flush pads and drains it
+        session.push_tail(buf)  # tail < 10 hops: flush pads and drains it
         parts.append(session.flush())
         out = np.concatenate(parts)
         out = np.pad(out, (0, max(0, t_in - len(out))))[:t_in]
@@ -363,6 +365,25 @@ class StreamingEnhancer:
             piece, self._buf = self._buf[: self.chunk], self._buf[self.chunk:]
             out = np.concatenate([out, self._ingest(piece)])
         return out
+
+    def push_exact(self, piece: np.ndarray) -> np.ndarray:
+        """Process a hop-multiple piece immediately, bypassing the chunk
+        re-buffering of push(). Public contract for batch enhance()'s
+        ladder: requires an empty internal buffer (no partial hop pending)
+        and ``len(piece) % HOP == 0`` — asserted, so a future change to
+        push()'s buffering cannot silently desynchronize the batch path."""
+        if len(self._buf):
+            raise ValueError("push_exact requires an empty stream buffer "
+                             f"({len(self._buf)} samples pending)")
+        if len(piece) % HOP:
+            raise ValueError(f"push_exact piece must be a hop multiple, got {len(piece)}")
+        return self._ingest(np.asarray(piece, np.float32))
+
+    def push_tail(self, piece: np.ndarray) -> None:
+        """Buffer a final sub-hop tail for flush() (batch enhance())."""
+        if len(self._buf):
+            raise ValueError("push_tail requires an empty stream buffer")
+        self._buf = np.asarray(piece, np.float32)
 
     def flush(self) -> np.ndarray:
         """Drain: mirror the batch path's trailing hop of zero samples, then

@@ -1170,13 +1170,19 @@ class RealtimeSession:
 
     def __init__(self, model: PersonaPlex, sampling: PersonaSampling,
                  context_frames: int, voice_prompt, seed: int,
-                 system_prompt=None):
+                 system_prompt=None, batch: int = 1):
         # context_frames is kept for API compatibility; carried-state
         # streaming is exact regardless, so no window sizing is needed.
+        # batch > 1 steps N independent sessions in lockstep through the
+        # same fused frame program (push_frames): every state leaf carries
+        # a leading batch dim, sessions may differ in voice/system prompt
+        # (per-row valid masks in the shared prefill), and sampling rows
+        # draw independent noise from the shared key.
         self.model = model
         cfg = model.cfg
         self.cfg = cfg
         self.sampling = sampling
+        self.batch = batch
         spf = cfg.mimi.samples_per_frame
         self._ctx = context_frames
         self.frames_done = 0
@@ -1193,13 +1199,14 @@ class RealtimeSession:
             one."""
             (enc_st, u1, u2, agent_prev, text_prev, cache, dec_st,
              audio_hist, text_hist, key) = state
+            b = samples.shape[0]
             enc, enc_st = mimi_encode_frame(
-                mimi_p, cfg.mimi, enc_st, samples.astype(jnp.float32)[None])
-            enc = enc[:, :, 0]                                   # [1, 16]
+                mimi_p, cfg.mimi, enc_st, samples.astype(jnp.float32))
+            enc = enc[:, :, 0]                                   # [B, 16]
             user_codes = enc[:, :k].astype(jnp.int32)
             user_read = jnp.concatenate([u1[:, :1], u2[:, 1:k]], axis=1)
             provided = jnp.concatenate(
-                [jnp.full((1, cfg.num_codebooks - k), -1, jnp.int32),
+                [jnp.full((b, cfg.num_codebooks - k), -1, jnp.int32),
                  enc[:, :1].astype(jnp.int32), u1[:, 1:k]], axis=1)
             embeds = embed_frame(p, cfg, text_prev, user_read, agent_prev)[:, None]
             hidden, cache = temporal_step(p, cfg, embeds.astype(model.dtype), cache)
@@ -1225,14 +1232,18 @@ class RealtimeSession:
                 jnp.clip(codes, 0, cfg.mimi.codebook_size - 1)[:, :, None])
             new_state = (enc_st, user_codes, u1, codes[:, :k], text_tok,
                          cache, dec_st, audio_hist, text_hist, key)
-            return wav[0], codes, new_state
+            return wav, codes, new_state
 
         self._rt_frame = _rt_frame
 
         # 5-phase prefill, same layout as respond(): voice embeddings +
         # spacer/text-prompt/spacer reads (with ring overlay + delays).
         # Cache holds prefill caps + cfg.context frames of conversation.
-        cache = init_cache(cfg.num_layers, 1, cfg.num_heads,
+        # Sessions may carry different prompts: the block layout
+        # [voice_cap | prompt_cap] is shared, per-row validity masks
+        # carry each session's true lengths (positions follow from the
+        # cumsum of valid, so shorter prompts stay position-contiguous).
+        cache = init_cache(cfg.num_layers, batch, cfg.num_heads,
                            model.VOICE_PROMPT_CAP + model.PROMPT_CAP + cfg.context,
                            cfg.head_dim, model.dtype)
 
@@ -1247,38 +1258,49 @@ class RealtimeSession:
                 out_axes=1)(jnp.arange(p_cap))
             embeds = jnp.concatenate([voice_embeds.astype(model.dtype),
                                       prompt_emb.astype(model.dtype)], axis=1)
-            valid = jnp.concatenate([jnp.arange(v_cap)[None] < n_voice,
-                                     jnp.arange(p_cap)[None] < n_prompt], axis=1)
+            valid = jnp.concatenate(
+                [jnp.arange(v_cap)[None] < n_voice[:, None],
+                 jnp.arange(p_cap)[None] < n_prompt[:, None]], axis=1)
             _, new_cache = temporal_prefill(p, cfg, embeds, valid, cache)
             return new_cache
 
-        voice_embeds, n_voice, ring = model._voice_inputs(voice_prompt)
-        reads, n_prompt = model._prompt_reads(system_prompt, n_voice, ring)
-        prefilled = _prefill(model.params, voice_embeds,
-                             jnp.asarray(n_voice, jnp.int32),
-                             jnp.asarray(reads[None]),
-                             jnp.asarray(n_prompt, jnp.int32))
+        def _per_session(prompt):
+            return prompt if isinstance(prompt, (list, tuple)) else [prompt] * batch
+
+        v_embeds, n_voices, all_reads, n_prompts = [], [], [], []
+        for vp, sp in zip(_per_session(voice_prompt), _per_session(system_prompt)):
+            voice_embeds, n_voice, ring = model._voice_inputs(vp)
+            reads, n_prompt = model._prompt_reads(sp, n_voice, ring)
+            v_embeds.append(np.asarray(voice_embeds)[0])
+            n_voices.append(n_voice)
+            all_reads.append(reads)
+            n_prompts.append(n_prompt)
+        prefilled = _prefill(model.params, jnp.asarray(np.stack(v_embeds)),
+                             jnp.asarray(n_voices, jnp.int32),
+                             jnp.asarray(np.stack(all_reads)),
+                             jnp.asarray(n_prompts, jnp.int32))
         # generation-start read state: agent silence; user history seeded
         # with sine tokens (the prompt phases' user-stream writes)
         # NB: u1/u2 must be DISTINCT buffers — the whole state is donated,
         # and donating one buffer twice is an XLA error
-        sine = np.asarray(SINE_TOKENS[:k], np.int32)[None]
+        sine = np.tile(np.asarray(SINE_TOKENS[:k], np.int32)[None], (batch, 1))
         mimi_dtype = jax.tree_util.tree_leaves(model.mimi_params)[0].dtype
         self._state = (
-            init_mimi_encoder_stream(model.mimi_params, cfg.mimi,
+            init_mimi_encoder_stream(model.mimi_params, cfg.mimi, batch=batch,
                                      dtype=mimi_dtype),
             jnp.asarray(sine),                                      # user t-1
-            jnp.asarray(sine),                                      # user t-2
-            jnp.asarray(np.asarray(SILENCE_TOKENS[:k], np.int32)[None]),  # agent
-            jnp.full((1,), cfg.text_pad, jnp.int32),                # text
+            jnp.asarray(sine.copy()),                               # user t-2
+            jnp.asarray(np.tile(np.asarray(SILENCE_TOKENS[:k], np.int32)[None],
+                                (batch, 1))),                       # agent
+            jnp.full((batch,), cfg.text_pad, jnp.int32),            # text
             prefilled,                                              # KV cache
-            init_mimi_decoder_stream(model.mimi_params, cfg.mimi,
+            init_mimi_decoder_stream(model.mimi_params, cfg.mimi, batch=batch,
                                      dtype=mimi_dtype),
             # rolling repetition-penalty histories; out-of-range init =
             # empty slots (audio card 2048, text vocab)
-            jnp.full((1, cfg.num_codebooks, max(sampling.repetition_window, 1)),
+            jnp.full((batch, cfg.num_codebooks, max(sampling.repetition_window, 1)),
                      cfg.audio_pad, jnp.int32),
-            jnp.full((1, max(sampling.repetition_window, 1)), cfg.text_vocab,
+            jnp.full((batch, max(sampling.repetition_window, 1)), cfg.text_vocab,
                      jnp.int32),
             jax.random.PRNGKey(seed),
         )
@@ -1288,12 +1310,24 @@ class RealtimeSession:
         one agent frame of audio out: a single device program + a single
         value fetch (see class docstring for the on-device layout)."""
         spf = self.cfg.mimi.samples_per_frame
+        if self.batch != 1:
+            raise ValueError("batched session: use push_frames([B, spf])")
         if len(samples) != spf:
             raise ValueError(f"push_frame expects exactly {spf} samples")
+        return self.push_frames(np.asarray(samples, np.float32)[None])[0]
+
+    def push_frames(self, samples: np.ndarray) -> np.ndarray:
+        """One 80 ms user frame per session in → one agent frame per
+        session out, all sessions in ONE device program + ONE value fetch.
+        ``samples``: [batch, samples_per_frame]."""
+        spf = self.cfg.mimi.samples_per_frame
+        samples = np.asarray(samples, np.float32)
+        if samples.shape != (self.batch, spf):
+            raise ValueError(
+                f"push_frames expects shape {(self.batch, spf)}, got {samples.shape}")
         wav, codes, self._state = self._rt_frame(
             self.model.params, self.model.mimi_params, self._state,
-            jnp.asarray(np.asarray(samples, np.float32)),
-            sampling=self.sampling)
+            jnp.asarray(samples), sampling=self.sampling)
         #: the frame's full 16-codebook agent codes (device array; fetch
         #: with np.asarray only if needed — the audio fetch below already
         #: synchronizes the frame)

@@ -243,6 +243,9 @@ class Qwen3ASR(SpeechRecognitionModel):
                 logits, cache = decode_step(dec_params, dcfg, last_tok, cache)
                 kstep, key = jax.random.split(key)
                 tok = sample_token(logits, kstep, opts, tokens, jnp.full((b,), step, jnp.int32))
+                if opts.force_eos_after:  # bench/test: deterministic stop
+                    tok = jnp.where(step >= opts.force_eos_after,
+                                    self.cfg.eos_id, tok)
                 lp = log_softmax_confidence(logits, tok)
                 tok = jnp.where(done, self.cfg.pad_id, tok)
                 tokens = tokens.at[:, step].set(jnp.where(done, tokens[:, step], tok))

@@ -63,14 +63,29 @@ class Qwen3TTS(SpeechGenerationModel):
     def __init__(self, cfg: Qwen3TTSConfig, talker_params, cp_params, codec_params,
                  tokenizer: Optional[BPETokenizer] = None, dtype=jnp.bfloat16,
                  speakers: Optional[dict] = None, encoder_params=None,
-                 speaker_encoder_params=None):
+                 speaker_encoder_params=None, quant_bits: Optional[int] = None):
+        # The 12.5 Hz talker+CP frame loop is HBM-bound at batch 1: each
+        # frame reads the talker stack once and the CP stack ~16× (prefill
+        # + 15 sequential group steps re-read the full 5-layer CP). The
+        # published checkpoint is 4-bit (MLX); keeping linears PACKED
+        # (ops/quant GEMV) divides that traffic by 4 — the difference
+        # between RTF ~0.08 (dense bf16) and ~0.03. ``quant_bits``
+        # quantizes a dense tree at load (random-weight benches, fp
+        # checkpoints); real 4-bit checkpoints arrive packed from
+        # convert.py and are preserved by the quant-aware cast.
+        from ...ops.quant import cast_tree
         from .voice_clone import ReferenceAudioCache
 
         self.cfg = cfg
         self.dtype = dtype
         self.tokenizer = tokenizer
         self.speakers = speakers or {}
-        cast = lambda t: jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), t)
+        if quant_bits:
+            from ...ops.quant import quantize_tree
+
+            talker_params = quantize_tree(talker_params, quant_bits, embed_keys=())
+            cp_params = quantize_tree(cp_params, quant_bits, embed_keys=())
+        cast = lambda t: cast_tree(t, dtype)  # noqa: E731 — packed-aware
         self.talker_params = cast(talker_params)
         self.cp_params = cast(cp_params)
         self.codec = CodecDecoder(codec_params, cfg.codec, dtype=jnp.float32)

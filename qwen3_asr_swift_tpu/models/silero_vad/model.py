@@ -120,6 +120,55 @@ def convert_checkpoint(flat: dict) -> dict:
     }
 
 
+def convert_torchscript(path) -> dict:
+    """Load the ORIGINAL Silero v5 TorchScript archive (silero_vad.jit —
+    the upstream distribution format, reference: SileroVAD.swift loads the
+    MLX re-export of the same tensors) and map its state dict into our
+    tree. Key layout (v5, 16 kHz branch):
+
+    - ``_model.stft.forward_basis_buffer`` [258, 1, 256] — windowed DFT
+      basis (cos ‖ -sin rows)
+    - ``_model.encoder.{0-3}.reparam_conv.weight`` [out, in, 3] + bias
+    - ``_model.decoder.rnn.weight_ih/weight_hh`` [512, 128] +
+      ``bias_ih/bias_hh`` [512] (torch gate order i,f,g,o — ours matches;
+      the two biases sum)
+    - ``_model.decoder.decoder.2.weight`` [1, 128, 1] + bias
+
+    torch.jit.load parses the archive, so a cached checkpoint converts
+    fully offline."""
+    import torch
+
+    sd = {k: v.detach().cpu().numpy()
+          for k, v in torch.jit.load(str(path), map_location="cpu").state_dict().items()}
+
+    def conv_from(prefix):
+        w = sd[f"{prefix}.weight"]              # torch conv1d [out, in, width]
+        return {
+            "kernel": np.transpose(w, (2, 1, 0)).astype(np.float32),
+            "bias": sd[f"{prefix}.bias"].astype(np.float32),
+        }
+
+    stft = sd["_model.stft.forward_basis_buffer"]
+    if stft.ndim == 3:
+        stft = stft[:, 0, :]
+    dec = sd["_model.decoder.decoder.2.weight"]  # [1, 128, 1]
+    return {
+        "stft_basis": stft.astype(np.float32),   # [258, 256]
+        "encoder": [conv_from(f"_model.encoder.{i}.reparam_conv")
+                    for i in range(4)],
+        "lstm": {
+            "wx": np.ascontiguousarray(sd["_model.decoder.rnn.weight_ih"].T).astype(np.float32),
+            "wh": np.ascontiguousarray(sd["_model.decoder.rnn.weight_hh"].T).astype(np.float32),
+            "bias": (sd["_model.decoder.rnn.bias_ih"]
+                     + sd["_model.decoder.rnn.bias_hh"]).astype(np.float32),
+        },
+        "decoder": {
+            "kernel": np.transpose(dec, (2, 1, 0)).astype(np.float32),  # [1, 128, 1]
+            "bias": sd["_model.decoder.decoder.2.bias"].astype(np.float32),
+        },
+    }
+
+
 def forward_chunk(params, samples, h, c):
     """One VAD step.
 
@@ -220,10 +269,20 @@ class SileroVAD(VoiceActivityDetectionModel, StreamingVADProvider):
     @classmethod
     def from_pretrained(cls, model_id: str = "silero-vad-v5", cache_dir=None,
                         offline_mode: bool = False, progress_handler=None, **kw) -> "SileroVAD":
+        """Accepts either a snapshot with the MLX-converted safetensors or
+        the upstream TorchScript archive itself (a ``*.jit`` file path or a
+        snapshot containing one) — the original distribution format."""
+        from pathlib import Path
+
+        if str(model_id).endswith(".jit") and Path(model_id).exists():
+            return cls(convert_torchscript(model_id))
         from ...core.hub import download_weights
         from ...core.weights import load_safetensors
 
         model_dir = download_weights(model_id, cache_dir=cache_dir, offline_mode=offline_mode)
+        jits = sorted(Path(model_dir).glob("*.jit"))
+        if jits and not any(Path(model_dir).glob("*.safetensors")):
+            return cls(convert_torchscript(jits[0]))
         flat = load_safetensors(model_dir)
         return cls(convert_checkpoint(flat))
 

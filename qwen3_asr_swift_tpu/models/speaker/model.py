@@ -131,6 +131,13 @@ class WeSpeaker(SpeakerEmbeddingModel):
             return wespeaker_forward(p, fb, n_valid)
 
         self._embed_jit = _embed
+        # batched variant: N clips share one bucket → ONE dispatch for a
+        # whole diarization window sweep (per-dispatch round-trips, not
+        # compute, dominate this model — same lesson as FireRedVAD)
+        self._embed_batch_jit = jax.jit(
+            jax.vmap(lambda p, a, n, nf: _embed(p, a, n, n_frames=nf),
+                     in_axes=(None, 0, 0, None)),
+            static_argnums=(3,))
 
     @classmethod
     def init_random(cls, seed: int = 0, **kw) -> "WeSpeaker":
@@ -161,6 +168,35 @@ class WeSpeaker(SpeakerEmbeddingModel):
                               jnp.asarray(min(n, bucket), jnp.int32), n_frames=n_frames)
         emb = np.asarray(emb)
         return emb / (np.linalg.norm(emb) + 1e-12)
+
+    def embed_batch(self, audios, sample_rate: int = 16000) -> np.ndarray:
+        """Embed N clips in ONE batched program (all clips share the
+        largest needed bucket). Row-for-row equal to embed(); returns
+        [N, embed_dim] L2-normalized."""
+        if not len(audios):
+            return np.zeros((0, int(self.params["embed"]["kernel"].shape[1])),
+                            np.float32)
+        from ...audio.resample import resample
+
+        clips = []
+        for a in audios:
+            a = np.asarray(a, np.float32)
+            if sample_rate != 16000:
+                a = resample(a, sample_rate, 16000)
+            clips.append(a)
+        longest = max(len(a) for a in clips)
+        bucket = next((s * 16000 for s in self.FBANK_BUCKETS_S
+                       if longest <= s * 16000), self.FBANK_BUCKETS_S[-1] * 16000)
+        stage = np.zeros((len(clips), bucket), np.float32)
+        n_valid = np.zeros(len(clips), np.int32)
+        for i, a in enumerate(clips):
+            n = min(len(a), bucket)
+            stage[i, :n] = a[:n]
+            n_valid[i] = n
+        n_frames = 1 + (bucket - 400) // 160
+        embs = np.asarray(self._embed_batch_jit(
+            self.params, jnp.asarray(stage), jnp.asarray(n_valid), n_frames))
+        return embs / (np.linalg.norm(embs, axis=1, keepdims=True) + 1e-12)
 
     def warm_up(self) -> None:
         self.embed(np.zeros(16000, np.float32))

@@ -105,28 +105,37 @@ class StreamingKwsDecoder:
         return cached
 
     def step(self, encoder_frame: np.ndarray) -> List[KeywordDetection]:
-        """Advance one encoder output frame (already in joiner space)."""
+        """Advance one encoder output frame (already in joiner space).
+
+        Candidate scoring is vectorized: per-hypothesis softmaxes stack
+        into one [H, V] score matrix and a partial top-``beam`` selection
+        replaces the per-token Python loop (H·V tuple churn per frame was
+        the dominant host cost of batch detection)."""
         emissions: List[KeywordDetection] = []
 
-        cand_scores: List[float] = []
-        cand_meta: List[Tuple[int, int, float]] = []  # (hyp index, token, prob)
-        for i, hyp in enumerate(self.beam_list):
+        rows = []
+        for hyp in self.beam_list:
             dec_out = self._decoder_for(hyp.ys)
             logits = np.asarray(self.joiner_fn(encoder_frame, dec_out), np.float64)
             if self.blank_penalty and self.blank_id < logits.shape[0]:
                 logits[self.blank_id] -= self.blank_penalty
-            m = logits.max()
-            exps = np.exp(logits - m)
-            probs = exps / exps.sum()
-            log_probs = np.log(np.maximum(probs, 1e-300))
-            cand_scores.extend(hyp.log_prob + log_probs)
-            cand_meta.extend((i, tok, float(probs[tok])) for tok in range(logits.shape[0]))
-
-        order = np.argsort(np.asarray(cand_scores))[::-1][: self.beam]
+            rows.append(logits)
+        logits_all = np.stack(rows)                              # [H, V]
+        m = logits_all.max(axis=1, keepdims=True)
+        exps = np.exp(logits_all - m)
+        probs_all = exps / exps.sum(axis=1, keepdims=True)
+        log_probs_all = np.log(np.maximum(probs_all, 1e-300))
+        base = np.asarray([h.log_prob for h in self.beam_list])
+        scores = (base[:, None] + log_probs_all).ravel()
+        v = logits_all.shape[1]
+        k = min(self.beam, scores.size)
+        order = np.argpartition(scores, -k)[-k:]
+        order = order[np.argsort(scores[order])[::-1]]
 
         next_beam: Dict[str, _Hypothesis] = {}
         for idx in order:
-            i, token, token_prob = cand_meta[idx]
+            i, token = divmod(int(idx), v)
+            token_prob = float(probs_all[i, token])
             src = self.beam_list[i]
             hyp = _Hypothesis(
                 ys=list(src.ys), log_prob=0.0, ac_probs=list(src.ac_probs),
@@ -148,7 +157,7 @@ class StreamingKwsDecoder:
                     tail = min(self.context_size, len(hyp.ys))
                     del hyp.ys[len(hyp.ys) - tail:]
                     hyp.ys.extend([-1] * max(self.context_size - 1, 0) + [self.blank_id])
-            hyp.log_prob = cand_scores[idx] + context_score
+            hyp.log_prob = float(scores[idx]) + context_score
 
             key = hyp.key
             existing = next_beam.get(key)

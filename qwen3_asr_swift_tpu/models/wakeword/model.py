@@ -54,6 +54,26 @@ class WakeWordDetector(WakeWordModel):
         self._encode_chunk = jax.jit(functools.partial(encode_chunk, cfg=cfg))
         self._encode_windows = jax.jit(functools.partial(encode_windows, cfg=cfg))
 
+        @functools.partial(jax.jit, static_argnames=("n_frames", "n_bucket"))
+        def _detect_program(p, audio, n_valid_frames, *, n_frames, n_bucket):
+            """fbank + window building + scanned encoder in ONE dispatch
+            (batch detect): mel rows at/after ``n_valid_frames`` become
+            kaldi-silence (_PAD_MEL), reproducing the session's tail and
+            bucket padding; windows gather from the shared mel array.
+            Per-dispatch round-trips dominate this 3.5M-param model, so
+            one program per clip is the FireRedVAD lesson applied here."""
+            fb = kaldi_fbank(audio * 32768.0)                      # [F, 80]
+            fb = jnp.where((jnp.arange(n_frames) < n_valid_frames)[:, None],
+                           fb, _PAD_MEL)
+            idx = (jnp.arange(n_bucket) * cfg.mel_stride)[:, None] \
+                + jnp.arange(cfg.mel_window)[None]
+            wins = fb[idx]                         # [n_bucket, mel_window, 80]
+            out, _ = encode_windows(p, cfg=cfg, windows=wins[:, None],
+                                    states=init_states(cfg))
+            return out[0]
+
+        self._detect_program = _detect_program
+
     # -- loading ----------------------------------------------------------
 
     @classmethod
@@ -123,33 +143,31 @@ class WakeWordDetector(WakeWordModel):
         return self.make_kws_decoder().step_chunk(frames)
 
     def _batch_encoder_frames(self, audio: np.ndarray):
-        """Joiner-space frames for a whole utterance in one scanned encoder
-        program; None if the audio is shorter than one fbank frame. Tested
-        equal to WakeWordSession's per-window frames."""
+        """Joiner-space frames for a whole utterance in ONE fused
+        fbank+window+scanned-encoder program; None if the audio is shorter
+        than one fbank frame. Tested equal to WakeWordSession's per-window
+        frames. The window COUNT pads to a power-of-2 bucket (bounded
+        compiles for the static scan length); padded windows come after
+        all real ones in a causal scan, so their frames are dropped."""
         cfg = self.config
         if len(audio) < WakeWordSession.FRAME:
             return None
-        fb = np.asarray(kaldi_fbank(jnp.asarray(audio * 32768.0, jnp.float32)))
-        wins, pos = [], 0
-        while pos + cfg.mel_window <= fb.shape[0]:
-            wins.append(fb[pos: pos + cfg.mel_window])
-            pos += cfg.mel_stride
-        if pos < fb.shape[0]:
-            tail = fb[pos:]
-            pad = np.full((cfg.mel_window - tail.shape[0], cfg.num_mel_bins),
-                          _PAD_MEL, np.float32)
-            wins.append(np.concatenate([tail, pad]))
-        # pad the window COUNT to a power-of-2 bucket (bounded compiles for
-        # the static scan length); padded silence windows come after all
-        # real ones in a causal scan, so their frames are simply dropped
-        n_real = len(wins)
+        hop, flen = WakeWordSession.HOP, WakeWordSession.FRAME
+        f_real = 1 + (len(audio) - flen) // hop
+        # window starts advance mel_stride while start+window <= f_real,
+        # plus one tail window if frames remain past the last full window
+        n_full = max(0, (f_real - cfg.mel_window) // cfg.mel_stride + 1)
+        n_real = n_full + (1 if n_full * cfg.mel_stride < f_real else 0)
         n_bucket = 1 << (n_real - 1).bit_length()
-        wins += [np.full((cfg.mel_window, cfg.num_mel_bins), _PAD_MEL, np.float32)
-                 ] * (n_bucket - n_real)
-        out, _ = self._encode_windows(
-            self.params, windows=jnp.asarray(np.stack(wins))[:, None],
-            states=init_states(cfg))
-        frames = np.asarray(out[0])
+        f_need = (n_bucket - 1) * cfg.mel_stride + cfg.mel_window
+        need_samples = (f_need - 1) * hop + flen
+        padded = np.zeros(need_samples, np.float32)
+        padded[: min(len(audio), need_samples)] = audio[:need_samples]
+        out = self._detect_program(
+            self.params, jnp.asarray(padded),
+            jnp.asarray(min(f_real, f_need), jnp.int32),
+            n_frames=f_need, n_bucket=n_bucket)
+        frames = np.asarray(out)
         return frames[: n_real * (frames.shape[0] // n_bucket)]
 
     def new_session(self) -> "WakeWordSession":

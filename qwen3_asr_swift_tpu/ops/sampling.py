@@ -34,6 +34,13 @@ class SamplingOptions:
     no_repeat_ngram: int = 0
     temperature: float = 0.0
     top_k: int = 0
+    #: benchmark/test knob: force EOS at this decode step (0 = off). Real
+    #: checkpoints stop via learned EOS; random-weight benchmarks never do,
+    #: so every decode runs its full budget — this plants a deterministic
+    #: stop so benched programs exercise the SAME early-exit branch pattern
+    #: (device while_loop exit + gated host-loop chunk skip) real weights
+    #: produce. Output semantics match a model that emitted EOS there.
+    force_eos_after: int = 0
 
     @property
     def is_greedy(self) -> bool:

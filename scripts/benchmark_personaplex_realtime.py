@@ -42,6 +42,11 @@ def main():
                     help="temporal-stack quantization (8 = the reference's "
                          "serving config; 4 = the published checkpoint)")
     ap.add_argument("--context-frames", type=int, default=8)
+    ap.add_argument("--sessions", type=int, default=1,
+                    help="N full-duplex sessions stepped in ONE fused frame "
+                         "program (push_frames) — the multi-session serving "
+                         "capability the reference's ~1.4 single-stream RTF "
+                         "structurally rules out")
     args = ap.parse_args()
 
     import jax
@@ -87,31 +92,36 @@ def main():
     print(f"  {n/1e9:.2f}B temporal params on device in "
           f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
+    n_sess = max(1, args.sessions)
     session = model.realtime_session(PersonaSampling(),
-                                     context_frames=args.context_frames)
+                                     context_frames=args.context_frames,
+                                     batch=n_sess)
     spf = cfg.mimi.samples_per_frame
     t = np.arange(spf) / cfg.mimi.sample_rate
     frame = (0.1 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    frames_in = np.tile(frame[None], (n_sess, 1))
 
-    print("compiling the fused per-frame program...", file=sys.stderr)
+    print(f"compiling the fused per-frame program ({n_sess} sessions)...",
+          file=sys.stderr)
     t0 = time.perf_counter()
-    session.push_frame(frame)
+    session.push_frames(frames_in)
     print(f"  compile+first frame {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
 
     times = []
     for _ in range(args.frames):
         t0 = time.perf_counter()
-        out = session.push_frame(frame)  # returns host audio = value fetch
+        out = session.push_frames(frames_in)  # host audio = value fetch
         times.append(time.perf_counter() - t0)
-    assert len(out) == spf
+    assert out.shape == (n_sess, spf)
     times.sort()
     p50 = times[len(times) // 2] * 1e3
     p95 = times[min(len(times) - 1, int(len(times) * 0.95))] * 1e3
     budget_ms = 1000.0 / cfg.mimi.frame_rate
-    print(f"per-frame wall: p50 {p50:.1f} ms, p95 {p95:.1f} ms, "
-          f"best {times[0]*1e3:.1f} ms over {args.frames} frames "
-          f"(budget {budget_ms:.0f} ms @ {cfg.mimi.frame_rate} Hz)",
+    print(f"per-frame wall ({n_sess} sessions): p50 {p50:.1f} ms, "
+          f"p95 {p95:.1f} ms, best {times[0]*1e3:.1f} ms over {args.frames} "
+          f"frames (budget {budget_ms:.0f} ms @ {cfg.mimi.frame_rate} Hz; "
+          f"per-session RTF p50 {p50/1e3/ (spf / cfg.mimi.sample_rate):.3f})",
           file=sys.stderr)
     print(json.dumps({
         "metric": "personaplex_7b_realtime_frame_ms_p50",
@@ -119,6 +129,7 @@ def main():
         "unit": "ms/frame",
         "p95_ms": round(p95, 1),
         "budget_ms": budget_ms,
+        "sessions": n_sess,
         "sustains_realtime": bool(p95 < budget_ms),
         "bits": args.bits,
         "layers": cfg.num_layers,

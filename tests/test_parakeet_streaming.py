@@ -137,6 +137,130 @@ class TestSession:
         assert m.DEFAULT_MODEL_ID != ParakeetStreamingASR.DEFAULT_MODEL_ID
 
 
+class TestOfflineChunkedOracle:
+    """Cross-implementation oracle for the cache machinery (the reference's
+    own cache-aware-conformer contract, StreamingSession.swift:10-128): an
+    INDEPENDENT full-sequence evaluation — chunk c's queries attend to keys
+    in [c_start - att_context, c_end), the depthwise conv sees kernel-1
+    true left frames, subsampling sees 7 mel frames of left context — with
+    no cache rolls/right-alignment/channel_len bookkeeping at all. The
+    chunked encoder must reproduce it exactly; off-by-one cache bugs (the
+    r3 zipformer/Mimi class) cannot cancel out here because the oracle
+    shares none of the carry code."""
+
+    def _oracle_full_sequence(self, params, cfg, mel_full):
+        from qwen3_asr_swift_tpu.ops.nn import layer_norm, linear
+
+        def s2(x, p):
+            y = jax.lax.conv_general_dilated(
+                x, p["kernel"], window_strides=(2,), padding="VALID",
+                dimension_numbers=("NHC", "HIO", "NHC"),
+                preferred_element_type=jnp.float32,
+            ) + p["bias"].astype(jnp.float32)
+            return jax.nn.relu(y).astype(x.dtype)
+
+        x = jnp.concatenate(
+            [jnp.zeros((1, cfg.pre_cache, cfg.num_mel_bins), mel_full.dtype),
+             mel_full], axis=1)
+        x = s2(s2(s2(x, params["sub1"]), params["sub2"]), params["sub3"])
+        x = linear(x, params["sub_out"])
+        t = x.shape[1]
+        tc = cfg.out_frames
+        h, hd, d = cfg.num_heads, cfg.head_dim, cfg.encoder_hidden
+
+        # chunked attention: key j visible to query q iff it is within
+        # q's chunk or the att_context tokens before that chunk
+        qi, kj = np.arange(t)[:, None], np.arange(t)[None, :]
+        cstart = (qi // tc) * tc
+        allowed = (kj >= cstart - cfg.att_context) & (kj < cstart + tc)
+
+        # independent sinusoid relative-offset table (row r ↔ offset r-max)
+        max_dist = cfg.att_context + tc - 1
+        pos_off = np.arange(-max_dist, max_dist + 1, dtype=np.float32)
+        inv = np.exp(np.arange(0, d, 2, dtype=np.float32)
+                     * (-np.log(10000.0) / d))
+        table = np.zeros((2 * max_dist + 1, d), np.float32)
+        table[:, 0::2] = np.sin(pos_off[:, None] * inv)
+        table[:, 1::2] = np.cos(pos_off[:, None] * inv)
+        rel_idx = np.clip((qi - kj) + max_dist, 0, 2 * max_dist)
+
+        for p in params["layers"]:
+            def ff(xx, ln, fin, fout):
+                hh = layer_norm(xx, ln["weight"], ln["bias"])
+                return linear(jax.nn.silu(linear(hh, fin)), fout)
+
+            x = x + 0.5 * ff(x, p["ff1_ln"], p["ff1_in"], p["ff1_out"])
+
+            a_in = layer_norm(x, p["att_ln"]["weight"], p["att_ln"]["bias"])
+            q = linear(a_in, p["att"]["q"]).reshape(1, t, h, hd)
+            k = linear(a_in, p["att"]["k"]).reshape(1, t, h, hd)
+            v = linear(a_in, p["att"]["v"]).reshape(1, t, h, hd)
+            pos = linear(jnp.asarray(table, a_in.dtype),
+                         p["att"]["pos"]).reshape(-1, h, hd)
+            pos_qk = jnp.take(pos, jnp.asarray(rel_idx.reshape(-1)),
+                              axis=0).reshape(t, t, h, hd)
+            pos_u = p["att"].get("pos_u", params["pos_u"])
+            pos_v = p["att"].get("pos_v", params["pos_v"])
+            ac = jnp.einsum("bqhd,bkhd->bhqk",
+                            (q + pos_u[None, None]).astype(jnp.float32),
+                            k.astype(jnp.float32))
+            bd = jnp.einsum("bqhd,qkhd->bhqk",
+                            (q + pos_v[None, None]).astype(jnp.float32),
+                            pos_qk.astype(jnp.float32))
+            scores = (ac + bd) / np.sqrt(hd)
+            scores = jnp.where(jnp.asarray(allowed)[None, None], scores,
+                               jnp.float32(-1e30))
+            probs = jax.nn.softmax(scores, axis=-1)
+            att = jnp.einsum("bhqk,bkhd->bqhd", probs,
+                             v.astype(jnp.float32)).reshape(1, t, d)
+            x = x + linear(att.astype(x.dtype), p["att"]["o"])
+
+            c_in = layer_norm(x, p["conv_ln"]["weight"], p["conv_ln"]["bias"])
+            g = linear(c_in, p["conv"]["pw1"])
+            ga, gb = jnp.split(g, 2, axis=-1)
+            g = ga * jax.nn.sigmoid(gb)
+            full = jnp.concatenate(
+                [jnp.zeros((1, cfg.conv_kernel - 1, d), g.dtype), g], axis=1)
+            y = jax.lax.conv_general_dilated(
+                full, p["conv"]["dw"]["kernel"], window_strides=(1,),
+                padding="VALID", dimension_numbers=("NHC", "HIO", "NHC"),
+                feature_group_count=d,
+                preferred_element_type=jnp.float32,
+            ) + p["conv"]["dw"]["bias"].astype(jnp.float32)
+            y = (y * p["conv"]["norm"]["weight"].astype(jnp.float32)
+                 + p["conv"]["norm"]["bias"].astype(jnp.float32)).astype(x.dtype)
+            x = x + linear(jax.nn.silu(y), p["conv"]["pw2"])
+
+            x = x + 0.5 * ff(x, p["ff2_ln"], p["ff2_in"], p["ff2_out"])
+            x = layer_norm(x, p["final_ln"]["weight"], p["final_ln"]["bias"])
+        return x
+
+    def test_chunked_encoder_matches_offline_oracle(self, model):
+        from qwen3_asr_swift_tpu.models.parakeet_streaming.encoder import (
+            encode_chunk,
+        )
+
+        cfg = CFG
+        n_chunks = 4  # > att_context//out_frames so the cache saturates
+        rng = np.random.default_rng(42)
+        mel = rng.standard_normal(
+            (1, n_chunks * cfg.mel_frames, cfg.num_mel_bins)).astype(np.float32)
+
+        caches = init_caches(cfg)
+        outs = []
+        for c in range(n_chunks):
+            o, caches = encode_chunk(
+                model.encoder_params, cfg,
+                jnp.asarray(mel[:, c * cfg.mel_frames:(c + 1) * cfg.mel_frames]),
+                caches)
+            outs.append(np.asarray(o))
+        streamed = np.concatenate(outs, axis=1)
+
+        oracle = np.asarray(self._oracle_full_sequence(
+            model.encoder_params, cfg, jnp.asarray(mel)))
+        np.testing.assert_allclose(streamed, oracle, atol=2e-4, rtol=2e-4)
+
+
 class TestRNNTDecode:
     def test_max_symbols_cap_and_eou_flag(self, model):
         from qwen3_asr_swift_tpu.models.parakeet_streaming.model import rnnt_chunk_decode

@@ -378,6 +378,37 @@ class TestRealtimeSession:
         with pytest.raises(ValueError):
             s.push_frame(np.zeros(7, np.float32))
 
+    def test_batched_sessions_match_single(self):
+        """N lockstep sessions in one fused frame program: at temperature
+        0 each row must equal an independently run single session fed the
+        same frames (including rows with DIFFERENT voice prompts — the
+        shared prefill carries per-row validity)."""
+        from qwen3_asr_swift_tpu.models.personaplex import PersonaPlex, PersonaSampling, config_tiny
+
+        m = PersonaPlex.init_random(config_tiny())
+        spf = m.cfg.mimi.samples_per_frame
+        samp = PersonaSampling(audio_temperature=0.0, text_temperature=0.0,
+                               max_steps=3, silence_stop_frames=0)
+        vp = m.make_voice_prompt(np.ones(spf * 3, np.float32) * 0.2,
+                                 m.cfg.mimi.sample_rate)
+        rng = np.random.default_rng(7)
+        frames = [(0.1 * rng.standard_normal((2, spf))).astype(np.float32)
+                  for _ in range(3)]
+
+        multi = m.realtime_session(samp, batch=2, voice_prompt=[None, vp])
+        multi_out, multi_codes = [], []
+        for f in frames:
+            multi_out.append(multi.push_frames(f))
+            multi_codes.append(np.asarray(multi.last_codes))
+        assert multi_out[0].shape == (2, spf)
+
+        for row, row_vp in ((0, None), (1, vp)):
+            single = m.realtime_session(samp, voice_prompt=row_vp)
+            for i, f in enumerate(frames):
+                single.push_frame(f[row])
+                np.testing.assert_array_equal(
+                    np.asarray(single.last_codes)[0], multi_codes[i][row])
+
     def test_voice_prompt_in_realtime(self):
         from qwen3_asr_swift_tpu.models.personaplex import PersonaPlex, PersonaSampling, config_tiny
 

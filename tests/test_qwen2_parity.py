@@ -76,8 +76,6 @@ def _to_tree(model):
 def _run_ours_prefill(layers, final_norm, embeds):
     b, t, _ = embeds.shape
     positions = jnp.tile(jnp.arange(t)[None], (b, 1))
-    mask = jnp.where(jnp.arange(t)[None, None, :, None] >= jnp.arange(t)[None, None, None, :],
-                     0.0, NEG_INF)[:, 0][:, None]  # [1,1,T,T] causal
     mask = jnp.where(jnp.tril(jnp.ones((t, t), bool))[None, None], 0.0, NEG_INF)
     x = embeds
     for lp in layers:

@@ -229,6 +229,30 @@ class TestModel:
         t2 = model.transcribe(audio, max_tokens=6).text
         assert t1 == t2
 
+    def test_force_eos_after_stops_decode(self, model):
+        """The bench's planted-EOS knob: generation stops at the forced
+        step, the prefix matches the unforced decode, and the gated host
+        loop skips the remaining chunks (EOS-dependent control flow)."""
+        from qwen3_asr_swift_tpu.ops.sampling import SamplingOptions
+        from qwen3_asr_swift_tpu.serving.dispatch import DispatchGate
+
+        audio = (0.1 * np.random.default_rng(8).standard_normal(16000)).astype(np.float32)
+        full = model.transcribe(audio, options=SamplingOptions(max_tokens=12))
+        model.decode_chunk_tokens = 3
+        model.dispatch_gate = gate = DispatchGate(slots=1)
+        try:
+            forced = model.transcribe(
+                audio, options=SamplingOptions(max_tokens=12, force_eos_after=4))
+        finally:
+            model.dispatch_gate = None
+            model.decode_chunk_tokens = None
+        # 4 content tokens survive (steps 0-3), step 4 becomes EOS
+        assert forced.text.split() == full.text.split()[:4]
+        # host loop skipped the post-EOS chunks: first chunk (8) covered
+        # the stop, so exactly 2 dispatches (encode + first chunk) ran
+        s = gate.stats
+        assert s["latency"]["acquired"] + s["bulk"]["acquired"] == 2, s
+
     def test_chunked_decode_matches_monolithic(self, model):
         """Resumable chunked decode (decode_chunk_tokens — the loaded
         first-token latency knob) is exactly the monolithic program: same

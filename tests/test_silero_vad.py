@@ -136,3 +136,126 @@ class TestStreamingProcessor:
         final = proc.flush()
         assert [e.type for e in final] == [VADEventType.SPEECH_ENDED]
         assert final[0].segment.end == pytest.approx(5 * CHUNK / 16000)
+
+
+class TestTorchScriptOracle:
+    """Independent torch oracle with the UPSTREAM v5 archive layout: a
+    torch module whose state dict carries the original Silero key names
+    (_model.stft.forward_basis_buffer, _model.encoder.N.reparam_conv,
+    _model.decoder.rnn, _model.decoder.decoder.2) is scripted, SAVED AS A
+    REAL TORCHSCRIPT ARCHIVE, loaded back through convert_torchscript
+    (the same code path a cached silero_vad.jit takes), and its per-chunk
+    probabilities — torch Conv1d/LSTMCell semantics end to end — must
+    match our scanned JAX implementation including the carried context
+    and LSTM state."""
+
+    def _build_torch(self):
+        import torch
+        from torch import nn
+
+        torch.manual_seed(0)
+
+        class Enc(nn.Module):
+            def __init__(self, cin, cout, stride):
+                super().__init__()
+                self.reparam_conv = nn.Conv1d(cin, cout, 3, stride=stride,
+                                              padding=1)
+
+            def forward(self, x):
+                return torch.relu(self.reparam_conv(x))
+
+        class Decoder(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.rnn = nn.LSTMCell(128, 128)
+                self.decoder = nn.Sequential(
+                    nn.Identity(), nn.ReLU(), nn.Conv1d(128, 1, 1))
+
+            def forward(self, x, h, c):
+                h2, c2 = self.rnn(x, (h, c))
+                p = torch.sigmoid(self.decoder(torch.relu(h2)[:, :, None]))
+                return p[:, 0, 0], h2, c2
+
+        class Stft(nn.Module):
+            def __init__(self):
+                super().__init__()
+                basis = np.concatenate(
+                    [np.random.default_rng(1).standard_normal((258, 256))]
+                ).astype(np.float32)
+                self.register_buffer("forward_basis_buffer",
+                                     torch.from_numpy(basis[:, None, :]))
+
+            def forward(self, x):
+                spec = torch.nn.functional.conv1d(
+                    x[:, None, :], self.forward_basis_buffer, stride=128)
+                re, im = spec[:, :129], spec[:, 129:]
+                return torch.sqrt(re * re + im * im + 1e-12)
+
+        class Model(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.stft = Stft()
+                self.encoder = nn.Sequential(
+                    Enc(129, 128, 1), Enc(128, 64, 2),
+                    Enc(64, 64, 2), Enc(64, 128, 1))
+                self.decoder = Decoder()
+
+            def forward(self, samples, h, c):
+                # right reflect-pad 64 over [context ‖ chunk]
+                t = samples.shape[1]
+                idx = torch.arange(t - 2, t - 2 - 64, -1)
+                x = torch.cat([samples, samples[:, idx]], dim=1)
+                mag = self.stft(x)
+                y = self.encoder(mag)
+                return self.decoder(y[:, :, 0], h, c)
+
+        class Wrapper(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self._model = Model()
+
+            def forward(self, samples, h, c):
+                return self._model(samples, h, c)
+
+        return Wrapper()
+
+    def test_archive_roundtrip_and_probs_match(self, tmp_path):
+        import torch
+
+        from qwen3_asr_swift_tpu.models.silero_vad.model import (
+            CONTEXT, convert_torchscript, scan_probs)
+
+        wrapper = self._build_torch()
+        path = tmp_path / "silero_vad.jit"
+        torch.jit.script(wrapper).save(str(path))
+
+        params = jax.tree_util.tree_map(jnp.asarray, convert_torchscript(path))
+
+        rng = np.random.default_rng(3)
+        n = 6
+        chunks = (0.3 * rng.standard_normal((n, CHUNK))).astype(np.float32)
+        ours = np.asarray(scan_probs(params, jnp.asarray(chunks)))
+
+        with torch.no_grad():
+            ctx = torch.zeros(1, CONTEXT)
+            h = torch.zeros(1, 128)
+            c = torch.zeros(1, 128)
+            ref = []
+            for i in range(n):
+                chunk = torch.from_numpy(chunks[i])[None]
+                p, h, c = wrapper(torch.cat([ctx, chunk], dim=1), h, c)
+                ctx = chunk[:, -CONTEXT:]
+                ref.append(float(p[0]))
+        np.testing.assert_allclose(ours, np.asarray(ref), atol=1e-5)
+
+    def test_from_pretrained_accepts_jit_path(self, tmp_path):
+        import torch
+
+        wrapper = self._build_torch()
+        path = tmp_path / "silero_vad.jit"
+        torch.jit.script(wrapper).save(str(path))
+        model = SileroVAD.from_pretrained(str(path))
+        probs = model.speech_probabilities(
+            (0.1 * np.random.default_rng(0).standard_normal(16000)).astype(np.float32))
+        assert probs.shape[0] in (16000 // CHUNK, 16000 // CHUNK + 1)
+        assert np.isfinite(probs).all()

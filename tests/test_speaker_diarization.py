@@ -56,6 +56,18 @@ class TestWeSpeaker:
         e1, e2 = model.embed(audio), model.embed(audio)
         assert np.allclose(e1, e2, atol=1e-5)
 
+    def test_embed_batch_matches_single(self, model):
+        """One batched program row-for-row equals per-clip embed(),
+        including mixed lengths sharing the largest bucket."""
+        rng = np.random.default_rng(5)
+        clips = [(0.1 * rng.standard_normal(n)).astype(np.float32)
+                 for n in (16000, 24000, 8000)]
+        batch = model.embed_batch(clips)
+        assert batch.shape[0] == 3
+        for i, c in enumerate(clips):
+            np.testing.assert_allclose(batch[i], model.embed(c), atol=2e-5)
+        assert model.embed_batch([]).shape[0] == 0
+
     def test_cosine_helper(self, model):
         a = np.array([1.0, 0.0]); b = np.array([0.0, 1.0])
         assert WeSpeaker.cosine_similarity(a, a) == pytest.approx(1.0)
