@@ -345,6 +345,12 @@ class CampPlusSpeaker(SpeakerEmbeddingModel):
         self._loaded = True
         self._forward = jax.jit(functools.partial(campplus_forward, cfg=cfg))
         self._fbank = jax.jit(functools.partial(campplus_fbank, cfg=cfg))
+        # batched variants (embed_batch): the D-TDNN forward dominates —
+        # N dispatches collapse to 1 for a diarization window sweep
+        self._forward_batch = jax.jit(jax.vmap(
+            lambda p, m: campplus_forward(p, cfg, m), in_axes=(None, 0)))
+        self._fbank_batch = jax.jit(jax.vmap(
+            functools.partial(campplus_fbank, cfg=cfg), in_axes=(0, 0)))
 
     @classmethod
     def init_random(cls, cfg: CampPlusConfig | None = None, seed: int = 0, **kw):
@@ -391,6 +397,44 @@ class CampPlusSpeaker(SpeakerEmbeddingModel):
             raise ValueError(f"Too few mel frames ({len(mel)}, need >= 10)")
         mel = prepare_frames(mel, self.cfg.target_frames)
         return np.asarray(self._forward(self.params, mel=jnp.asarray(mel)),
+                          np.float32)
+
+    def embed_batch(self, audios, sample_rate: int = 16000) -> np.ndarray:
+        """Embed N clips with ONE batched fbank program per shared bucket
+        and ONE batched D-TDNN forward for the whole set. Row-for-row
+        equal to embed(); returns [N, embedding_size]."""
+        from ...audio.resample import resample
+
+        if not len(audios):
+            return np.zeros((0, self.cfg.embedding_size), np.float32)
+        frame_len, hop = 400, 160
+        clips = []
+        for a in audios:
+            a = np.asarray(a, np.float32)
+            if sample_rate != self.cfg.sample_rate:
+                a = resample(a, sample_rate, self.cfg.sample_rate)
+            if len(a) < 1600:
+                raise ValueError(
+                    f"Audio too short for speaker embedding ({len(a)} samples, need >= 1600)")
+            clips.append(a)
+        longest = max(len(a) for a in clips)
+        bucket = next((s * self.cfg.sample_rate for s in self.FBANK_BUCKETS_S
+                       if longest <= s * self.cfg.sample_rate), longest)
+        target = max(bucket, longest)
+        stage = np.zeros((len(clips), target), np.float32)
+        n_real = np.zeros(len(clips), np.int32)
+        for i, a in enumerate(clips):
+            stage[i, : len(a)] = a
+            n_real[i] = len(a)
+        mels = np.asarray(self._fbank_batch(jnp.asarray(stage), jnp.asarray(n_real)))
+        prepped = []
+        for i in range(len(clips)):
+            mel = mels[i][: max(1 + (n_real[i] - frame_len) // hop, 0)]
+            if len(mel) < 10:
+                raise ValueError(f"Too few mel frames ({len(mel)}, need >= 10)")
+            prepped.append(prepare_frames(mel, self.cfg.target_frames))
+        return np.asarray(self._forward_batch(self.params,
+                                              jnp.asarray(np.stack(prepped))),
                           np.float32)
 
     def warm_up(self):

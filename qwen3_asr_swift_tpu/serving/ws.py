@@ -148,3 +148,121 @@ class WebSocket:
                 await self.writer.drain()
             except (ConnectionResetError, BrokenPipeError):
                 pass
+
+
+# ---------------------------------------------------------------------------
+# client side (demos, CLI tooling, tests) — blocking socket, masked frames
+# ---------------------------------------------------------------------------
+
+def encode_client_frame(opcode: int, payload: bytes, fin: bool = True) -> bytes:
+    """Client→server frame: RFC 6455 requires client payloads be masked."""
+    import os
+
+    header = bytearray()
+    header.append((0x80 if fin else 0) | opcode)
+    n = len(payload)
+    if n < 126:
+        header.append(0x80 | n)
+    elif n < 65536:
+        header.append(0x80 | 126)
+        header += struct.pack(">H", n)
+    else:
+        header.append(0x80 | 127)
+        header += struct.pack(">Q", n)
+    mask = os.urandom(4)
+    return bytes(header) + mask + _unmask(payload, mask)  # XOR is symmetric
+
+
+class SyncWSClient:
+    """Minimal blocking RFC 6455 client for the /v1/realtime endpoint
+    (stdlib-only — the environment ships no websockets package). Used by
+    examples/dictate_demo.py --ws and the serving tests; NOT a full
+    client: single-fragment sends, ping/pong answered, no extensions."""
+
+    def __init__(self, host: str, port: int, path: str = "/v1/realtime",
+                 timeout: float = 60.0):
+        import socket as _socket
+
+        self.sock = _socket.create_connection((host, port), timeout=timeout)
+        key = base64.b64encode(hashlib.sha1(str(id(self)).encode()).digest()[:16]).decode()
+        self.sock.sendall(
+            (f"GET {path} HTTP/1.1\r\nHost: {host}:{port}\r\n"
+             f"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+             f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+             ).encode())
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            chunk = self.sock.recv(4096)
+            if not chunk:
+                raise ConnectionError("websocket handshake failed (connection closed)")
+            resp += chunk
+        head, _, rest = resp.partition(b"\r\n\r\n")
+        if b" 101 " not in head.split(b"\r\n", 1)[0]:
+            raise ConnectionError(f"websocket handshake rejected: {head[:200]!r}")
+        if accept_key(key).encode() not in head:
+            raise ConnectionError("websocket handshake: bad Sec-WebSocket-Accept")
+        self._buf = rest
+
+    # -- low level ---------------------------------------------------------
+
+    def _read_exact(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("websocket closed mid-frame")
+            self._buf += chunk
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def _read_frame(self) -> Tuple[bool, int, bytes]:
+        b1, b2 = self._read_exact(2)
+        fin, opcode = bool(b1 & 0x80), b1 & 0x0F
+        n = b2 & 0x7F
+        if n == 126:
+            (n,) = struct.unpack(">H", self._read_exact(2))
+        elif n == 127:
+            (n,) = struct.unpack(">Q", self._read_exact(8))
+        payload = self._read_exact(n)
+        return fin, opcode, payload
+
+    # -- messages ----------------------------------------------------------
+
+    def send_json(self, obj) -> None:
+        import json
+
+        self.sock.sendall(encode_client_frame(OP_TEXT, json.dumps(obj).encode()))
+
+    def recv_json(self):
+        """Next complete text message as a dict (fragments reassembled,
+        pings answered, pongs skipped); None once the server closes."""
+        import json
+
+        parts, first_op = [], None
+        while True:
+            fin, op, payload = self._read_frame()
+            if op == OP_PING:
+                self.sock.sendall(encode_client_frame(OP_PONG, payload))
+                continue
+            if op == OP_PONG:
+                continue
+            if op == OP_CLOSE:
+                try:
+                    self.sock.sendall(encode_client_frame(OP_CLOSE, payload[:2]))
+                except OSError:
+                    pass
+                return None
+            if op in (OP_TEXT, OP_BINARY):
+                first_op = op
+                parts = [payload]
+            elif op == OP_CONT:
+                parts.append(payload)
+            if fin and first_op is not None:
+                data = b"".join(parts)
+                return json.loads(data.decode()) if first_op == OP_TEXT else data
+
+    def close(self) -> None:
+        try:
+            self.sock.sendall(encode_client_frame(OP_CLOSE, struct.pack(">H", 1000)))
+        except OSError:
+            pass
+        self.sock.close()

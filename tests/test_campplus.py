@@ -283,6 +283,18 @@ class TestSeparation:
         diff = (cos(a1, b1) + cos(a2, b2) + cos(a1, b2) + cos(a2, b1)) / 4
         assert same > diff + 0.1, (same, diff)
 
+    def test_embed_batch_matches_single(self):
+        m = CampPlusSpeaker.init_random(campplus_config_tiny())
+        rng = np.random.default_rng(9)
+        sr = m.cfg.sample_rate
+        clips = [(0.1 * rng.standard_normal(n)).astype(np.float32)
+                 for n in (sr, sr + sr // 2, sr // 2)]
+        batch = m.embed_batch(clips)
+        assert batch.shape[0] == 3
+        for i, c in enumerate(clips):
+            np.testing.assert_allclose(batch[i], m.embed(c), atol=3e-5)
+        assert m.embed_batch([]).shape == (0, m.cfg.embedding_size)
+
     def test_short_audio_raises(self):
         m = CampPlusSpeaker.init_random(campplus_config_tiny())
         with pytest.raises(ValueError):
