@@ -146,7 +146,7 @@ def _nucleus_sample(lg, key, cfg: CosyVoiceConfig):
     (reference: LLM.swift nucleusSample :14-50)."""
     vocab = lg.shape[-1]
     if 0 < cfg.top_k < vocab:
-        kth = jnp.sort(lg)[..., -cfg.top_k]
+        kth = jax.lax.top_k(lg, cfg.top_k)[0][..., -1]
         lg = jnp.where(lg < kth, NEG_INF, lg)
     if cfg.top_p < 1.0:
         order = jnp.argsort(-lg)

@@ -352,7 +352,7 @@ def _sample_topk(logits, key, top_k: int, temperature: float,
         lg = apply_repetition_penalty(lg, safe, safe.shape[-1], penalty)
     if top_k > 0:
         top = min(top_k, lg.shape[-1])
-        kth = jnp.sort(lg, axis=-1)[..., -top][..., None]
+        kth = jax.lax.top_k(lg, top)[0][..., -1:]
         lg = jnp.where(lg < kth, NEG_INF, lg)
     if temperature > 0:
         lg = lg / temperature + jax.random.gumbel(key, lg.shape, dtype=jnp.float32)

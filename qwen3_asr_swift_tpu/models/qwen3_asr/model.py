@@ -124,6 +124,17 @@ class Qwen3ASR(SpeechRecognitionModel):
         # batched decode — docs/benchmarks.md). shard() unfuses for TP.
         self.decoder_params = fuse_for_inference(
             cast_tree(decoder_params, dtype), cfg.decoder)
+        if quant_compute == "groupdot":
+            # third execution mode: codes unpacked ONCE at load to int8,
+            # consumed by native s8 MXU dots with per-group rescaling
+            # (ops/quant.quant_matmul_groupdot) — exact weight VALUES,
+            # 1 byte/param HBM traffic (vs 2 for dequant-dense bf16),
+            # no per-call unpack or kernel launches. Single-chip only
+            # (shard() refuses; use packed/dequant for TP).
+            from ...ops.quant import repack_tree_groupdot
+
+            self.decoder_params = cast_tree(
+                repack_tree_groupdot(self.decoder_params), dtype)
         self._audio_buckets_s = tuple(audio_buckets_s)
         # each bucket's mel frames must tile the encoder attention window
         # exactly (100 frames/s; n_window_infer-frame windows) — fail here
@@ -610,6 +621,11 @@ class Qwen3ASR(SpeechRecognitionModel):
             shard_pytree,
         )
 
+        if self.quant_compute == "groupdot":
+            raise ValueError(
+                "quant_compute='groupdot' is single-chip (the repacked int8 "
+                "layout has no TP partition rules); use 'packed' or "
+                "'dequant' for sharded execution")
         mesh = mesh or make_mesh(dp=dp, tp=tp)
         self._mesh = mesh
         from ...parallel import spans_processes

@@ -86,9 +86,16 @@ def _cp_forward(params, cfg: CodePredictorConfig, x, positions, k_caches, v_cach
 
     for li, p in enumerate(params["layers"]):
         h = rms_norm(x, p["input_layernorm"]["weight"], cfg.rms_norm_eps)
-        q = linear(h, p["q_proj"]).reshape(b, t, cfg.num_heads, hd)
-        k = linear(h, p["k_proj"]).reshape(b, t, cfg.num_kv_heads, hd)
-        v = linear(h, p["v_proj"]).reshape(b, t, cfg.num_kv_heads, hd)
+        if "qkv_proj" in p:  # fused projection (quantized frame loop)
+            qd, kvd = cfg.num_heads * hd, cfg.num_kv_heads * hd
+            qkv = linear(h, p["qkv_proj"])
+            q = qkv[..., :qd].reshape(b, t, cfg.num_heads, hd)
+            k = qkv[..., qd: qd + kvd].reshape(b, t, cfg.num_kv_heads, hd)
+            v = qkv[..., qd + kvd:].reshape(b, t, cfg.num_kv_heads, hd)
+        else:
+            q = linear(h, p["q_proj"]).reshape(b, t, cfg.num_heads, hd)
+            k = linear(h, p["k_proj"]).reshape(b, t, cfg.num_kv_heads, hd)
+            v = linear(h, p["v_proj"]).reshape(b, t, cfg.num_kv_heads, hd)
         q = rms_norm(q, p["q_norm"]["weight"], cfg.rms_norm_eps)
         k = rms_norm(k, p["k_norm"]["weight"], cfg.rms_norm_eps)
         cos, sin = rope_angles(positions, hd, cfg.rope_theta)
@@ -141,7 +148,7 @@ def predict_codebooks(params, cfg: CodePredictorConfig, hidden, code0_embed, key
     def sample(logits, k):
         lg = logits
         if top_k > 0:
-            kth = jnp.sort(lg, axis=-1)[..., -top_k][..., None]
+            kth = jax.lax.top_k(lg, top_k)[0][..., -1:]
             lg = jnp.where(lg < kth, NEG_INF, lg)
         if temperature > 0.0:
             lg = lg / temperature + jax.random.gumbel(k, lg.shape, dtype=jnp.float32)

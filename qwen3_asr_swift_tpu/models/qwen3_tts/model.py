@@ -63,7 +63,8 @@ class Qwen3TTS(SpeechGenerationModel):
     def __init__(self, cfg: Qwen3TTSConfig, talker_params, cp_params, codec_params,
                  tokenizer: Optional[BPETokenizer] = None, dtype=jnp.bfloat16,
                  speakers: Optional[dict] = None, encoder_params=None,
-                 speaker_encoder_params=None, quant_bits: Optional[int] = None):
+                 speaker_encoder_params=None, quant_bits: Optional[int] = None,
+                 quant_compute: str = "groupdot"):
         # The 12.5 Hz talker+CP frame loop is HBM-bound at batch 1: each
         # frame reads the talker stack once and the CP stack ~16× (prefill
         # + 15 sequential group steps re-read the full 5-layer CP). The
@@ -85,9 +86,28 @@ class Qwen3TTS(SpeechGenerationModel):
 
             talker_params = quantize_tree(talker_params, quant_bits, embed_keys=())
             cp_params = quantize_tree(cp_params, quant_bits, embed_keys=())
+        if self._is_quantized(talker_params):
+            # fewer, wider dots: q/k/v and gate/up fuse (exact row concat)
+            # — the frame loop's many tiny matmuls are DMA-bound, so
+            # halving the projection count wins at these shapes
+            from ...ops.nn import fuse_qkv_gate_up
+
+            talker_params = fuse_qkv_gate_up(talker_params)
+            cp_params = fuse_qkv_gate_up(cp_params)
+        if quant_compute == "groupdot":
+            # quantized linears (from quant_bits OR a packed checkpoint)
+            # repack to the native-s8 group-dot layout: exact weight
+            # values, 1 byte/param traffic, no per-call unpack or kernel
+            # launches — the CP chain's 16 weight re-reads per frame make
+            # this the difference between RTF ~0.08 and ~0.04
+            from ...ops.quant import repack_tree_groupdot
+
+            talker_params = repack_tree_groupdot(talker_params)
+            cp_params = repack_tree_groupdot(cp_params)
         cast = lambda t: cast_tree(t, dtype)  # noqa: E731 — packed-aware
         self.talker_params = cast(talker_params)
         self.cp_params = cast(cp_params)
+        del talker_params, cp_params
         self.codec = CodecDecoder(codec_params, cfg.codec, dtype=jnp.float32)
         self.encoder_params = (jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float32),
                                                       encoder_params)
@@ -124,7 +144,7 @@ class Qwen3TTS(SpeechGenerationModel):
                     lg = jnp.where(seen, jnp.where(lg > 0, lg / sampling.repetition_penalty,
                                                    lg * sampling.repetition_penalty), lg)
                 if sampling.top_k > 0:
-                    kth = jnp.sort(lg, axis=-1)[..., -sampling.top_k][..., None]
+                    kth = jax.lax.top_k(lg, sampling.top_k)[0][..., -1:]
                     lg = jnp.where(lg < kth, NEG_INF, lg)
                 if sampling.temperature > 0:
                     lg = lg / sampling.temperature + jax.random.gumbel(k, lg.shape, dtype=jnp.float32)
@@ -184,6 +204,26 @@ class Qwen3TTS(SpeechGenerationModel):
         self._generate = _generate
 
     # ------------------------------------------------------------------ #
+
+    @staticmethod
+    def _is_quantized(tree) -> bool:
+        hit = []
+
+        def walk(n):
+            if hit:
+                return
+            if isinstance(n, dict):
+                if "codes" in n:
+                    hit.append(True)
+                    return
+                for v in n.values():
+                    walk(v)
+            elif isinstance(n, (list, tuple)):
+                for v in n:
+                    walk(v)
+
+        walk(tree)
+        return bool(hit)
 
     @classmethod
     def init_random(cls, cfg: Optional[Qwen3TTSConfig] = None, seed: int = 0,

@@ -95,9 +95,16 @@ def _layer(p, x, positions3, mask, cache_layer, cfg: TalkerConfig, decode: bool,
     b, t, _ = x.shape
     hd = cfg.head_dim
     h = rms_norm(x, p["input_layernorm"]["weight"], cfg.rms_norm_eps)
-    q = linear(h, p["q_proj"]).reshape(b, t, cfg.num_heads, hd)
-    k = linear(h, p["k_proj"]).reshape(b, t, cfg.num_kv_heads, hd)
-    v = linear(h, p["v_proj"]).reshape(b, t, cfg.num_kv_heads, hd)
+    if "qkv_proj" in p:  # fused projection (quantized frame loop)
+        qd, kvd = cfg.num_heads * hd, cfg.num_kv_heads * hd
+        qkv = linear(h, p["qkv_proj"])
+        q = qkv[..., :qd].reshape(b, t, cfg.num_heads, hd)
+        k = qkv[..., qd: qd + kvd].reshape(b, t, cfg.num_kv_heads, hd)
+        v = qkv[..., qd + kvd:].reshape(b, t, cfg.num_kv_heads, hd)
+    else:
+        q = linear(h, p["q_proj"]).reshape(b, t, cfg.num_heads, hd)
+        k = linear(h, p["k_proj"]).reshape(b, t, cfg.num_kv_heads, hd)
+        v = linear(h, p["v_proj"]).reshape(b, t, cfg.num_kv_heads, hd)
     q = rms_norm(q, p["q_norm"]["weight"], cfg.rms_norm_eps)
     k = rms_norm(k, p["k_norm"]["weight"], cfg.rms_norm_eps)
     cos, sin = mrope_angles(positions3, hd, cfg.mrope_sections, cfg.rope_theta)

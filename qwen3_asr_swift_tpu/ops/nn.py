@@ -23,7 +23,15 @@ import numpy as np
 def linear(x, p):
     """x @ kernel + bias. p: {"kernel": [in, out], optional "bias": [out]},
     or a group-quantized dict {"codes", "scales", "biases"} (dispatched to
-    ops.quant — reference: MLX QuantizedLinear)."""
+    ops.quant — reference: MLX QuantizedLinear), or the load-time-unpacked
+    group-dot layout {"gcodes", "gscales", "gbiases"} (native s8 MXU)."""
+    if "gcodes" in p:
+        from .quant import quant_matmul_groupdot
+
+        y = quant_matmul_groupdot(x, p)
+        if "bias" in p:
+            y = y + p["bias"].astype(jnp.float32)
+        return y.astype(x.dtype)
     if "codes" in p:
         from .quant import quant_linear
 

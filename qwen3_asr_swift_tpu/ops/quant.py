@@ -110,6 +110,98 @@ def quant_matmul_xla(x, p):
 
 
 # ---------------------------------------------------------------------------
+# group-dot path: load-time-unpacked int8 codes on the native s8 MXU
+# ---------------------------------------------------------------------------
+
+def repack_groupdot(p) -> dict:
+    """Packed MLX dict → the group-dot layout: codes unpacked ONCE at
+    load time to int8 ``[groups, gs, out]`` (the EXACT same 2/4/8-bit
+    values — int8 holds them losslessly), scales/biases ``[groups, out]``.
+
+    Why: the packed paths pay per-call cost to reach the weights — the
+    Pallas GEMV a kernel-launch per matmul (ruinous for the Qwen3-TTS CP
+    chain: ~750 launches/frame), the XLA path an in-graph unpack that
+    materializes a dense weight. Here the stored form IS a dot operand:
+    the TPU consumes s8×s8→s32 natively, so weight traffic is exactly
+    1 byte/param with zero per-call unpack work."""
+    codes = np.asarray(p["codes"])
+    scales = np.asarray(p["scales"], np.float32)
+    biases = np.asarray(p["biases"], np.float32)
+    out_dim, n_groups = scales.shape
+    packed = codes.shape[-1]
+    for gs in (64, 32, 128):
+        in_dim = n_groups * gs
+        if in_dim and (32 * packed) % in_dim == 0 and (32 * packed) // in_dim in (2, 4, 8):
+            bits = (32 * packed) // in_dim
+            break
+    else:
+        raise ValueError(f"cannot infer group layout: codes {codes.shape} scales {scales.shape}")
+    per = 32 // bits
+    shifts = (np.arange(per, dtype=np.uint32) * bits)[None, None]
+    mask = np.uint32((1 << bits) - 1)
+    dense = ((codes[:, :, None] >> shifts) & mask).reshape(out_dim, in_dim).astype(np.int32)
+    if bits == 8:
+        # 0..255 overflows int8: recenter to -128..127 and fold the
+        # +128·scale shift into the (exact) group-sum bias term
+        dense = dense - 128
+        biases = biases + 128.0 * scales
+    out = {
+        "gcodes": np.ascontiguousarray(
+            dense.astype(np.int8).T.reshape(n_groups, gs, out_dim)),
+        "gscales": np.ascontiguousarray(scales.T),
+        "gbiases": np.ascontiguousarray(biases.T),
+    }
+    if "bias" in p:
+        out["bias"] = np.asarray(p["bias"])
+    return out
+
+
+def quant_matmul_groupdot(x, p):
+    """x [..., in] @ dequant(W)^T via per-group native int8 dots.
+
+    Weight values are EXACT (the checkpoint's own quantized codes);
+    activations are dynamically quantized to int8 with a per-(row,group)
+    scale — the only approximation (≈40 dB per 64-wide group; the
+    group-sum bias term stays exact fp32). Per group g:
+        y[b,o] += sx[b,g] · scale[g,o] · Σ_k xq[b,g,k]·code[g,k,o]
+                + scale-exact Σ_k x[b,g,k] · bias-term
+    """
+    gcodes = p["gcodes"]                                   # [G, gs, out] int8
+    n_groups, gs, out_dim = gcodes.shape
+    in_dim = n_groups * gs
+    lead = x.shape[:-1]
+    xf = x.reshape(-1, n_groups, gs).astype(jnp.float32)   # [B, G, gs]
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-12) / 127.0  # [B, G]
+    xq = jnp.clip(jnp.round(xf / sx[..., None]), -127, 127).astype(jnp.int8)
+    partial = jax.lax.dot_general(
+        xq.transpose(1, 0, 2), gcodes,
+        (((2,), (1,)), ((0,), (0,))),                      # contract gs, batch G
+        preferred_element_type=jnp.int32,
+    )                                                      # [G, B, out]
+    y = jnp.einsum("gbo,bg,go->bo", partial.astype(jnp.float32), sx,
+                   p["gscales"].astype(jnp.float32))
+    y = y + xf.sum(axis=-1) @ p["gbiases"].astype(jnp.float32)
+    return y.reshape(*lead, out_dim)
+
+
+def repack_tree_groupdot(tree):
+    """Walk a quantized tree (quantize_tree / a converted 4-bit
+    checkpoint) and repack every packed linear into the group-dot
+    layout. Packed EMBEDDING tables (gathered, not matmul'd) stay
+    packed — quant_embedding_lookup handles them."""
+    def walk(node, is_embed=False):
+        if isinstance(node, dict):
+            if "codes" in node and not is_embed:
+                return repack_groupdot(node)
+            return {k: walk(v, is_embed=(k == "embed_tokens")) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return walk(tree)
+
+
+# ---------------------------------------------------------------------------
 # Pallas TPU kernel
 # ---------------------------------------------------------------------------
 
@@ -337,6 +429,13 @@ def cast_tree(tree, dtype):
 
     def walk(node):
         if isinstance(node, dict):
+            if "gcodes" in node:
+                out = {"gcodes": jnp.asarray(node["gcodes"], jnp.int8),
+                       "gscales": jnp.asarray(node["gscales"], jnp.float32),
+                       "gbiases": jnp.asarray(node["gbiases"], jnp.float32)}
+                if "bias" in node:
+                    out["bias"] = jnp.asarray(node["bias"], dtype)
+                return out
             if "codes" in node:
                 out = {"codes": jnp.asarray(node["codes"], jnp.uint32),
                        "scales": jnp.asarray(node["scales"], jnp.float32),

@@ -104,7 +104,7 @@ def apply_no_repeat_ngram(logits, generated, gen_len, n: int):
 def apply_top_k(logits, k: int):
     if k <= 0:
         return logits
-    kth = jnp.sort(logits, axis=-1)[..., -k][..., None]
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
     return jnp.where(logits < kth, NEG_INF, logits)
 
 

@@ -117,6 +117,16 @@ def bench_speaker(runs):
     if r:
         print(f"  per-20s-clip: {r['wall_p50_ms']:.0f} ms "
               f"(reference MLX 65 ms / CoreML 148 ms)", file=sys.stderr)
+    # batched path (the diarization window sweep): one program for 8
+    # clips — the per-clip cost at which a sweep actually runs
+    clips = [_audio(20, 16000, seed=i) for i in range(8)]
+    rb = _bench("wespeaker_embed_batch8", lambda: model.embed_batch(clips),
+                8 * 20.0, runs)
+    if rb:
+        print(f"  per-20s-clip batched: {rb['wall_p50_ms'] / 8:.0f} ms "
+              f"(reference MLX 65 ms / CoreML 148 ms per clip)", file=sys.stderr)
+        r["batch8_per_clip_ms"] = round(rb["wall_p50_ms"] / 8, 1)
+        r["batch8_rtf_p50"] = rb["rtf_p50"]
     return r
 
 

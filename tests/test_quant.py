@@ -95,6 +95,51 @@ class TestMatmul:
         assert y.shape == (2, 3, 8)
         assert np.allclose(y, x @ w_ref.T, rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("bits", [2, 4, 8])
+    def test_groupdot_matches_dense(self, bits):
+        """Load-time-unpacked native-s8 path: weight values EXACT, the
+        only approximation is per-(row,group) int8 activation
+        quantization (~40 dB) — tolerance scales with |y|."""
+        from qwen3_asr_swift_tpu.ops.quant import (
+            quant_matmul_groupdot, repack_groupdot)
+
+        p, w_ref = make_q(32, 192, bits)
+        gp = jax.tree_util.tree_map(jnp.asarray, repack_groupdot(p))
+        assert gp["gcodes"].dtype == jnp.int8
+        # repacked codes dequantize to exactly the packed reference weight
+        g, gs, out = gp["gcodes"].shape
+        dense = (np.asarray(gp["gcodes"], np.float32)
+                 * np.asarray(gp["gscales"])[:, None, :]
+                 + np.asarray(gp["gbiases"])[:, None, :]).reshape(g * gs, out)
+        assert np.allclose(dense.T, w_ref, atol=1e-6)
+        x = RNG.standard_normal((4, 192)).astype(np.float32)
+        y = np.asarray(quant_matmul_groupdot(jnp.asarray(x), gp))
+        truth = x @ w_ref.T
+        assert np.abs(y - truth).max() / max(np.abs(truth).max(), 1e-9) < 2e-2
+
+    def test_groupdot_linear_dispatch_and_cast(self):
+        from qwen3_asr_swift_tpu.ops.nn import linear
+        from qwen3_asr_swift_tpu.ops.quant import cast_tree, repack_groupdot
+
+        p, w_ref = make_q(16, 128, 4)
+        p["bias"] = RNG.standard_normal(16).astype(np.float32)
+        gp = cast_tree(repack_groupdot(p), jnp.bfloat16)
+        assert gp["gcodes"].dtype == jnp.int8  # cast preserves the layout
+        x = RNG.standard_normal((2, 128)).astype(np.float32)
+        y = np.asarray(linear(jnp.asarray(x), gp), np.float32)
+        truth = x @ w_ref.T + p["bias"]
+        assert np.abs(y - truth).max() / np.abs(truth).max() < 2e-2
+
+    def test_repack_tree_skips_embeddings(self):
+        from qwen3_asr_swift_tpu.ops.quant import repack_tree_groupdot
+
+        p, _ = make_q(16, 128, 4)
+        e, _ = make_q(64, 128, 4)
+        tree = {"layers": [{"q_proj": p}], "embed_tokens": e}
+        out = repack_tree_groupdot(tree)
+        assert "gcodes" in out["layers"][0]["q_proj"]
+        assert "codes" in out["embed_tokens"]  # gather path stays packed
+
 
 class TestDispatch:
     def test_linear_dispatches_on_codes(self):
@@ -223,6 +268,38 @@ class TestQuantComputeMode:
         rd = md.transcribe(audio, max_tokens=6)
         assert rp.text == rd.text
         assert rp.confidence == pytest.approx(rd.confidence, abs=1e-4)
+
+    def test_groupdot_mode_runs_and_guards_sharding(self):
+        """quant_compute='groupdot': fused linears repack to the int8
+        group-dot layout (exact weight values; int8 activation quant is
+        the only approximation — tokens may legitimately differ from
+        packed on near-tie logits), embeddings stay packed for the gather
+        path, and shard() refuses with a clear error."""
+        import dataclasses
+
+        from qwen3_asr_swift_tpu.models.qwen3_asr import Qwen3ASR, config_tiny
+
+        cfg = config_tiny()
+        cfg = dataclasses.replace(
+            cfg, decoder=dataclasses.replace(
+                cfg.decoder, hidden_size=128, intermediate_size=256,
+                num_heads=4, num_kv_heads=2, head_dim=32),
+            encoder=dataclasses.replace(cfg.encoder, output_dim=128),
+        )
+        mg = Qwen3ASR.init_random(cfg, quant_bits=4, dtype=jnp.float32,
+                                  audio_buckets_s=(8,), quant_compute="groupdot")
+        l0 = mg.decoder_params["layers"][0]
+        assert "gcodes" in l0["mlp"]["gate_up_proj"]
+        assert l0["mlp"]["gate_up_proj"]["gcodes"].dtype == jnp.int8
+        assert "codes" in mg.decoder_params["embed_tokens"]  # gather stays packed
+
+        audio = (0.1 * np.sin(np.linspace(0, 300, 16000))).astype(np.float32)
+        r1 = mg.transcribe(audio, max_tokens=6)
+        r2 = mg.transcribe(audio, max_tokens=6)
+        assert r1.text == r2.text  # deterministic
+        assert np.isfinite(r1.confidence)
+        with pytest.raises(ValueError, match="groupdot"):
+            mg.shard(dp=1, tp=1)
 
 
 class TestQuantizedTensorParallel:

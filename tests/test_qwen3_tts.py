@@ -296,3 +296,55 @@ class TestBatchedSynthesis:
 
         m = Qwen3TTS.init_random(CFG, dtype=jnp.float32, tokenizer=byte_tokenizer())
         assert m.synthesize_batch([]) == []
+
+
+class TestQuantizedFrameLoop:
+    """quant_bits packs talker+CP, q/k/v + gate/up fuse, and the default
+    groupdot mode repacks to the native-s8 layout — the serving config
+    for the 4-bit published checkpoint (exact weight values; int8
+    activation quantization is the only approximation)."""
+
+    def _wide_cfg(self):
+        import dataclasses
+
+        t = CFG
+        return dataclasses.replace(
+            t,
+            talker=dataclasses.replace(
+                t.talker, hidden_size=128, intermediate_size=256,
+                num_heads=4, num_kv_heads=4, head_dim=32,
+                mrope_sections=(8, 4, 4)),
+            code_predictor=dataclasses.replace(
+                t.code_predictor, hidden_size=128, intermediate_size=256,
+                num_heads=4, num_kv_heads=4, head_dim=32,
+                embedding_dim=128),
+        )
+
+    def test_groupdot_synthesize_runs_fused(self):
+        from qwen3_asr_swift_tpu.models.qwen3_tts import Qwen3TTS
+
+        m = Qwen3TTS.init_random(self._wide_cfg(), dtype=jnp.float32,
+                                 tokenizer=byte_tokenizer(), quant_bits=4)
+        l0 = m.talker_params["layers"][0]
+        assert "qkv_proj" in l0 and "gcodes" in l0["qkv_proj"]
+        assert "gcodes" in l0["mlp"]["gate_up_proj"]
+        c0 = m.cp_params["layers"][0]
+        assert "qkv_proj" in c0 and "gcodes" in c0["qkv_proj"]
+        s = TTSSamplingConfig(max_frames=4, temperature=0.0)
+        out = m.synthesize("quantized frame loop", sampling=s, seed=0)
+        assert len(out.samples) > 0 and np.isfinite(out.samples).all()
+        # deterministic
+        out2 = m.synthesize("quantized frame loop", sampling=s, seed=0)
+        np.testing.assert_array_equal(out.samples, out2.samples)
+
+    def test_packed_mode_still_available(self):
+        from qwen3_asr_swift_tpu.models.qwen3_tts import Qwen3TTS
+
+        m = Qwen3TTS.init_random(self._wide_cfg(), dtype=jnp.float32,
+                                 tokenizer=byte_tokenizer(), quant_bits=4,
+                                 quant_compute="packed")
+        l0 = m.talker_params["layers"][0]
+        assert "codes" in l0["qkv_proj"] and "gcodes" not in l0["qkv_proj"]
+        s = TTSSamplingConfig(max_frames=3, temperature=0.0)
+        out = m.synthesize("packed", sampling=s, seed=0)
+        assert np.isfinite(out.samples).all()
