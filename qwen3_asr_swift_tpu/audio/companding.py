@@ -44,3 +44,73 @@ def mulaw_decode_np(y: np.ndarray, mu: float = MU) -> np.ndarray:
     """Host-side decode (tests, non-jit callers)."""
     yf = y.astype(np.float32) / _QMAX
     return np.sign(yf) * ((1.0 + mu) ** np.abs(yf) - 1.0) / mu
+
+
+# --------------------------------------------------------------------- #
+# 4-bit block-scaled PCM ("pcm4"): half of µ-law int8's wire bytes.
+#
+# Congested-tunnel arithmetic (docs/benchmarks.md): the steady-state floor
+# is transfer-bound, so halving bytes/sample converts ~1:1 into floor
+# throughput. Format: 2 samples/byte (signed nibbles, |q| <= 7, UNIFORM
+# within a block) + one float16 max-|x| scale per 128-sample (8 ms) block
+# (+3.1% overhead). Uniform-in-block beats µ-law-in-block (measured 21 vs
+# 12 dB on speech-shaped signals): the per-block scale already absorbs
+# the dynamic range µ-law's log curve exists for, and uniform spends its
+# 15 levels on in-block resolution. Decode is pure elementwise + one
+# broadcast multiply — fully parallel on device, no sequential state
+# (unlike ADPCM at the same 4 bit/sample — G.726 32 kbit/s telephony —
+# whose feedback loop would serialize on TPU).
+#
+# Measured on speech-shaped signals (tests/test_companding.py): ~21 dB
+# wave SNR, log-mel rms error ~0.05 log10 units (vs ~0.007 for 8-bit
+# µ-law over a 1.8 dyn-range) — comparable bitrate and SNR class to
+# G.726 toll-quality telephony, but still lossier than 8-bit: serving
+# default remains "mulaw"; "pcm4" is the congested-wire opt-in.
+
+PCM4_BLOCK = 128
+_Q4MAX = 7.0
+
+
+def pcm4_encode_np(x: np.ndarray):
+    """float32 PCM [..., N] (N a multiple of 2*PCM4_BLOCK) → (packed
+    uint8 [..., N//2], scales float16 [..., N//PCM4_BLOCK])."""
+    n = x.shape[-1]
+    if n % (2 * PCM4_BLOCK):
+        raise ValueError(f"pcm4 length {n} not a multiple of {2 * PCM4_BLOCK}")
+    blocks = x.reshape(*x.shape[:-1], n // PCM4_BLOCK, PCM4_BLOCK)
+    scale = np.maximum(np.abs(blocks).max(axis=-1), 1e-5).astype(np.float16)
+    # quantize against the float16-rounded scale the decoder will see, so
+    # |q| <= 7 exactly and the roundtrip is centered
+    y = blocks / scale[..., None].astype(np.float32)
+    q = np.clip(np.round(y * _Q4MAX), -7, 7).astype(np.int8).reshape(*x.shape[:-1], n)
+    packed = (q[..., 0::2] & 0xF) | ((q[..., 1::2] & 0xF) << 4)
+    return packed.astype(np.uint8), scale
+
+
+def pcm4_decode(packed, scales):
+    """(uint8 [..., N//2], float16 [..., N//128]) → float32 PCM [..., N].
+    jnp-safe: call inside jit on device."""
+    import jax.numpy as jnp
+
+    lo = (packed & 0xF).astype(jnp.int32)
+    hi = ((packed >> 4) & 0xF).astype(jnp.int32)
+    lo = jnp.where(lo > 7, lo - 16, lo)
+    hi = jnp.where(hi > 7, hi - 16, hi)
+    q = jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], -1)
+    x = q.astype(jnp.float32) / _Q4MAX
+    x = x.reshape(*x.shape[:-1], scales.shape[-1], PCM4_BLOCK)
+    x = x * scales.astype(jnp.float32)[..., None]
+    return x.reshape(*packed.shape[:-1], -1)
+
+
+def pcm4_decode_np(packed: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    """Host-side decode (tests, non-jit callers)."""
+    lo = (packed & 0xF).astype(np.int32)
+    hi = ((packed >> 4) & 0xF).astype(np.int32)
+    lo = np.where(lo > 7, lo - 16, lo)
+    hi = np.where(hi > 7, hi - 16, hi)
+    q = np.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], -1)
+    x = q.astype(np.float32) / _Q4MAX
+    x = x.reshape(*x.shape[:-1], scales.shape[-1], PCM4_BLOCK)
+    x = x * scales.astype(np.float32)[..., None]
+    return x.reshape(*packed.shape[:-1], -1)

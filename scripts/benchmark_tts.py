@@ -77,15 +77,23 @@ def bench_kokoro(runs):
     return _bench("kokoro_82m", lambda: model.synthesize(TEXT), runs)
 
 
-def bench_qwen3_tts(runs, frames):
+def bench_qwen3_tts(runs, frames, quant=4, quant_compute="groupdot"):
     import jax.numpy as jnp
 
     from qwen3_asr_swift_tpu.models.qwen3_tts import Qwen3TTS
 
-    model = Qwen3TTS.init_random(dtype=jnp.bfloat16, tokenizer=_StubTokenizer())
+    # published checkpoint is 4-bit (MLX); groupdot executes those values
+    # as native-s8 group dots (1 B/param traffic) — the 12.5 Hz talker+CP
+    # frame loop re-reads the CP stack ~16×/frame and is HBM-bound, so
+    # measured on-chip: bf16 0.0795, int4 Pallas GEMV 0.0996, groupdot
+    # 0.0573 RTF. --quant 0 opts back into dense bf16.
+    model = Qwen3TTS.init_random(dtype=jnp.bfloat16, tokenizer=_StubTokenizer(),
+                                 quant_bits=quant or None,
+                                 quant_compute=quant_compute)
     # pin the frame budget: random weights rarely emit codec EOS, but a fixed
     # budget makes run-to-run audio length identical (125 frames = 10 s)
-    return _bench("qwen3_tts_0.6b",
+    name = f"qwen3_tts_0.6b{f'_int{quant}_{quant_compute}' if quant else ''}"
+    return _bench(name,
                   lambda: model.synthesize(TEXT, max_frames=frames, seed=1), runs)
 
 
@@ -137,7 +145,7 @@ def bench_voxcpm2(runs, frames):
 
 ENGINES = {
     "kokoro": lambda a: bench_kokoro(a.runs),
-    "qwen3_tts": lambda a: bench_qwen3_tts(a.runs, a.frames),
+    "qwen3_tts": lambda a: bench_qwen3_tts(a.runs, a.frames, a.quant, a.quant_compute),
     "cosyvoice": lambda a: bench_cosyvoice(a.runs),
     "vibevoice": lambda a: bench_vibevoice(a.runs, a.frames),
     "voxcpm2": lambda a: bench_voxcpm2(a.runs, a.frames),
@@ -150,6 +158,10 @@ def main():
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--frames", type=int, default=125,
                     help="AR frame budget (12.5 Hz engines: 125 = 10 s)")
+    ap.add_argument("--quant", type=int, default=4,
+                    help="qwen3_tts weight bits (0 = dense bf16)")
+    ap.add_argument("--quant-compute", default="groupdot",
+                    choices=["groupdot", "packed", "dequant"])
     args = ap.parse_args()
 
     import jax

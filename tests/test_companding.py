@@ -1,0 +1,150 @@
+"""Wire-format tests: µ-law int8 and block-scaled 4-bit PCM ("pcm4").
+
+The host→device wire is a subsystem with no reference counterpart (the
+reference runs model and audio I/O in one process on unified memory,
+Sources/Qwen3ASR/Qwen3ASR.swift); over the tunneled TPU backend the wire
+is the steady-state serving bottleneck, so its fidelity needs pinning:
+encode(np) ↔ decode(np) ↔ decode(jnp-in-jit) must agree, and the
+mel-domain distortion each format introduces must stay bounded.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3_asr_swift_tpu.audio.companding import (
+    PCM4_BLOCK,
+    mulaw_decode,
+    mulaw_decode_np,
+    mulaw_encode_np,
+    pcm4_decode,
+    pcm4_decode_np,
+    pcm4_encode_np,
+)
+
+
+def speech_like(n=16000 * 2, seed=0, level=0.6):
+    """AR(1) low-passed noise with a slow amplitude envelope — matches
+    speech's spectral tilt and dynamics well enough for SNR bounds."""
+    rng = np.random.default_rng(seed)
+    e = rng.standard_normal(n).astype(np.float32)
+    x = np.empty(n, np.float32)
+    acc = 0.0
+    for i in range(n):
+        acc = 0.97 * acc + 0.1 * e[i]
+        x[i] = acc
+    env = 0.2 + 0.8 * np.abs(np.sin(np.arange(n) / 16000 * 2 * np.pi * 1.3))
+    return (x / np.abs(x).max() * level * env).astype(np.float32)
+
+
+def snr_db(x, y):
+    return 10 * np.log10((x**2).sum() / max(((x - y) ** 2).sum(), 1e-30))
+
+
+class TestMulaw:
+    def test_roundtrip_snr(self):
+        x = speech_like()
+        y = mulaw_decode_np(mulaw_encode_np(x))
+        assert snr_db(x, y) > 33  # G.711-class
+
+    def test_device_decode_matches_host(self):
+        x = speech_like(4096)
+        enc = mulaw_encode_np(x)
+        np.testing.assert_allclose(
+            np.asarray(mulaw_decode(jnp.asarray(enc))), mulaw_decode_np(enc), rtol=1e-5, atol=1e-7
+        )
+
+    def test_idempotent_on_codes(self):
+        # re-encoding a decoded signal reproduces the same codes
+        x = speech_like(4096)
+        c1 = mulaw_encode_np(x)
+        c2 = mulaw_encode_np(mulaw_decode_np(c1))
+        assert (c1 == c2).mean() > 0.99
+
+
+class TestPcm4:
+    def test_shapes_and_dtypes(self):
+        x = speech_like(PCM4_BLOCK * 4)
+        packed, scales = pcm4_encode_np(x)
+        assert packed.dtype == np.uint8 and packed.shape == (PCM4_BLOCK * 2,)
+        assert scales.dtype == np.float16 and scales.shape == (4,)
+
+    def test_roundtrip_snr(self):
+        x = speech_like(16000 * 2)
+        packed, scales = pcm4_encode_np(x)
+        y = pcm4_decode_np(packed, scales)
+        assert snr_db(x, y) > 18  # G.726-class at the same 4 bit/sample
+
+    def test_device_decode_matches_host(self):
+        x = speech_like(PCM4_BLOCK * 8)
+        packed, scales = pcm4_encode_np(x)
+        np.testing.assert_allclose(
+            np.asarray(pcm4_decode(jnp.asarray(packed), jnp.asarray(scales))),
+            pcm4_decode_np(packed, scales),
+            rtol=1e-3, atol=1e-6,  # float16 scale multiply order
+        )
+
+    def test_batch_axis(self):
+        x = np.stack([speech_like(PCM4_BLOCK * 4, seed=s) for s in range(3)])
+        packed, scales = pcm4_encode_np(x)
+        assert packed.shape == (3, PCM4_BLOCK * 2) and scales.shape == (3, 4)
+        y = pcm4_decode_np(packed, scales)
+        for i in range(3):
+            pi, si = pcm4_encode_np(x[i])
+            np.testing.assert_array_equal(packed[i], pi)
+            np.testing.assert_allclose(y[i], pcm4_decode_np(pi, si), atol=1e-7)
+
+    def test_quiet_blocks_keep_relative_precision(self):
+        # block scaling: a -40 dB passage must roundtrip with the same
+        # RELATIVE error as a full-scale one (this is what per-block
+        # scales buy over global uniform 4-bit)
+        loud = speech_like(PCM4_BLOCK * 16, seed=1, level=0.9)
+        quiet = loud * 0.01
+        for x in (loud, quiet):
+            p, s = pcm4_encode_np(x)
+            assert snr_db(x, pcm4_decode_np(p, s)) > 18
+
+    def test_length_must_align(self):
+        with pytest.raises(ValueError):
+            pcm4_encode_np(np.zeros(PCM4_BLOCK * 2 + 1, np.float32))
+
+    def test_saturated_input_clips_cleanly(self):
+        x = np.clip(speech_like(PCM4_BLOCK * 4) * 50, -1.5, 1.5).astype(np.float32)
+        p, s = pcm4_encode_np(x)
+        y = pcm4_decode_np(p, s)
+        assert np.abs(y).max() <= np.abs(x).max() * 1.01
+
+
+class TestMelTransparency:
+    """Mel-domain distortion bounds — the quantity ASR actually consumes."""
+
+    def _mel(self, buf, cfg, nf):
+        from qwen3_asr_swift_tpu.ops.mel import log_mel_kernel
+
+        return np.asarray(log_mel_kernel(jnp.asarray(buf), jnp.asarray(nf), cfg, nf))
+
+    def test_mel_error_bounds(self):
+        from qwen3_asr_swift_tpu.ops.mel import MelConfig, num_frames, reflect_pad_np
+
+        cfg = MelConfig()
+        n = 16000 * 2
+        x = speech_like(n)
+        xa = reflect_pad_np(x, cfg.n_fft // 2)
+        nf = num_frames(cfg, n)
+        need = (nf - 1) * cfg.hop_length + cfg.n_fft
+        need_pad = ((need + 2 * PCM4_BLOCK - 1) // (2 * PCM4_BLOCK)) * (2 * PCM4_BLOCK)
+        buf = np.zeros(need_pad, np.float32)
+        buf[:min(len(xa), need)] = xa[:need]
+
+        m0 = self._mel(buf, cfg, nf)
+        m8 = self._mel(mulaw_decode_np(mulaw_encode_np(buf)), cfg, nf)
+        p, s = pcm4_encode_np(buf)
+        m4 = self._mel(pcm4_decode_np(p, s), cfg, nf)
+
+        rms8 = np.sqrt(((m8 - m0) ** 2).mean())
+        rms4 = np.sqrt(((m4 - m0) ** 2).mean())
+        dyn = m0.max() - m0.min()
+        # measured on this signal class: mulaw ~0.007, pcm4 ~0.05 over a
+        # ~1.8 log10-unit dynamic range; bound with headroom
+        assert rms8 < 0.03, f"mulaw mel rms {rms8:.4f} (dyn {dyn:.2f})"
+        assert rms4 < 0.09, f"pcm4 mel rms {rms4:.4f} (dyn {dyn:.2f})"
