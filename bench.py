@@ -226,11 +226,17 @@ def main():
     # bounds the device queue to `slots` chunks and admits the probe on
     # the latency lane, so it waits out running chunks — not whole queued
     # generates (round 3's 2.4 s worst case was unbounded queue depth).
-    gate_slots = int(os.environ.get("BENCH_GATE_SLOTS", "2"))
+    # slots=3 with 1 reserved for the latency lane: bulk double-buffers on
+    # 2 slots exactly as before, while a probe's encode/first-chunk nearly
+    # always finds the reserved slot free instead of waiting out the
+    # residual of a running bulk chunk (~half a chunk, 50-120 ms)
+    gate_slots = int(os.environ.get("BENCH_GATE_SLOTS", "3"))
+    gate_reserve = int(os.environ.get("BENCH_GATE_RESERVE", "1"))
     if gate_slots:
         from qwen3_asr_swift_tpu.serving.dispatch import LATENCY, DispatchGate
 
-        model.dispatch_gate = DispatchGate(slots=gate_slots)
+        model.dispatch_gate = DispatchGate(slots=gate_slots,
+                                           reserve_latency=gate_reserve)
         probe_prio = {"priority": LATENCY}
     else:
         probe_prio = {}

@@ -476,10 +476,12 @@ class Qwen3ASR(SpeechRecognitionModel):
     def transcribe(self, audio: np.ndarray, sample_rate: int = 16000,
                    language: Optional[str] = None, context: Optional[str] = None,
                    max_tokens: int = 448, options: Optional[SamplingOptions] = None,
-                   priority: Optional[int] = None, **kwargs) -> TranscriptionResult:
+                   priority: Optional[int] = None, timings: Optional[dict] = None,
+                   **kwargs) -> TranscriptionResult:
         results = self.transcribe_batch(
             [audio], sample_rate=sample_rate, language=language, context=context,
             max_tokens=max_tokens, options=options, priority=priority,
+            timings=timings,
         )
         return results[0]
 

@@ -115,6 +115,61 @@ class TestPcm4:
         assert np.abs(y).max() <= np.abs(x).max() * 1.01
 
 
+class TestNativeCodec:
+    """runtime/wire_codec.cpp vs the numpy reference implementations."""
+
+    @pytest.fixture()
+    def native(self):
+        import qwen3_asr_swift_tpu.audio.companding as C
+
+        lib = C._native()
+        if lib is None:
+            pytest.skip("native wire codec unavailable (no g++)")
+        return C
+
+    def _both(self, C, fn, *args):
+        lib = C._native_lib
+        C._native_lib = False
+        try:
+            ref = fn(*args)
+        finally:
+            C._native_lib = lib
+        return ref, fn(*args)
+
+    def test_pcm4_bit_identical(self, native):
+        C = native
+        x = np.stack([speech_like(C._NATIVE_MIN_SAMPLES, seed=s) for s in range(2)])
+        (rp, rs), (np_, ns) = self._both(C, C.pcm4_encode_np, x)
+        np.testing.assert_array_equal(rp, np_)
+        np.testing.assert_array_equal(rs.view(np.uint16), ns.view(np.uint16))
+
+    def test_mulaw_within_one_code(self, native):
+        C = native
+        x = speech_like(C._NATIVE_MIN_SAMPLES * 2)
+        ref, nat = self._both(C, C.mulaw_encode_np, x)
+        d = np.abs(ref.astype(int) - nat.astype(int))
+        # the 64K-LUT path rounds via int16 first: at most 1 code apart on
+        # quantization boundaries, on <1% of samples (inaudible at 38 dB)
+        assert d.max() <= 1 and (d > 0).mean() < 0.01
+
+    def test_edge_values(self, native):
+        C = native
+        x = np.zeros(C._NATIVE_MIN_SAMPLES, np.float32)
+        x[:8] = [1.5, -1.5, 1.0, -1.0, 0.0, 1e-9, -1e-9, 0.5]
+        ref, nat = self._both(C, C.mulaw_encode_np, x)
+        assert np.abs(ref[:8].astype(int) - nat[:8].astype(int)).max() <= 1
+        (rp, rs), (np_, ns) = self._both(C, C.pcm4_encode_np, x)
+        np.testing.assert_array_equal(rp, np_)
+
+    def test_small_buffers_stay_numpy(self, native):
+        # below the threshold the numpy path runs regardless of the lib
+        C = native
+        x = speech_like(C.PCM4_BLOCK * 2)
+        p1, s1 = C.pcm4_encode_np(x)
+        y = C.pcm4_decode_np(p1, s1)
+        assert snr_db(x, y) > 15
+
+
 class TestMelTransparency:
     """Mel-domain distortion bounds — the quantity ASR actually consumes."""
 

@@ -103,6 +103,67 @@ class TestDispatchGate:
         assert s["latency"]["acquired"] == 1
         assert s["bulk"]["acquired"] == 1
 
+    def test_reserved_slot_refuses_bulk(self):
+        gate = DispatchGate(slots=2, reserve_latency=1)
+        assert gate.acquire(BULK)            # bulk takes the 1 open slot
+        assert not gate.acquire(BULK, timeout=0.05)  # reserve refuses bulk
+        assert gate.acquire(LATENCY, timeout=0.5)    # latency takes reserve
+        gate.release()
+        gate.release()
+
+    def test_reserved_slot_makes_latency_waitfree_under_bulk_load(self):
+        gate = DispatchGate(slots=3, reserve_latency=1)
+        stop = threading.Event()
+
+        def bulk_loop():
+            while not stop.is_set():
+                with gate.slot(BULK):
+                    time.sleep(0.005)
+
+        threads = [threading.Thread(target=bulk_loop) for _ in range(4)]
+        for t in threads:
+            t.start()
+        time.sleep(0.05)  # bulk saturates its 2 usable slots
+        waits = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            assert gate.acquire(LATENCY, timeout=1.0)
+            waits.append(time.perf_counter() - t0)
+            gate.release()
+            time.sleep(0.01)
+        stop.set()
+        for t in threads:
+            t.join()
+        # the reserved slot is free whenever no other latency holder runs
+        assert sorted(waits)[len(waits) // 2] < 0.002, waits
+
+    def test_release_wakes_multiple_admissible_waiters(self):
+        gate = DispatchGate(slots=2, reserve_latency=1)
+        gate.acquire(LATENCY)
+        gate.acquire(LATENCY)  # both slots held by latency work
+        got = []
+
+        def lat_waiter(i):
+            with gate.slot(LATENCY):
+                got.append(i)
+                time.sleep(0.02)
+
+        threads = [threading.Thread(target=lat_waiter, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        time.sleep(0.05)
+        gate.release()
+        gate.release()
+        for t in threads:
+            t.join()
+        assert sorted(got) == [0, 1]
+
+    def test_reserve_validation(self):
+        with pytest.raises(ValueError):
+            DispatchGate(slots=2, reserve_latency=2)
+        with pytest.raises(ValueError):
+            DispatchGate(slots=1, reserve_latency=-1)
+
 
 class TestGatedGenerate:
     @pytest.fixture(scope="class")

@@ -1,0 +1,155 @@
+"""SlotPoolASR: token-level continuous batching correctness.
+
+The pool must reproduce the solo path's transcripts exactly (greedy):
+same encode programs, same prompt layout, same decode math — only the
+scheduling differs. Staggered admission, slot reuse, mixed buckets,
+budgets, and early EOS all exercise the per-slot cursor machinery.
+"""
+
+import threading
+import time
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3_asr_swift_tpu.models.qwen3_asr import Qwen3ASR
+from qwen3_asr_swift_tpu.models.qwen3_asr.config import config_tiny
+from qwen3_asr_swift_tpu.ops.sampling import SamplingOptions
+from qwen3_asr_swift_tpu.serving.slotpool import SlotPoolASR
+
+
+@pytest.fixture(scope="module")
+def model():
+    return Qwen3ASR.init_random(
+        config_tiny(), dtype=jnp.float32, audio_buckets_s=(8, 16),
+        wire_dtype="mulaw")
+
+
+def clips(n, seed=0, seconds=(2, 3, 9, 4)):
+    rng = np.random.default_rng(seed)
+    return [(0.1 * rng.standard_normal(16000 * seconds[i % len(seconds)]))
+            .astype(np.float32) for i in range(n)]
+
+
+MAX_NEW = 10
+
+
+def solo(model, audio, max_new=MAX_NEW, **kw):
+    return model.transcribe(audio, options=SamplingOptions(max_tokens=max_new), **kw)
+
+
+class TestSlotPool:
+    def test_matches_solo_transcripts(self, model):
+        cs = clips(4)
+        want = [solo(model, c).text for c in cs]
+        pool = SlotPoolASR(model, slots=4, max_new=MAX_NEW, tick_tokens=4,
+                           max_len=512)
+        try:
+            got = [r.text for r in pool.transcribe_all(cs)]
+        finally:
+            pool.close()
+        assert got == want
+
+    def test_mixed_buckets_in_one_pool(self, model):
+        # 2 s and 9 s clips take different audio buckets (8 s / 16 s):
+        # they decode in the SAME tick program
+        cs = [clips(1, seed=1, seconds=(2,))[0], clips(1, seed=2, seconds=(9,))[0]]
+        want = [solo(model, c).text for c in cs]
+        pool = SlotPoolASR(model, slots=2, max_new=MAX_NEW, tick_tokens=4,
+                           max_len=512)
+        try:
+            futs = [pool.submit(c) for c in cs]
+            got = [f.result(timeout=120).text for f in futs]
+        finally:
+            pool.close()
+        assert got == want
+
+    def test_staggered_admission_and_slot_reuse(self, model):
+        cs = clips(5, seed=3)
+        want = [solo(model, c).text for c in cs]
+        pool = SlotPoolASR(model, slots=2, max_new=MAX_NEW, tick_tokens=3,
+                           max_len=512)
+        try:
+            first = [pool.submit(c) for c in cs[:2]]
+            r0 = first[0].result(timeout=120)
+            # pool is mid-flight; admit more (forces slot reuse: 5 > 2)
+            rest = [pool.submit(c) for c in cs[2:]]
+            got = [r0.text, first[1].result(timeout=120).text] + \
+                  [f.result(timeout=120).text for f in rest]
+        finally:
+            pool.close()
+        assert got == want
+
+    def test_budget_respected(self, model):
+        c = clips(1, seed=4)[0]
+        pool = SlotPoolASR(model, slots=1, max_new=MAX_NEW, tick_tokens=4,
+                           max_len=512)
+        try:
+            r_small = pool.submit(c, max_new=3).result(timeout=120)
+            r_big = pool.submit(c, max_new=MAX_NEW).result(timeout=120)
+        finally:
+            pool.close()
+        want_small = solo(model, c, max_new=3).text
+        want_big = solo(model, c, max_new=MAX_NEW).text
+        assert r_small.text == want_small
+        assert r_big.text == want_big
+        assert want_big.startswith(want_small)
+
+    def test_forced_eos_stops_early(self, model):
+        c = clips(1, seed=5)[0]
+        opts = SamplingOptions(max_tokens=MAX_NEW, force_eos_after=4)
+        want = model.transcribe(c, options=opts).text
+        pool = SlotPoolASR(model, slots=1, max_new=MAX_NEW, tick_tokens=4,
+                           max_len=512, options=opts)
+        try:
+            got = pool.submit(c).result(timeout=120).text
+        finally:
+            pool.close()
+        assert got == want
+
+    def test_language_prompt_flows_through(self, model):
+        c = clips(1, seed=6)[0]
+        pool = SlotPoolASR(model, slots=1, max_new=MAX_NEW, tick_tokens=4,
+                           max_len=512)
+        try:
+            got = pool.submit(c, language="en").result(timeout=120)
+        finally:
+            pool.close()
+        want = solo(model, c, language="en")
+        assert got.text == want.text
+        assert got.language == "en"
+
+    def test_overlong_prompt_rejected(self, model):
+        c = clips(1, seed=7, seconds=(9,))[0]  # 16 s bucket → long prompt
+        pool = SlotPoolASR(model, slots=1, max_new=MAX_NEW, tick_tokens=4,
+                           max_len=64)
+        try:
+            with pytest.raises(ValueError, match="exceeds pool max_len"):
+                pool.submit(c).result(timeout=120)
+        finally:
+            pool.close()
+
+    def test_rejects_penalty_sampling(self, model):
+        with pytest.raises(ValueError, match="repetition"):
+            SlotPoolASR(model, slots=1,
+                        options=SamplingOptions(repetition_penalty=1.2))
+
+    def test_concurrent_submitters(self, model):
+        cs = clips(6, seed=8)
+        want = [solo(model, c).text for c in cs]
+        pool = SlotPoolASR(model, slots=3, max_new=MAX_NEW, tick_tokens=4,
+                           max_len=512)
+        got = [None] * len(cs)
+        try:
+            def worker(i):
+                got[i] = pool.submit(cs[i]).result(timeout=180).text
+
+            threads = [threading.Thread(target=worker, args=(i,)) for i in range(len(cs))]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=180)
+        finally:
+            pool.close()
+        assert got == want
