@@ -351,7 +351,8 @@ def cmd_serve(args):
         registry.register("asr", load_asr)
     else:
         registry = build_default_registry(decode_chunk_tokens=args.decode_chunk or None)
-    server = SpeechServer(registry, host=args.host, port=args.port)
+    server = SpeechServer(registry, host=args.host, port=args.port,
+                          scheduler=args.scheduler)
     asyncio.run(server.serve_forever())
 
 
@@ -465,7 +466,13 @@ def build_parser() -> argparse.ArgumentParser:
             type=int, default=25,
             help="tokens per dispatched ASR decode program; bounds how long "
                  "a newly arriving request waits behind an in-flight batch "
-                 "(loaded first-token latency). 0 = monolithic decode")})
+                 "(loaded first-token latency). 0 = monolithic decode"),
+        "--scheduler": dict(
+            default="group", choices=["group", "slotpool"],
+            help="ASR request scheduler: 'group' batches same-bucket FIFO "
+                 "groups; 'slotpool' is token-level continuous batching "
+                 "(mixed-length requests share one decode program, "
+                 "admission at tick boundaries)")})
     return p
 
 

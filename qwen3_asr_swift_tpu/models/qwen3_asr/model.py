@@ -272,15 +272,10 @@ class Qwen3ASR(SpeechRecognitionModel):
 
             return (jnp.asarray(1, jnp.int32), tokens, logprobs, cache, done0, tok0, key)
 
-        @functools.partial(jax.jit, static_argnames=("opts",), donate_argnums=(1,))
-        def _gen_chunk(dec_params, state, end, *, opts):
-            """Run the decode while_loop up to step ``end`` (dynamic) and
-            return the carried state. Decode is resumable: the host loop
-            below calls this per chunk, so under load a newly arriving
-            request's program interleaves at chunk boundaries instead of
-            waiting out one monolithic generate (loaded first-token
-            latency). A chunk dispatched after all rows hit EOS exits its
-            while_loop immediately — near-zero cost, no host sync needed."""
+        def _chunk_loop(dec_params, state, end, *, opts):
+            """Decode while_loop up to step ``end`` (dynamic); plain
+            function shared by the jitted chunk program and the fused
+            first-response program."""
             dcfg = self.cfg.decoder
             b = state[1].shape[0]
 
@@ -304,6 +299,67 @@ class Qwen3ASR(SpeechRecognitionModel):
                 return step + 1, tokens, logprobs, cache, done, tok, key
 
             return jax.lax.while_loop(cond, body, state)
+
+        @functools.partial(jax.jit, static_argnames=("opts",), donate_argnums=(1,))
+        def _gen_chunk(dec_params, state, end, *, opts):
+            """Jitted resumable chunk: the host loop calls this per chunk,
+            so under load a newly arriving request's program interleaves at
+            chunk boundaries instead of waiting out one monolithic
+            generate (loaded first-token latency). A chunk dispatched
+            after all rows hit EOS exits its while_loop immediately."""
+            return _chunk_loop(dec_params, state, end, opts=opts)
+
+        self._gen_chunk_jit = _gen_chunk
+
+        @functools.partial(jax.jit, static_argnames=(
+            "n_frames", "prefix_block", "suffix_block", "first_end",
+            "max_new", "opts"))
+        def _fused_first(enc_params, dec_params, padded_audio, scales,
+                         n_valid_frames, prefix_ids, prefix_len, suffix_ids,
+                         suffix_len, key, *, n_frames, prefix_block,
+                         suffix_block, first_end, max_new, opts):
+            """Encode + prefill + first decode chunk in ONE program.
+
+            Serving fast path for single-clip latency requests: over the
+            tunneled backend every host↔device sync waits out whatever
+            bulk work is in flight (measured 150-430 ms per sync under
+            4-submitter saturation — scripts/diag_loaded_ttft.py), so the
+            interactive path's TTFT is proportional to its SYNC COUNT,
+            not its compute. One dispatch + one done-fetch replaces the
+            encode-fetch + prefill + chunk-fetch sequence."""
+            def enc_one(a, s, n):
+                mel = _wire_to_mel(a, n, n_frames, scales=s)
+                return encode(enc_params, mel, n, self.cfg.encoder)
+
+            if scales is None:
+                audio_tokens, n_audio = jax.vmap(
+                    lambda a, n: enc_one(a, None, n))(padded_audio, n_valid_frames)
+            else:
+                audio_tokens, n_audio = jax.vmap(enc_one)(
+                    padded_audio, scales, n_valid_frames)
+            state = _gen_start(
+                dec_params, prefix_ids, prefix_len, suffix_ids, suffix_len,
+                audio_tokens, n_audio, key,
+                a_pad=audio_tokens.shape[1], prefix_block=prefix_block,
+                suffix_block=suffix_block, max_new=max_new, opts=opts)
+            if first_end > 1:
+                state = _chunk_loop(dec_params, state,
+                                    jnp.asarray(first_end, jnp.int32), opts=opts)
+            return state
+
+        self._fused_first = _fused_first
+
+        @jax.jit
+        def _pack_out(tokens, n_gen, logprobs):
+            """Pack (tokens i32 [B,N], n_gen i32 [B], logprobs f32 [B,N])
+            into one int32 [B, 2N+1] buffer: ONE device→host fetch instead
+            of three RPC round trips (each fetch under load waits behind
+            in-flight bulk programs on the tunnel's serialized stream)."""
+            lp_bits = jax.lax.bitcast_convert_type(logprobs, jnp.int32)
+            return jnp.concatenate([tokens, n_gen[:, None].astype(jnp.int32),
+                                    lp_bits], axis=1)
+
+        self._pack_out = _pack_out
 
         def _generate(dec_params, prefix_ids, prefix_len, suffix_ids, suffix_len,
                       audio_tokens, n_audio, key, *, a_pad, prefix_block,
@@ -603,6 +659,16 @@ class Qwen3ASR(SpeechRecognitionModel):
 
         enc_prio = priority if priority is not None else (
             LATENCY if n_req == 1 else BULK)
+
+        # single-clip latency fast path: encode+prefill+first-chunk fuse
+        # into ONE program (one dispatch, one done-fetch) — under load
+        # TTFT is proportional to sync count, not compute (the fused
+        # single-clip program is ~45 ms of device time; each extra sync
+        # costs a 150-430 ms wait behind in-flight bulk programs)
+        if (self.dispatch_gate is not None and n_req == 1 and dp == 1
+                and not mp and not use_sp and timings is None):
+            return self._transcribe_fused(st, language, context, opts, seed,
+                                          priority, t_start)
         with gate_slot(self.dispatch_gate, enc_prio):
             if use_sp:
                 # long single utterance on a sharded model: sequence-parallel
@@ -658,13 +724,31 @@ class Qwen3ASR(SpeechRecognitionModel):
             # dp-sharded outputs live partly on other hosts: replicate over
             # DCN (one all-gather) so every process fetches the full batch
             tokens, n_gen, logprobs = self._replicate_out(tokens, n_gen, logprobs)
-        tokens = np.asarray(tokens)
-        n_gen = np.asarray(n_gen)
-        logprobs = np.asarray(logprobs)
+            tokens = np.asarray(tokens)
+            n_gen = np.asarray(n_gen)
+            logprobs = np.asarray(logprobs)
+        else:
+            # ONE packed fetch instead of three (each fetch under load is
+            # an RPC that waits behind in-flight bulk programs)
+            tokens, n_gen, logprobs = self._unpack_out(
+                np.asarray(self._pack_out(tokens, n_gen, logprobs)))
         if timings is not None:
             timings["postprocess"] = time.perf_counter() - t_stage
         elapsed = time.perf_counter() - t_start
+        return self._finalize(tokens, n_gen, logprobs, n_req, durations,
+                              language, elapsed)
 
+    @staticmethod
+    def _unpack_out(packed: np.ndarray):
+        """Host-side inverse of ``_pack_out``."""
+        n = (packed.shape[1] - 1) // 2
+        tokens = packed[:, :n]
+        n_gen = packed[:, n]
+        logprobs = packed[:, n + 1:].view(np.float32)
+        return tokens, n_gen, logprobs
+
+    def _finalize(self, tokens, n_gen, logprobs, n_req, durations, language,
+                  elapsed) -> List[TranscriptionResult]:
         results = []
         for i in range(n_req):
             ids = [t for t in tokens[i, : n_gen[i]].tolist() if t != self.cfg.eos_id]
@@ -684,6 +768,53 @@ class Qwen3ASR(SpeechRecognitionModel):
                 )
             )
         return results
+
+    def _transcribe_fused(self, st: "_StagedBatch", language, context, opts,
+                          seed, priority, t_start) -> List[TranscriptionResult]:
+        """Gated single-clip fast path: one fused
+        encode+prefill+first-chunk program, continuation chunks as usual,
+        one packed output fetch. See ``_fused_first``."""
+        from ...serving.dispatch import BULK, LATENCY, gate_slot
+
+        prefix, suffix = self._build_prompt(language, context)
+        pb = _round_block(len(prefix))
+        sb = _round_block(len(suffix))
+        b = st.b
+        prefix_ids = np.zeros((b, pb), np.int32)
+        prefix_ids[:, : len(prefix)] = prefix
+        suffix_ids = np.zeros((b, sb), np.int32)
+        suffix_ids[:, : len(suffix)] = suffix
+
+        max_new = opts.max_tokens
+        first_end = min(max(self.first_chunk_tokens, 1), max_new)
+        first_prio = LATENCY if priority is None else priority
+        with gate_slot(self.dispatch_gate, first_prio):
+            state = self._fused_first(
+                self.encoder_params, self.decoder_params, st.padded_dev,
+                st.scales_dev, st.n_valid_dev,
+                jnp.asarray(prefix_ids), jnp.asarray(np.full((b,), len(prefix), np.int32)),
+                jnp.asarray(suffix_ids), jnp.asarray(np.full((b,), len(suffix), np.int32)),
+                jax.random.PRNGKey(seed), n_frames=st.bucket, prefix_block=pb,
+                suffix_block=sb, first_end=first_end, max_new=max_new, opts=opts)
+            done = np.asarray(state[4])  # value fetch = program completed
+
+        chunk = self.decode_chunk_tokens or max_new
+        step = first_end
+        cont_prio = BULK if priority is None else priority
+        while step < max_new and not done.all():
+            end = min(step + chunk, max_new)
+            with gate_slot(self.dispatch_gate, cont_prio):
+                state = self._gen_chunk_jit(self.decoder_params, state,
+                                            jnp.asarray(end, jnp.int32), opts=opts)
+                done = np.asarray(state[4])
+            step = end
+        _, tokens, logprobs, _, _, _, _ = state
+        n_gen = jnp.sum(tokens != self.cfg.pad_id, axis=1)
+        tokens, n_gen, logprobs = self._unpack_out(
+            np.asarray(self._pack_out(tokens, n_gen, logprobs)))
+        elapsed = time.perf_counter() - t_start
+        return self._finalize(tokens, n_gen, logprobs, st.n_req, st.durations,
+                              language, elapsed)
 
     # ------------------------------------------------------------------ #
 

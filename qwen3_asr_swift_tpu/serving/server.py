@@ -85,7 +85,14 @@ class SpeechServer:
     def __init__(self, registry: ModelRegistry, host: str = "127.0.0.1", port: int = 8321,
                  max_batch: int = 16, max_body: int = 256 * 1024 * 1024,
                  keep_alive_timeout_s: float = 75.0,
-                 request_read_timeout_s: float = 120.0):
+                 request_read_timeout_s: float = 120.0,
+                 scheduler: str = "group"):
+        # scheduler: "group" = ContinuousBatcher (FIFO same-bucket groups,
+        # one batched transcribe_batch per group); "slotpool" = token-level
+        # continuous batching (serving/slotpool.py — mixed-length requests
+        # decode in one shared tick program, admission at tick boundaries).
+        if scheduler not in ("group", "slotpool"):
+            raise ValueError(f"unknown scheduler {scheduler!r}")
         self.registry = registry
         self.host = host
         self.port = port
@@ -95,17 +102,23 @@ class SpeechServer:
         # request line has arrived — a slow-loris client trickling header
         # or body bytes cannot hold a handler task open indefinitely
         self.request_read_timeout_s = request_read_timeout_s
-        self._batchers: Dict[int, ContinuousBatcher] = {}
+        self.scheduler = scheduler
+        self._batchers: Dict[int, object] = {}
         self._tts_batchers: Dict[int, TTSBatcher] = {}
         self._max_batch = max_batch
         self._server: Optional[asyncio.AbstractServer] = None
         self._s2s_lock = threading.Lock()
         self._started = time.time()
 
-    def _batcher_for(self, model) -> ContinuousBatcher:
+    def _batcher_for(self, model):
         key = id(model)
         if key not in self._batchers:
-            self._batchers[key] = ContinuousBatcher(model, max_batch=self._max_batch)
+            if self.scheduler == "slotpool" and hasattr(model, "_encode_audio_batch"):
+                from .slotpool import SlotPoolASR
+
+                self._batchers[key] = SlotPoolASR(model, slots=self._max_batch)
+            else:
+                self._batchers[key] = ContinuousBatcher(model, max_batch=self._max_batch)
         return self._batchers[key]
 
     def _tts_batcher_for(self, model) -> TTSBatcher:

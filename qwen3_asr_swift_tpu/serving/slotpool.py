@@ -268,6 +268,8 @@ class SlotPoolASR:
         self._prefill_one = _prefill_one
 
         # host-side bookkeeping
+        self._served = 0
+        self._ticks = 0
         self._free: List[int] = list(range(slots))
         self._live: dict = {}       # slot -> _Live
         self._arrivals: "queue.Queue" = queue.Queue()
@@ -280,15 +282,22 @@ class SlotPoolASR:
 
     def submit(self, audio: np.ndarray, sample_rate: int = 16000,
                language: Optional[str] = None, context: Optional[str] = None,
-               max_new: Optional[int] = None) -> "Future":
-        """Queue one utterance; resolves to a TranscriptionResult."""
+               max_new: Optional[int] = None,
+               max_tokens: Optional[int] = None) -> "Future":
+        """Queue one utterance; resolves to a TranscriptionResult.
+        ``max_tokens`` is accepted as an alias so the pool is a drop-in
+        for ContinuousBatcher.submit."""
         if self._closed:
             raise RuntimeError("pool is closed")
         fut: Future = Future()
         self._arrivals.put((audio, sample_rate, language, context,
-                            max_new or self.max_new, fut))
+                            max_new or max_tokens or self.max_new, fut))
         self._wake.set()
         return fut
+
+    def transcribe(self, audio: np.ndarray, sample_rate: int = 16000,
+                   timeout: float = 300.0, **kw):
+        return self.submit(audio, sample_rate, **kw).result(timeout=timeout)
 
     def transcribe_all(self, audios: Sequence[np.ndarray], **kw) -> List:
         """Convenience: submit everything, wait for everything."""
@@ -300,9 +309,23 @@ class SlotPoolASR:
         self._wake.set()
         self._thread.join(timeout=60)
 
+    #: ContinuousBatcher-compatible alias (server shutdown path)
+    shutdown = close
+
     @property
     def in_flight(self) -> int:
         return len(self._live) + self._arrivals.qsize()
+
+    @property
+    def stats(self) -> dict:
+        return {
+            "scheduler": "slotpool",
+            "slots": self.slots,
+            "free_slots": len(self._free),
+            "in_flight": self.in_flight,
+            "requests_served": self._served,
+            "ticks_run": self._ticks,
+        }
 
     # ------------------------------------------------------------------ #
 
@@ -384,6 +407,7 @@ class SlotPoolASR:
         live.fut.set_result(TranscriptionResult(
             text=text, language=live.language, confidence=conf,
             duration=live.duration, processing_time=0.0))
+        self._served += 1
         self._free.append(slot)
 
     def _run(self) -> None:
@@ -409,6 +433,7 @@ class SlotPoolASR:
                     model.decoder_params, self._state, kt,
                     n=self.tick_tokens, opts=self.opts)
                 toks = np.asarray(toks)       # value fetch = sync
+            self._ticks += 1
             lps = np.asarray(lps)
             done = np.asarray(done)
             pad = self.cfg.pad_id

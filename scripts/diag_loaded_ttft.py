@@ -74,8 +74,23 @@ def main():
     print(f"gil echo: p50 {p(gil,0.5)*1e6:.0f} us p95 {p(gil,0.95)*1e6:.0f} us "
           f"max {max(gil)*1e3:.1f} ms", file=sys.stderr)
 
+    n = int(os.environ.get("DIAG_PROBES", "25"))
+
+    # fused fast path (what serving probes actually take: one fused
+    # program dispatch + one done fetch + one packed output fetch)
+    fused = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        model.transcribe(short, options=ft_opts, priority=LATENCY)
+        fused.append(time.perf_counter() - t0)
+        time.sleep(1.0)
+    print(f"fused probe  : p50 {p(fused,0.5)*1e3:7.1f} ms  "
+          f"p90 {p(fused,0.9)*1e3:7.1f} ms max {max(fused)*1e3:7.1f} ms",
+          file=sys.stderr)
+
+    # staged decomposition (timings= path — NOT fused; shows where the
+    # multi-sync path pays)
     stages = {k: [] for k in ("host_prep", "encode", "generate", "postprocess", "total")}
-    n = int(os.environ.get("DIAG_PROBES", "30"))
     for i in range(n):
         tm = {}
         t0 = time.perf_counter()

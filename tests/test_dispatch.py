@@ -165,6 +165,68 @@ class TestDispatchGate:
             DispatchGate(slots=1, reserve_latency=-1)
 
 
+class TestFusedFirstResponse:
+    """Gated single-clip requests take the fused encode+prefill+first-chunk
+    program (one dispatch, one fetch); transcripts must match the ungated
+    multi-program path exactly."""
+
+    @pytest.fixture(scope="class", params=["mulaw", "pcm4"])
+    def model(self, request):
+        import jax.numpy as jnp
+
+        from qwen3_asr_swift_tpu.models.qwen3_asr import Qwen3ASR
+        from qwen3_asr_swift_tpu.models.qwen3_asr.config import config_tiny
+
+        return Qwen3ASR.init_random(
+            config_tiny(), dtype=jnp.float32, audio_buckets_s=(8,),
+            wire_dtype=request.param, decode_chunk_tokens=4)
+
+    def test_fused_matches_ungated(self, model):
+        from qwen3_asr_swift_tpu.ops.sampling import SamplingOptions
+
+        rng = np.random.default_rng(3)
+        clip = (0.1 * rng.standard_normal(16000 * 2)).astype(np.float32)
+        opts = SamplingOptions(max_tokens=9)
+        base = model.transcribe(clip, options=opts)
+        model.dispatch_gate = DispatchGate(slots=2, reserve_latency=1)
+        try:
+            fused = model.transcribe(clip, options=opts)
+        finally:
+            model.dispatch_gate = None
+        assert fused.text == base.text
+        assert abs(fused.confidence - base.confidence) < 1e-6
+
+    def test_fused_continuation_past_first_chunk(self, model):
+        # budget > first_chunk_tokens: fused start + gen_chunk continuations
+        from qwen3_asr_swift_tpu.ops.sampling import SamplingOptions
+
+        rng = np.random.default_rng(4)
+        clip = (0.1 * rng.standard_normal(16000 * 3)).astype(np.float32)
+        opts = SamplingOptions(max_tokens=model.first_chunk_tokens + 7)
+        base = model.transcribe(clip, options=opts)
+        model.dispatch_gate = DispatchGate(slots=2)
+        try:
+            fused = model.transcribe(clip, options=opts)
+        finally:
+            model.dispatch_gate = None
+        assert fused.text == base.text
+
+    def test_timings_path_bypasses_fusion(self, model):
+        from qwen3_asr_swift_tpu.ops.sampling import SamplingOptions
+
+        rng = np.random.default_rng(5)
+        clip = (0.1 * rng.standard_normal(16000 * 2)).astype(np.float32)
+        model.dispatch_gate = DispatchGate(slots=2)
+        try:
+            tm = {}
+            r = model.transcribe(clip, options=SamplingOptions(max_tokens=4),
+                                 timings=tm)
+        finally:
+            model.dispatch_gate = None
+        assert {"host_prep", "encode", "generate", "postprocess"} <= set(tm)
+        assert r.text
+
+
 class TestGatedGenerate:
     @pytest.fixture(scope="class")
     def model(self):

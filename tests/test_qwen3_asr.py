@@ -248,10 +248,11 @@ class TestModel:
             model.decode_chunk_tokens = None
         # 4 content tokens survive (steps 0-3), step 4 becomes EOS
         assert forced.text.split() == full.text.split()[:4]
-        # host loop skipped the post-EOS chunks: first chunk (8) covered
-        # the stop, so exactly 2 dispatches (encode + first chunk) ran
+        # host loop skipped the post-EOS chunks: the fused
+        # encode+prefill+first-chunk program (first chunk = 8 tokens)
+        # covered the stop, so exactly ONE dispatch ran
         s = gate.stats
-        assert s["latency"]["acquired"] + s["bulk"]["acquired"] == 2, s
+        assert s["latency"]["acquired"] + s["bulk"]["acquired"] == 1, s
 
     def test_chunked_decode_matches_monolithic(self, model):
         """Resumable chunked decode (decode_chunk_tokens — the loaded

@@ -135,6 +135,74 @@ class TestSlotPool:
             SlotPoolASR(model, slots=1,
                         options=SamplingOptions(repetition_penalty=1.2))
 
+    def test_server_integration(self, model):
+        """SpeechServer(scheduler='slotpool') routes /transcribe through
+        the pool; models without the Qwen3ASR internals fall back to the
+        group batcher."""
+        import asyncio
+        import http.client
+        import io
+        import json
+        import struct
+        import threading as th
+        import wave
+
+        from qwen3_asr_swift_tpu.serving.server import ModelRegistry, SpeechServer
+        from qwen3_asr_swift_tpu.serving.slotpool import SlotPoolASR
+
+        registry = ModelRegistry()
+        registry.register_instance("asr", model)
+        srv = SpeechServer(registry, host="127.0.0.1", port=0, scheduler="slotpool",
+                           max_batch=2)
+        loop = asyncio.new_event_loop()
+        started = th.Event()
+        holder = {}
+
+        def run():
+            asyncio.set_event_loop(loop)
+
+            async def go():
+                holder["task"] = asyncio.current_task()
+                s = await srv.start()
+                holder["port"] = s.sockets[0].getsockname()[1]
+                started.set()
+                await s.serve_forever()
+
+            try:
+                loop.run_until_complete(go())
+            except asyncio.CancelledError:
+                pass
+
+        t = th.Thread(target=run, daemon=True)
+        t.start()
+        assert started.wait(10)
+        # pre-seed the pool with a small budget so the test decodes 8
+        # tokens, not the serving default 448 (random weights never EOS)
+        srv._batchers[id(model)] = SlotPoolASR(model, slots=2, max_new=8,
+                                               max_len=512)
+        try:
+            clip = clips(1, seed=9)[0]
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes((clip * 32767).astype(np.int16).tobytes())
+            conn = http.client.HTTPConnection("127.0.0.1", holder["port"], timeout=180)
+            conn.request("POST", "/transcribe", buf.getvalue(),
+                         {"Content-Type": "audio/wav"})
+            resp = conn.getresponse()
+            body = json.loads(resp.read())
+            assert resp.status == 200
+            assert body["text"]
+            # the pool really served it
+            b = srv._batcher_for(model)
+            assert isinstance(b, SlotPoolASR)
+            assert b.stats["requests_served"] >= 1
+        finally:
+            loop.call_soon_threadsafe(holder["task"].cancel)
+            t.join(timeout=10)
+
     def test_concurrent_submitters(self, model):
         cs = clips(6, seed=8)
         want = [solo(model, c).text for c in cs]
