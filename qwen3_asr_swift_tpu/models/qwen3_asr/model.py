@@ -300,14 +300,29 @@ class Qwen3ASR(SpeechRecognitionModel):
 
             return jax.lax.while_loop(cond, body, state)
 
+        def _pack_state(state):
+            """Pack a decode state's outputs (tokens i32 [B,N], n_gen,
+            logprobs f32 bitcast) into one int32 [B, 2N+1] buffer so the
+            caller's final sync is ONE device→host fetch instead of three
+            RPC round trips (each fetch under load waits behind in-flight
+            bulk programs on the tunnel's serialized stream)."""
+            _, tokens, logprobs, _, _, _, _ = state
+            n_gen = jnp.sum(tokens != self.cfg.pad_id, axis=1)
+            lp_bits = jax.lax.bitcast_convert_type(logprobs, jnp.int32)
+            return jnp.concatenate([tokens, n_gen[:, None].astype(jnp.int32),
+                                    lp_bits], axis=1)
+
         @functools.partial(jax.jit, static_argnames=("opts",), donate_argnums=(1,))
         def _gen_chunk(dec_params, state, end, *, opts):
             """Jitted resumable chunk: the host loop calls this per chunk,
             so under load a newly arriving request's program interleaves at
             chunk boundaries instead of waiting out one monolithic
             generate (loaded first-token latency). A chunk dispatched
-            after all rows hit EOS exits its while_loop immediately."""
-            return _chunk_loop(dec_params, state, end, opts=opts)
+            after all rows hit EOS exits its while_loop immediately.
+            Returns (state, packed outputs) — the packed buffer makes the
+            LAST chunk's results fetchable without another dispatch."""
+            state = _chunk_loop(dec_params, state, end, opts=opts)
+            return state, _pack_state(state)
 
         self._gen_chunk_jit = _gen_chunk
 
@@ -345,16 +360,14 @@ class Qwen3ASR(SpeechRecognitionModel):
             if first_end > 1:
                 state = _chunk_loop(dec_params, state,
                                     jnp.asarray(first_end, jnp.int32), opts=opts)
-            return state
+            return state, _pack_state(state)
 
         self._fused_first = _fused_first
 
         @jax.jit
         def _pack_out(tokens, n_gen, logprobs):
-            """Pack (tokens i32 [B,N], n_gen i32 [B], logprobs f32 [B,N])
-            into one int32 [B, 2N+1] buffer: ONE device→host fetch instead
-            of three RPC round trips (each fetch under load waits behind
-            in-flight bulk programs on the tunnel's serialized stream)."""
+            """Standalone packer for paths whose last program did not
+            already pack (ungated async decode, mp replicate)."""
             lp_bits = jax.lax.bitcast_convert_type(logprobs, jnp.int32)
             return jnp.concatenate([tokens, n_gen[:, None].astype(jnp.int32),
                                     lp_bits], axis=1)
@@ -366,6 +379,7 @@ class Qwen3ASR(SpeechRecognitionModel):
                       suffix_block, max_new, opts, priority=None):
             gate = self.dispatch_gate
             chunk = self.decode_chunk_tokens or max_new
+            packed = None  # last chunk's packed outputs (device handle)
             if gate is None:
                 # async path: dispatch every chunk back-to-back, no host
                 # sync until the caller fetches results
@@ -376,8 +390,8 @@ class Qwen3ASR(SpeechRecognitionModel):
                 step = 1
                 while step < max_new:
                     end = min(step + chunk, max_new)
-                    state = _gen_chunk(dec_params, state, jnp.asarray(end, jnp.int32),
-                                       opts=opts)
+                    state, packed = _gen_chunk(dec_params, state,
+                                               jnp.asarray(end, jnp.int32), opts=opts)
                     step = end
             else:
                 from ...serving.dispatch import BULK, LATENCY
@@ -391,21 +405,22 @@ class Qwen3ASR(SpeechRecognitionModel):
                         prefix_block=prefix_block, suffix_block=suffix_block,
                         max_new=max_new, opts=opts)
                     if first_end > 1:
-                        state = _gen_chunk(dec_params, state,
-                                           jnp.asarray(first_end, jnp.int32), opts=opts)
+                        state, packed = _gen_chunk(
+                            dec_params, state, jnp.asarray(first_end, jnp.int32),
+                            opts=opts)
                     done = np.asarray(state[4])  # value fetch = real sync
                 step = first_end
                 cont_prio = BULK if priority is None else priority
                 while step < max_new and not done.all():
                     end = min(step + chunk, max_new)
                     with gate.slot(cont_prio):
-                        state = _gen_chunk(dec_params, state,
-                                           jnp.asarray(end, jnp.int32), opts=opts)
+                        state, packed = _gen_chunk(
+                            dec_params, state, jnp.asarray(end, jnp.int32), opts=opts)
                         done = np.asarray(state[4])
                     step = end
             _, tokens, logprobs, _, _, _, _ = state
             n_gen = jnp.sum(tokens != self.cfg.pad_id, axis=1)
-            return tokens, n_gen, logprobs
+            return tokens, n_gen, logprobs, packed
 
         self._generate = _generate
 
@@ -707,7 +722,7 @@ class Qwen3ASR(SpeechRecognitionModel):
             put = lambda x: put_global(x, sh)  # noqa: E731 — batch-dim inputs
         else:
             put = jnp.asarray
-        tokens, n_gen, logprobs = self._generate(
+        tokens, n_gen, logprobs, packed = self._generate(
             self.decoder_params,
             put(prefix_ids), put(prefix_len),
             put(suffix_ids), put(suffix_len),
@@ -729,9 +744,11 @@ class Qwen3ASR(SpeechRecognitionModel):
             logprobs = np.asarray(logprobs)
         else:
             # ONE packed fetch instead of three (each fetch under load is
-            # an RPC that waits behind in-flight bulk programs)
-            tokens, n_gen, logprobs = self._unpack_out(
-                np.asarray(self._pack_out(tokens, n_gen, logprobs)))
+            # an RPC that waits behind in-flight bulk programs); the last
+            # decode chunk already packed its outputs in-program
+            if packed is None:
+                packed = self._pack_out(tokens, n_gen, logprobs)
+            tokens, n_gen, logprobs = self._unpack_out(np.asarray(packed))
         if timings is not None:
             timings["postprocess"] = time.perf_counter() - t_stage
         elapsed = time.perf_counter() - t_start
@@ -789,29 +806,35 @@ class Qwen3ASR(SpeechRecognitionModel):
         first_end = min(max(self.first_chunk_tokens, 1), max_new)
         first_prio = LATENCY if priority is None else priority
         with gate_slot(self.dispatch_gate, first_prio):
-            state = self._fused_first(
+            state, packed = self._fused_first(
                 self.encoder_params, self.decoder_params, st.padded_dev,
                 st.scales_dev, st.n_valid_dev,
                 jnp.asarray(prefix_ids), jnp.asarray(np.full((b,), len(prefix), np.int32)),
                 jnp.asarray(suffix_ids), jnp.asarray(np.full((b,), len(suffix), np.int32)),
                 jax.random.PRNGKey(seed), n_frames=st.bucket, prefix_block=pb,
                 suffix_block=sb, first_end=first_end, max_new=max_new, opts=opts)
-            done = np.asarray(state[4])  # value fetch = program completed
+            if first_end >= max_new:
+                # no continuation possible: the packed fetch IS the gate
+                # sync — the whole request is ONE dispatch + ONE fetch
+                packed_np = np.asarray(packed)
+            else:
+                done = np.asarray(state[4])  # value fetch = program completed
+                packed_np = None
 
-        chunk = self.decode_chunk_tokens or max_new
-        step = first_end
-        cont_prio = BULK if priority is None else priority
-        while step < max_new and not done.all():
-            end = min(step + chunk, max_new)
-            with gate_slot(self.dispatch_gate, cont_prio):
-                state = self._gen_chunk_jit(self.decoder_params, state,
-                                            jnp.asarray(end, jnp.int32), opts=opts)
-                done = np.asarray(state[4])
-            step = end
-        _, tokens, logprobs, _, _, _, _ = state
-        n_gen = jnp.sum(tokens != self.cfg.pad_id, axis=1)
-        tokens, n_gen, logprobs = self._unpack_out(
-            np.asarray(self._pack_out(tokens, n_gen, logprobs)))
+        if packed_np is None:
+            chunk = self.decode_chunk_tokens or max_new
+            step = first_end
+            cont_prio = BULK if priority is None else priority
+            while step < max_new and not done.all():
+                end = min(step + chunk, max_new)
+                with gate_slot(self.dispatch_gate, cont_prio):
+                    state, packed = self._gen_chunk_jit(
+                        self.decoder_params, state, jnp.asarray(end, jnp.int32),
+                        opts=opts)
+                    done = np.asarray(state[4])
+                step = end
+            packed_np = np.asarray(packed)
+        tokens, n_gen, logprobs = self._unpack_out(packed_np)
         elapsed = time.perf_counter() - t_start
         return self._finalize(tokens, n_gen, logprobs, st.n_req, st.durations,
                               language, elapsed)
