@@ -253,6 +253,13 @@ class CodecDecoder:
         self.cfg = cfg
         self.params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
         self._jit = jax.jit(functools.partial(codec_decode, cfg=cfg))
+        # frames-first entry: device-resident codes [B, T, 16] from the
+        # generate loop decode without a host round-trip (the bucket slice
+        # and transpose happen inside the one program)
+        self._jit_frames = jax.jit(
+            lambda params, codes, bucket: codec_decode(
+                params, cfg, codes[:, :bucket].transpose(0, 2, 1)),
+            static_argnames=("bucket",))
 
     #: frame-count bucketing quantum: the decoder graph is causal, so
     #: right-padding codes to a bucket and slicing the output is exact —
@@ -273,6 +280,15 @@ class CodecDecoder:
         out = np.asarray(self._jit(self.params, codes=jnp.asarray(codes, jnp.int32)))
         out = out[:, : t * self.cfg.samples_per_frame]
         return out[0] if single else out
+
+    def decode_frames(self, codes, n: int) -> np.ndarray:
+        """Device-resident decode: codes [B, T_max, 16] (frames-first, as
+        the generate loop emits), keep the first ``n`` frames. ONE device
+        program (slice + transpose + conv graph); returns [B, n*1920]."""
+        q = self.DECODE_BUCKET_FRAMES
+        bucket = max(q, min((n + q - 1) // q * q, codes.shape[1]))
+        wav = self._jit_frames(self.params, codes, bucket)
+        return np.asarray(wav)[:, : n * self.cfg.samples_per_frame]
 
     def decode_stream(self, codes: np.ndarray, chunk: int = 25, left_context: int = 10
                       ) -> Iterator[np.ndarray]:

@@ -203,6 +203,47 @@ class Qwen3TTS(SpeechGenerationModel):
 
         self._generate = _generate
 
+        # Fused prompt-assembly program: the eager path in
+        # _build_prompt_embeds runs ~15 tiny device ops (embed gathers,
+        # projections, concats) per synthesize, each paying a dispatch —
+        # ~100 ms of pure RPC under the remote tunnel. This program does
+        # the whole no-clone/no-instruct assembly in ONE dispatch.
+        # text_ids layout: [IM_START, ASSISTANT, NL] + encode(text),
+        # zero-padded to text_block (the reference embeds a 5-token chat
+        # suffix too, Qwen3TTS.swift:1299-1330, but never reads those
+        # rows — they are omitted here entirely).
+        @functools.partial(jax.jit, static_argnames=("n_codec", "p_block", "t_block"))
+        def _prompt_program(tp, text_ids, n_text, codec_ids, *,
+                            n_codec, p_block, t_block):
+            emb = embed_text(tp, text_ids, tcfg)              # [1, TB, H]
+            codec_embeds = embed_codec(tp, codec_ids)         # [1, n_codec, H]
+            specials = embed_text(tp, jnp.asarray(
+                [[tcfg.tts_pad_id, tcfg.tts_bos_id, tcfg.tts_eos_id]],
+                jnp.int32), tcfg)
+            tts_pad, tts_bos, tts_eos = specials[0, 0], specials[0, 1], specials[0, 2]
+            overlay = jnp.concatenate(
+                [jnp.broadcast_to(tts_pad[None], (n_codec - 2, tts_pad.shape[0])),
+                 tts_bos[None]], axis=0)
+            combined = overlay[None] + codec_embeds[:, : n_codec - 1]
+            role = emb[:, :3]
+            first_text = emb[:, 3:4] + codec_embeds[:, -1:]
+            prefill = jnp.concatenate([role, combined, first_text], axis=1)
+            prefill = jnp.pad(prefill, ((0, 0), (0, p_block - prefill.shape[1]), (0, 0)))
+            # trailing = encode(text)[1:] then tts_eos; eos lands at row
+            # max(n_enc-1, 0) where n_enc = n_text - 3 (empty text → row 0).
+            # Trim/pad to t_block here (static shapes) — no eager slice.
+            take = min(t_block, emb.shape[1] - 4)
+            trailing = emb[:, 4:4 + take]
+            if take < t_block:
+                trailing = jnp.pad(trailing, ((0, 0), (0, t_block - take), (0, 0)))
+            eos_row = jnp.maximum(n_text - 4, 0)
+            trailing = jax.lax.dynamic_update_slice(
+                trailing, tts_eos[None, None].astype(trailing.dtype), (0, eos_row, 0))
+            return (prefill.astype(dtype), trailing.astype(dtype),
+                    tts_pad.astype(dtype))
+
+        self._prompt_program = _prompt_program
+
     # ------------------------------------------------------------------ #
 
     @staticmethod
@@ -337,32 +378,90 @@ class Qwen3TTS(SpeechGenerationModel):
         trailing = jnp.concatenate([text_embeds[:, 4:-5], tts_eos[None, None]], axis=1)
         return prefill, trailing, tts_pad
 
+    def _codec_prefix_ids(self, language: str, speaker: Optional[str]) -> List[int]:
+        lang_id = CodecTokens.language_id(language) or CodecTokens.LANGUAGES["en"]
+        spk_id = self.speakers.get((speaker or "").lower())
+        prefix = [CodecTokens.THINK, CodecTokens.THINK_BOS, lang_id, CodecTokens.THINK_EOS]
+        if spk_id is not None:
+            prefix.append(spk_id)
+        prefix += [CodecTokens.PAD, CodecTokens.BOS]
+        return prefix
+
+    def _build_prompt_fused(self, text: str, language: str, speaker: Optional[str]):
+        """Single-dispatch prompt assembly (no clone/instruct). Returns
+        (prefill [1,p_block,H], trailing [1,t_block,H], tts_pad,
+        p_len, t_len, p_block, t_block) — prefill/trailing pre-padded and
+        cast, ready for :attr:`_generate`."""
+        tk = self.cfg.talker
+        enc = self.tokenizer.encode(text)
+        # trailing IM_END keeps the eager path's empty-text behavior exact:
+        # with no encoded text, first_text falls on the chat suffix's first
+        # token (and for non-empty text the tts_eos overwrite masks it)
+        text_tokens = [tk.im_start_id, tk.assistant_id, tk.nl_id] + enc + [tk.im_end_id]
+        oov = max(text_tokens)
+        if oov >= tk.text_vocab_size:
+            raise ValueError(f"text token id {oov} >= text_vocab_size "
+                             f"{tk.text_vocab_size}; tokenizer does not "
+                             f"match this checkpoint's text vocabulary")
+        codec_prefix = self._codec_prefix_ids(language, speaker)
+        n_codec = len(codec_prefix)
+        n_text = len(text_tokens) - 1  # role + enc (IM_END excluded from counts)
+        p_len = n_codec + 3
+        t_len = max(n_text - 3, 1)
+        p_block = _round_up(p_len, 32)
+        t_block = _round_up(t_len, 32)
+        text_block = _round_up(n_text + 1, 32)
+        ids = np.zeros((1, text_block), np.int32)
+        ids[0, :n_text + 1] = text_tokens
+        prefill, trailing, tts_pad = self._prompt_program(
+            self.talker_params, jnp.asarray(ids),
+            jnp.asarray(n_text, jnp.int32),
+            jnp.asarray([codec_prefix], jnp.int32),
+            n_codec=n_codec, p_block=p_block, t_block=t_block)
+        return prefill, trailing, tts_pad, p_len, t_len, p_block, t_block
+
+    def _generate_device(self, text: str, language: str = "english",
+                         speaker: Optional[str] = None,
+                         instruct: Optional[str] = None,
+                         sampling: Optional[TTSSamplingConfig] = None,
+                         seed: int = 0):
+        """Run the talker+CP loop; returns DEVICE codes [B, max_frames, 16]
+        and n_frames [B] (device) — no host fetch. ``speaker`` may name a
+        built-in speaker OR a registered voice clone."""
+        sampling = sampling or TTSSamplingConfig()
+        clone = self.ref_cache.get(speaker) if speaker else None
+        if clone is None and instruct is None and self.tokenizer is not None:
+            prefill, trailing, tts_pad, p_len, t_len, p_block, t_block = \
+                self._build_prompt_fused(text, language, speaker)
+        else:
+            prefill, trailing, tts_pad = self._build_prompt_embeds(
+                text, language, None if clone else speaker, instruct, clone=clone)
+            p_len = prefill.shape[1]
+            t_len = trailing.shape[1]
+            p_block = _round_up(p_len, 32)
+            t_block = _round_up(t_len, 32)
+            prefill = jnp.pad(prefill, ((0, 0), (0, p_block - p_len), (0, 0))).astype(self.dtype)
+            trailing = jnp.pad(trailing, ((0, 0), (0, t_block - t_len), (0, 0))).astype(self.dtype)
+            tts_pad = tts_pad.astype(self.dtype)
+
+        # cap frames: ~proportional to text length (reference scales by text)
+        max_frames = min(sampling.max_frames, 500)
+        return self._generate(
+            self.talker_params, self.cp_params,
+            prefill, jnp.asarray([p_len], jnp.int32),
+            trailing, jnp.asarray([t_len], jnp.int32),
+            tts_pad[None] if tts_pad.ndim == 1 else tts_pad,
+            jax.random.PRNGKey(seed),
+            p_block=p_block, t_block=t_block, max_frames=max_frames, sampling=sampling,
+        )
+
     def generate_codes(self, text: str, language: str = "english", speaker: Optional[str] = None,
                        instruct: Optional[str] = None, sampling: Optional[TTSSamplingConfig] = None,
                        seed: int = 0):
         """Run the talker+CP loop; returns (codes [16, n_frames], n_frames).
         ``speaker`` may name a built-in speaker OR a registered voice clone."""
-        sampling = sampling or TTSSamplingConfig()
-        clone = self.ref_cache.get(speaker) if speaker else None
-        prefill, trailing, tts_pad = self._build_prompt_embeds(
-            text, language, None if clone else speaker, instruct, clone=clone)
-        p_len = prefill.shape[1]
-        t_len = trailing.shape[1]
-        p_block = _round_up(p_len, 32)
-        t_block = _round_up(t_len, 32)
-        prefill = jnp.pad(prefill, ((0, 0), (0, p_block - p_len), (0, 0))).astype(self.dtype)
-        trailing = jnp.pad(trailing, ((0, 0), (0, t_block - t_len), (0, 0))).astype(self.dtype)
-
-        # cap frames: ~proportional to text length (reference scales by text)
-        max_frames = min(sampling.max_frames, 500)
-        codes, n_frames = self._generate(
-            self.talker_params, self.cp_params,
-            prefill, jnp.asarray([p_len], jnp.int32),
-            trailing, jnp.asarray([t_len], jnp.int32),
-            tts_pad.astype(self.dtype)[None],
-            jax.random.PRNGKey(seed),
-            p_block=p_block, t_block=t_block, max_frames=max_frames, sampling=sampling,
-        )
+        codes, n_frames = self._generate_device(
+            text, language, speaker, instruct, sampling, seed)
         n = int(n_frames[0])
         return np.asarray(codes[0, :n].T), n  # [16, n]
 
@@ -373,10 +472,12 @@ class Qwen3TTS(SpeechGenerationModel):
             sampling = dataclasses.replace(sampling or TTSSamplingConfig(),
                                            max_frames=max_frames)
         t0 = time.perf_counter()
-        codes, n = self.generate_codes(text, language, voice, instruct, sampling, seed)
+        codes, n_frames = self._generate_device(
+            text, language, voice, instruct, sampling, seed)
+        n = int(n_frames[0])  # the one host sync before the codec dispatch
         if n == 0:
             return AudioChunk(np.zeros(0, np.float32), self.cfg.codec.sample_rate)
-        wav = self.codec.decode(codes)
+        wav = self.codec.decode_frames(codes, n)[0]
         dt = time.perf_counter() - t0
         dur = len(wav) / self.cfg.codec.sample_rate
         log.info("tts: %d frames, %.2fs audio, RTF %.3f", n, dur, dt / max(dur, 1e-6))
@@ -468,16 +569,16 @@ class Qwen3TTS(SpeechGenerationModel):
             jax.random.PRNGKey(seed),
             p_block=p_block, t_block=t_block, max_frames=max_frames, sampling=sampling,
         )
-        codes = np.asarray(codes)
-        out = []
-        for i in range(b):
-            n = int(n_frames[i])
-            if n == 0:
-                out.append(AudioChunk(np.zeros(0, np.float32), self.cfg.codec.sample_rate))
-                continue
-            wav = self.codec.decode(codes[i, :n].T)
-            out.append(AudioChunk(np.asarray(wav, np.float32), self.cfg.codec.sample_rate))
-        return out
+        ns = np.asarray(n_frames)
+        n_max = int(ns.max())
+        if n_max == 0:
+            return [AudioChunk(np.zeros(0, np.float32), self.cfg.codec.sample_rate)
+                    for _ in range(b)]
+        # one batched codec program at the shared frame bucket; per-clip trim
+        wavs = self.codec.decode_frames(codes, n_max)
+        spf = self.cfg.codec.samples_per_frame
+        return [AudioChunk(np.asarray(wavs[i, : int(ns[i]) * spf], np.float32),
+                           self.cfg.codec.sample_rate) for i in range(b)]
 
     def warm_up(self, max_frames: Optional[int] = None) -> None:
         """Compile the programs real requests use: max_frames is a STATIC

@@ -17,7 +17,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def bench(fn, *args, n=30):
+REPS = 50  # loop reps inside ONE program — amortizes the ~30 ms tunnel RPC
+
+
+def bench(fn, *args, n=7):
+    """Median wall / REPS for a jitted fn that loops REPS times on device.
+    A single dispatch per measurement: the tunnel RPC (~30 ms) would
+    otherwise dwarf per-frame device costs in the 1-5 ms range."""
     import jax
 
     out = fn(*args)
@@ -28,7 +34,7 @@ def bench(fn, *args, n=30):
         out = fn(*args)
         jax.block_until_ready(out)
         ts.append(time.perf_counter() - t0)
-    return sorted(ts)[len(ts) // 2]
+    return sorted(ts)[len(ts) // 2] / REPS
 
 
 def main():
@@ -57,7 +63,14 @@ def main():
 
     @jax.jit
     def talker_only(tp, emb, cache):
-        return talker_step(tp, tcfg, emb, cache)
+        def body(c, _):
+            emb, cache = c
+            logits, hidden, cache = talker_step(tp, tcfg, emb, cache)
+            return (emb, cache), (logits, hidden)
+
+        (_, cache), (logits, hidden) = jax.lax.scan(
+            body, (emb, cache), None, length=REPS)
+        return logits[-1], hidden[-1], cache
 
     logits, hidden, cache = talker_only(model.talker_params, step_embeds, cache)
     t_talker = bench(talker_only, model.talker_params, step_embeds, cache)
@@ -66,17 +79,33 @@ def main():
 
     @jax.jit
     def cp_only(cpp, tp, hidden, code0, key):
-        return predict_codebooks(cpp, cpcfg, hidden.astype(dtype),
-                                 embed_codec(tp, code0).astype(dtype), key,
-                                 temperature=0.9, top_k=50)
+        def body(c, _):
+            code0, key = c
+            key, k = jax.random.split(key)
+            codes = predict_codebooks(cpp, cpcfg, hidden.astype(dtype),
+                                      embed_codec(tp, code0).astype(dtype), k,
+                                      temperature=0.9, top_k=50)
+            return (codes[:, 0], key), codes
+
+        (_, _), codes = jax.lax.scan(body, (code0, key), None, length=REPS)
+        return codes[-1]
 
     code0 = jnp.zeros((b,), jnp.int32)
-    h0 = hidden[:, 0]
+    h0 = hidden  # talker_step already returns [B, H]
     t_cp = bench(cp_only, model.cp_params, model.talker_params, h0, code0, key)
 
     @jax.jit
     def embed_only(tp, cpp, code0, cp_codes):
-        return embed_codec(tp, code0) + embed_all_groups(cpp, cpcfg, cp_codes)
+        def body(c, _):
+            code0, cp_codes = c
+            e = embed_codec(tp, code0) + embed_all_groups(cpp, cpcfg, cp_codes)
+            # derive next indices from e so XLA cannot hoist the body
+            nxt0 = jnp.abs(e[:, 0]).astype(jnp.int32) % 16
+            nxt = (cp_codes + nxt0[:, None]) % 64
+            return (nxt0, nxt), e
+
+        _, es = jax.lax.scan(body, (code0, cp_codes), None, length=REPS)
+        return es[-1]
 
     cp_codes = jnp.zeros((b, 15), jnp.int32)
     t_embed = bench(embed_only, model.talker_params, model.cp_params, code0, cp_codes)
