@@ -352,7 +352,7 @@ def cmd_serve(args):
     else:
         registry = build_default_registry(decode_chunk_tokens=args.decode_chunk or None)
     server = SpeechServer(registry, host=args.host, port=args.port,
-                          scheduler=args.scheduler)
+                          scheduler=args.scheduler, bulk_nice=args.bulk_nice)
     asyncio.run(server.serve_forever())
 
 
@@ -472,7 +472,13 @@ def build_parser() -> argparse.ArgumentParser:
             help="ASR request scheduler: 'group' batches same-bucket FIFO "
                  "groups; 'slotpool' is token-level continuous batching "
                  "(mixed-length requests share one decode program, "
-                 "admission at tick boundaries)")})
+                 "admission at tick boundaries)"),
+        "--bulk-nice": dict(
+            type=int, default=None,
+            help="OS nice for bulk batch-worker threads (e.g. 10): on a "
+                 "core-starved host, keeps latency-sensitive handler work "
+                 "(WS realtime frames, new-request parsing) ahead of bulk "
+                 "staging in the run queue")})
     return p
 
 

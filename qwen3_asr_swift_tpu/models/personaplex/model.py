@@ -55,7 +55,8 @@ import numpy as np
 
 from ...core import AudioChunk, SpeechToSpeechModel
 from ...ops.attention import NEG_INF, sdpa
-from ...ops.kv_cache import KVCache, after_prefill, after_token, init_cache, write_prompt, write_token
+from ...ops.kv_cache import (KVCache, after_prefill, after_token, cache_kv,
+                             init_cache, write_prompt, write_token)
 from ...ops.nn import init_linear, linear, rms_norm, swiglu_mlp
 from ...ops.rope import apply_rope, rope_angles
 from .mimi import (MimiConfig, init_mimi_decoder_stream,
@@ -296,7 +297,10 @@ def _temporal_layer(p, x, positions, mask, cache_layer, cfg, decode, cursor=None
     v = v.transpose(0, 2, 1, 3)
     if decode:
         updated = write_token(cache_layer, k, v, cursor)
-        attn = sdpa(q, updated.k, updated.v, 1.0 / np.sqrt(hd), mask)
+        # cache_kv dequantizes int8 caches (the convert+scale fuses into
+        # the attention dots, so HBM reads stay 1 B/elt); fp passthrough
+        ck, cv = cache_kv(updated, k.dtype)
+        attn = sdpa(q, ck, cv, 1.0 / np.sqrt(hd), mask)
     else:
         updated = write_prompt(cache_layer, k, v)
         attn = sdpa(q, k, v, 1.0 / np.sqrt(hd), mask)
@@ -1124,7 +1128,8 @@ class PersonaPlex(SpeechToSpeechModel):
                          context_frames: int = 8,
                          voice_prompt: Optional[np.ndarray] = None,
                          system_prompt=None,
-                         seed: int = 0, batch: int = 1) -> "RealtimeSession":
+                         seed: int = 0, batch: int = 1,
+                         kv_dtype=None) -> "RealtimeSession":
         """Full-duplex frame loop: one user frame in → one agent frame out
         at 12.5 Hz (reference: realtime mode, PersonaPlex.swift:344-…).
         Every Mimi conv is causal, so windowed per-frame encode/decode with
@@ -1135,10 +1140,17 @@ class PersonaPlex(SpeechToSpeechModel):
         read-bound, so N sessions cost barely more than one. This is the
         structural capability the reference cannot have (its single-stream
         realtime RTF is ~1.4, docs/models/personaplex.md:97-98).
-        ``voice_prompt``/``system_prompt`` may be per-session lists."""
+        ``voice_prompt``/``system_prompt`` may be per-session lists.
+
+        ``kv_dtype=jnp.int8`` quantizes the temporal KV cache (per-slot
+        symmetric scales, ops/kv_cache.py). At the 7B config the bf16
+        cache is ~1.6 GB/session (3096-slot context × 32 layers); int8
+        halves that, which is what lets 4+ sessions share one 16 GB v5e
+        chip alongside the ~8 GB int8 temporal stack."""
         return RealtimeSession(self, sampling or PersonaSampling(),
                                context_frames, voice_prompt, seed,
-                               system_prompt=system_prompt, batch=batch)
+                               system_prompt=system_prompt, batch=batch,
+                               kv_dtype=kv_dtype)
 
     def warm_up(self) -> None:
         self.respond(np.zeros(self.cfg.mimi.samples_per_frame * 2, np.float32),
@@ -1170,7 +1182,7 @@ class RealtimeSession:
 
     def __init__(self, model: PersonaPlex, sampling: PersonaSampling,
                  context_frames: int, voice_prompt, seed: int,
-                 system_prompt=None, batch: int = 1):
+                 system_prompt=None, batch: int = 1, kv_dtype=None):
         # context_frames is kept for API compatibility; carried-state
         # streaming is exact regardless, so no window sizing is needed.
         # batch > 1 steps N independent sessions in lockstep through the
@@ -1243,12 +1255,16 @@ class RealtimeSession:
         # [voice_cap | prompt_cap] is shared, per-row validity masks
         # carry each session's true lengths (positions follow from the
         # cumsum of valid, so shorter prompts stay position-contiguous).
-        cache = init_cache(cfg.num_layers, batch, cfg.num_heads,
-                           model.VOICE_PROMPT_CAP + model.PROMPT_CAP + cfg.context,
-                           cfg.head_dim, model.dtype)
-
         @jax.jit
         def _prefill(p, voice_embeds, n_voice, prompt_reads, n_prompt):
+            # the empty cache is built INSIDE the jit: an eager zeros
+            # buffer closed over here would be captured as a compile-time
+            # CONSTANT (3.35 GB at batch=4/7B — the zeros, the baked
+            # constant, and the prefilled output all resident at once,
+            # which OOMed a 16 GB chip); in-graph zeros cost nothing
+            cache = init_cache(cfg.num_layers, batch, cfg.num_heads,
+                               model.VOICE_PROMPT_CAP + model.PROMPT_CAP + cfg.context,
+                               cfg.head_dim, kv_dtype or model.dtype)
             v_cap = voice_embeds.shape[1]
             p_cap = prompt_reads.shape[2]
             prompt_emb = jax.vmap(

@@ -57,10 +57,17 @@ class ContinuousBatcher:
 
     def __init__(self, model, max_batch: int = 16, max_wait_ms: float = 30.0,
                  group_key: Optional[Callable[[_Request], Any]] = None,
-                 workers: int = 2, gate_slots: int = 2):
+                 workers: int = 2, gate_slots: int = 2,
+                 bulk_nice: Optional[int] = None):
         self.model = model
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
+        # Optional OS-priority demotion for the bulk worker threads
+        # (dispatch.BULK_NICE): on a core-starved serving host, batch
+        # staging otherwise time-slices against the latency-sensitive
+        # handler threads (WS realtime frames, new-request parsing).
+        # Off by default — it only matters under CPU saturation.
+        self._bulk_nice = bulk_nice
         # Attach a priority dispatch gate to the model (if it supports one
         # and none is attached yet): decode chunks from different groups
         # then interleave on the device at chunk granularity, and a newly
@@ -142,6 +149,10 @@ class ContinuousBatcher:
         return batch
 
     def _run(self):
+        if self._bulk_nice is not None:
+            from .dispatch import set_thread_nice
+
+            set_thread_nice(self._bulk_nice)
         while not self._stop:
             batch = self._collect_batch()
             if not batch:

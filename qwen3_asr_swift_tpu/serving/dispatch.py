@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import heapq
 import itertools
+import os
 import threading
 from contextlib import contextmanager
 from typing import Optional
@@ -147,6 +148,51 @@ class DispatchGate:
                     "mean_wait_ms": 1e3 * self.waited_s.get(p, 0.0) / max(1, n),
                 }
             return out
+
+
+def set_thread_nice(nice: int) -> Optional[int]:
+    """Set the CALLING thread's OS scheduling priority (Linux per-thread
+    nice via ``setpriority(PRIO_PROCESS, tid)``) and return the previous
+    value, or None when unsupported/denied.
+
+    Why this exists: the dispatch gate bounds DEVICE queue depth, but on a
+    busy serving host the latency lane can still lose the *CPU* — a
+    latency request's host side (staging, dispatch RPC, fetch, detokenize)
+    is time-sliced against every bulk submitter thread. Measured on the
+    1-core bench rig: the fused single-dispatch probe's loaded p50 was
+    ~315 ms with only ~3 ms of gate wait — the rest was runnable-queue
+    wait. De-nicing bulk workers (+10) and boosting the latency lane
+    (negative nice needs privilege; serving as root or with CAP_SYS_NICE)
+    gives the latency request the core the moment it unblocks.
+
+    Raising one's own nice never needs privilege, so ``BULK_NICE`` always
+    works; restore (lowering back) can fail unprivileged — callers treat
+    that as best-effort.
+    """
+    try:
+        tid = threading.get_native_id()
+        prev = os.getpriority(os.PRIO_PROCESS, tid)
+        os.setpriority(os.PRIO_PROCESS, tid, nice)
+        return prev
+    except (AttributeError, OSError):
+        return None
+
+
+#: suggested nice for bulk submitter/worker threads (always settable)
+BULK_NICE = 10
+#: suggested nice for the latency lane (needs root / CAP_SYS_NICE)
+LATENCY_NICE = -10
+
+
+@contextmanager
+def thread_nice(nice: int):
+    """Scoped per-thread nice: sets on entry, best-effort restores on exit."""
+    prev = set_thread_nice(nice)
+    try:
+        yield
+    finally:
+        if prev is not None:
+            set_thread_nice(prev)
 
 
 @contextmanager

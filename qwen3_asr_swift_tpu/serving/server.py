@@ -86,7 +86,8 @@ class SpeechServer:
                  max_batch: int = 16, max_body: int = 256 * 1024 * 1024,
                  keep_alive_timeout_s: float = 75.0,
                  request_read_timeout_s: float = 120.0,
-                 scheduler: str = "group"):
+                 scheduler: str = "group",
+                 bulk_nice: Optional[int] = None):
         # scheduler: "group" = ContinuousBatcher (FIFO same-bucket groups,
         # one batched transcribe_batch per group); "slotpool" = token-level
         # continuous batching (serving/slotpool.py — mixed-length requests
@@ -103,6 +104,12 @@ class SpeechServer:
         # or body bytes cannot hold a handler task open indefinitely
         self.request_read_timeout_s = request_read_timeout_s
         self.scheduler = scheduler
+        # bulk_nice: OS nice for batch-worker threads (dispatch.BULK_NICE
+        # recommended). On a core-starved host this keeps latency-sensitive
+        # handler work (WS realtime frames, request parsing, first-chunk
+        # probes) ahead of bulk batch staging in the run queue — the same
+        # lever bench.py uses for the loaded first-token number.
+        self.bulk_nice = bulk_nice
         self._batchers: Dict[int, object] = {}
         self._tts_batchers: Dict[int, TTSBatcher] = {}
         self._max_batch = max_batch
@@ -118,7 +125,8 @@ class SpeechServer:
 
                 self._batchers[key] = SlotPoolASR(model, slots=self._max_batch)
             else:
-                self._batchers[key] = ContinuousBatcher(model, max_batch=self._max_batch)
+                self._batchers[key] = ContinuousBatcher(
+                    model, max_batch=self._max_batch, bulk_nice=self.bulk_nice)
         return self._batchers[key]
 
     def _tts_batcher_for(self, model) -> TTSBatcher:

@@ -47,6 +47,11 @@ def main():
                          "program (push_frames) — the multi-session serving "
                          "capability the reference's ~1.4 single-stream RTF "
                          "structurally rules out")
+    ap.add_argument("--kv", default="", choices=["", "int8"],
+                    help="int8-quantize the temporal KV cache: the bf16 "
+                         "3096-slot cache is ~1.6 GB/session, so 4 sessions "
+                         "+ the ~8 GB int8 weight stack exceed one v5e's "
+                         "16 GB — int8 KV halves the cache")
     args = ap.parse_args()
 
     import jax
@@ -95,7 +100,8 @@ def main():
     n_sess = max(1, args.sessions)
     session = model.realtime_session(PersonaSampling(),
                                      context_frames=args.context_frames,
-                                     batch=n_sess)
+                                     batch=n_sess,
+                                     kv_dtype=jnp.int8 if args.kv == "int8" else None)
     spf = cfg.mimi.samples_per_frame
     t = np.arange(spf) / cfg.mimi.sample_rate
     frame = (0.1 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)

@@ -1,5 +1,6 @@
 """DispatchGate: priority admission + gated chunked decode correctness."""
 
+import os
 import threading
 import time
 
@@ -163,6 +164,65 @@ class TestDispatchGate:
             DispatchGate(slots=2, reserve_latency=2)
         with pytest.raises(ValueError):
             DispatchGate(slots=1, reserve_latency=-1)
+
+
+class TestThreadNice:
+    """OS-priority latency lane (serving/dispatch.set_thread_nice).
+
+    Raising one's own nice is always permitted on Linux, so the bulk-lane
+    half is asserted unconditionally; the boost half (negative nice) needs
+    CAP_SYS_NICE and is only asserted when it took effect.
+    """
+
+    def test_bulk_denice_in_worker_thread(self):
+        from qwen3_asr_swift_tpu.serving.dispatch import (
+            BULK_NICE, set_thread_nice, thread_nice)
+
+        got = {}
+
+        def worker():
+            prev = set_thread_nice(BULK_NICE)
+            got["prev"] = prev
+            got["now"] = os.getpriority(os.PRIO_PROCESS, threading.get_native_id())
+
+        th = threading.Thread(target=worker)
+        th.start()
+        th.join()
+        assert got["prev"] is not None
+        assert got["now"] == BULK_NICE
+        # the main thread's priority is untouched (per-thread, not per-process)
+        assert os.getpriority(os.PRIO_PROCESS, threading.get_native_id()) == got["prev"]
+
+    def test_thread_nice_scope_restores(self):
+        from qwen3_asr_swift_tpu.serving.dispatch import thread_nice
+
+        tid = threading.get_native_id()
+        before = os.getpriority(os.PRIO_PROCESS, tid)
+        with thread_nice(before + 5):
+            assert os.getpriority(os.PRIO_PROCESS, tid) == before + 5
+        # restore lowers nice back — permitted for the value we came from
+        # only with privilege; accept either restored or stuck-raised
+        after = os.getpriority(os.PRIO_PROCESS, tid)
+        assert after in (before, before + 5)
+        if after != before:  # unprivileged: put it back via a fresh thread
+            pytest.skip("unprivileged: restore could not lower nice")
+
+    def test_latency_boost_when_privileged(self):
+        from qwen3_asr_swift_tpu.serving.dispatch import (
+            LATENCY_NICE, set_thread_nice)
+
+        got = {}
+
+        def worker():
+            got["prev"] = set_thread_nice(LATENCY_NICE)
+            got["now"] = os.getpriority(os.PRIO_PROCESS, threading.get_native_id())
+
+        th = threading.Thread(target=worker)
+        th.start()
+        th.join()
+        if got["prev"] is None or got["now"] != LATENCY_NICE:
+            pytest.skip("no CAP_SYS_NICE: negative nice unavailable")
+        assert got["now"] == LATENCY_NICE
 
 
 class TestFusedFirstResponse:
