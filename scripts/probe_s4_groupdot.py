@@ -54,8 +54,13 @@ def main():
     fn = jax.jit(chain)
     x0 = jax.random.normal(key, (1, H), jnp.float32)
 
-    for name, dt in (("s8", jnp.int8), ("s4", jnp.int4)):
-        codes = jnp.asarray(codes_np, dt)
+    import ml_dtypes
+
+    for name, dt in (("s8", np.int8), ("s4", ml_dtypes.int4)):
+        # host-side ml_dtypes conversion + device_put: an eager
+        # jnp.asarray(..., jnp.int4) recursively re-enters jit on this
+        # backend (convert dispatches a jit from inside apply_primitive)
+        codes = jax.device_put(codes_np.astype(dt))
         scales = jnp.asarray(scales_np)
         bytes_w = NLAYER * G * GS * OUT * (1 if name == "s8" else 0.5)
         out = fn(codes, scales, x0)
