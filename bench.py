@@ -323,9 +323,13 @@ def main():
               f"{len(completions)} batches over {n_win} windows", file=sys.stderr)
     if probe_lat:
         pl = sorted(probe_lat)
-        print(f"loaded first-token: p50 {pl[len(pl)//2]*1000:.0f} ms, "
-              f"best {pl[0]*1000:.0f} ms, worst {pl[-1]*1000:.0f} ms "
-              f"({len(pl)} probes while {n_workers} submitters saturate the chip)",
+        q = lambda f: pl[min(len(pl) - 1, int(f * len(pl)))] * 1000  # noqa: E731
+        print(f"loaded first-token: p50 {q(0.5):.0f} ms, p90 {q(0.9):.0f} ms, "
+              f"p95 {q(0.95):.0f} ms, best {pl[0]*1000:.0f} ms, "
+              f"worst {pl[-1]*1000:.0f} ms "
+              f"({len(pl)} probes while {n_workers} submitters saturate the chip; "
+              f"worst includes any tunnel-outage windows — see the per-window "
+              f"steady-state trace for when they occurred)",
               file=sys.stderr)
     if getattr(model, "dispatch_gate", None) is not None:
         print(f"dispatch gate: {model.dispatch_gate.stats}", file=sys.stderr)

@@ -229,7 +229,8 @@ class SlotPoolASR:
                 positions=at(state.positions, pos0),
                 cursors=at(state.cursors, jnp.asarray(t_prompt, jnp.int32)),
                 active=at(state.active, True),
-                done=at(state.done, done0),
+                # the prefill token already spent 1 of the budget
+                done=at(state.done, done0 | (budget0 <= 1)),
                 last_tok=at(state.last_tok, tok0),
                 steps=at(state.steps, jnp.asarray(1, jnp.int32)),
                 budget=at(state.budget, budget0),

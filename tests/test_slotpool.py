@@ -96,6 +96,18 @@ class TestSlotPool:
         assert r_big.text == want_big
         assert want_big.startswith(want_small)
 
+    def test_budget_of_one(self, model):
+        # edge: the prefill token IS the whole budget — the pool must not
+        # run a decode tick for the slot (regression: it emitted 2 tokens)
+        c = clips(1, seed=5)[0]
+        pool = SlotPoolASR(model, slots=1, max_new=MAX_NEW, tick_tokens=4,
+                           max_len=512)
+        try:
+            r = pool.submit(c, max_new=1).result(timeout=120)
+        finally:
+            pool.close()
+        assert r.text == solo(model, c, max_new=1).text
+
     def test_forced_eos_stops_early(self, model):
         c = clips(1, seed=5)[0]
         opts = SamplingOptions(max_tokens=MAX_NEW, force_eos_after=4)
