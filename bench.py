@@ -126,8 +126,12 @@ def main():
     # resumable chunked decode: bound each dispatched decode program to N
     # tokens so a newly arriving request interleaves at chunk boundaries
     # instead of waiting out a full batch generate (loaded first-token).
-    # 0 = monolithic single-program decode.
-    chunk = int(os.environ.get("BENCH_DECODE_CHUNK", "25"))
+    # 0 = monolithic single-program decode. Default 15: a latency probe's
+    # dominant wait is the RESIDUAL of the running bulk chunk (~4.5 ms/
+    # token at batch 16), and the A/B measured loaded p50 95 ms at 15 vs
+    # 147-165 ms at 25 with no steady-state p50 cost (768x both) — the
+    # extra dispatches hide under pipelining.
+    chunk = int(os.environ.get("BENCH_DECODE_CHUNK", "15"))
     sr = 16000
 
     print(f"building 0.6B model (random weights), batch={batch} clip={clip_s}s "

@@ -463,7 +463,7 @@ def build_parser() -> argparse.ArgumentParser:
     add("serve", cmd_serve, **{
         "--host": dict(default="127.0.0.1"), "--port": dict(type=int, default=8321),
         "--decode-chunk": dict(
-            type=int, default=25,
+            type=int, default=15,
             help="tokens per dispatched ASR decode program; bounds how long "
                  "a newly arriving request waits behind an in-flight batch "
                  "(loaded first-token latency). 0 = monolithic decode"),

@@ -643,13 +643,16 @@ class RealtimeSession:
                           "response": {"status": "completed"}})
 
 
-def build_default_registry(decode_chunk_tokens: Optional[int] = 25) -> ModelRegistry:
+def build_default_registry(decode_chunk_tokens: Optional[int] = 15) -> ModelRegistry:
     """Registry wired to the real model loaders (lazy).
 
     ``decode_chunk_tokens`` bounds each dispatched ASR decode program so a
     newly arriving request interleaves at chunk boundaries instead of
     waiting out an in-flight batch's full generate (loaded first-token
-    latency); None = monolithic decode."""
+    latency); None = monolithic decode. Default 15: a latency arrival's
+    dominant wait is the residual of the RUNNING bulk chunk, and the
+    measured A/B (docs/benchmarks.md) shows loaded first-token p50 95 ms
+    at 15 vs 147-165 ms at 25 with no steady-state p50 cost."""
     reg = ModelRegistry()
 
     def load_asr():
