@@ -352,7 +352,9 @@ def cmd_serve(args):
     else:
         registry = build_default_registry(decode_chunk_tokens=args.decode_chunk or None)
     server = SpeechServer(registry, host=args.host, port=args.port,
-                          scheduler=args.scheduler, bulk_nice=args.bulk_nice)
+                          scheduler=args.scheduler,
+                          slotpool_max_s=args.slotpool_max_s,
+                          bulk_nice=args.bulk_nice)
     asyncio.run(server.serve_forever())
 
 
@@ -473,6 +475,11 @@ def build_parser() -> argparse.ArgumentParser:
                  "groups; 'slotpool' is token-level continuous batching "
                  "(mixed-length requests share one decode program, "
                  "admission at tick boundaries)"),
+        "--slotpool-max-s": dict(
+            type=float, default=64.0,
+            help="slotpool arena budget in seconds of audio: longer clips "
+                 "divert to a serial fallback path instead of erroring; "
+                 "arena HBM scales with this"),
         "--bulk-nice": dict(
             type=int, default=None,
             help="OS nice for bulk batch-worker threads (e.g. 10): on a "

@@ -377,6 +377,35 @@ class Qwen3ASR(SpeechRecognitionModel):
         def _generate(dec_params, prefix_ids, prefix_len, suffix_ids, suffix_len,
                       audio_tokens, n_audio, key, *, a_pad, prefix_block,
                       suffix_block, max_new, opts, priority=None):
+            if opts.beam > 1:
+                # beam search: one monolithic program (prefill + while-loop
+                # search + length-normalized selection). A quality tool, not
+                # the latency path — no chunking; interleaves with other
+                # traffic at request granularity via the gate.
+                if not opts.is_greedy:
+                    raise ValueError(
+                        "beam search is deterministic; SamplingOptions(beam=K) "
+                        "requires greedy scoring (no temperature/top_k/"
+                        "penalties)")
+                if opts.force_eos_after:
+                    raise ValueError("beam does not support force_eos_after")
+                if self._beam_gen is None:
+                    from .beam import build_beam_program
+
+                    self._beam_gen = build_beam_program(self)
+                from ...serving.dispatch import LATENCY, gate_slot
+
+                prio = LATENCY if priority is None else priority
+                with gate_slot(self.dispatch_gate, prio):
+                    tokens, n_gen, lps = self._beam_gen(
+                        dec_params, prefix_ids, prefix_len, suffix_ids,
+                        suffix_len, audio_tokens, n_audio, a_pad=a_pad,
+                        prefix_block=prefix_block, suffix_block=suffix_block,
+                        max_new=max_new, beam=opts.beam,
+                        length_penalty=opts.length_penalty)
+                    if self.dispatch_gate is not None:
+                        np.asarray(n_gen)  # value fetch = program completed
+                return tokens, n_gen, lps, None
             gate = self.dispatch_gate
             chunk = self.decode_chunk_tokens or max_new
             packed = None  # last chunk's packed outputs (device handle)
@@ -423,6 +452,7 @@ class Qwen3ASR(SpeechRecognitionModel):
             return tokens, n_gen, logprobs, packed
 
         self._generate = _generate
+        self._beam_gen = None  # built lazily on the first beam request
 
     # ------------------------------------------------------------------ #
     # constructors
@@ -680,8 +710,13 @@ class Qwen3ASR(SpeechRecognitionModel):
         # TTFT is proportional to sync count, not compute (the fused
         # single-clip program is ~45 ms of device time; each extra sync
         # costs a 150-430 ms wait behind in-flight bulk programs)
+        if opts.beam > 1 and (dp > 1 or mp):
+            raise ValueError("beam decode runs single-chip or TP-sharded; "
+                             "dp/multi-process meshes batch greedy decodes "
+                             "instead (the beam dim folds into batch)")
         if (self.dispatch_gate is not None and n_req == 1 and dp == 1
-                and not mp and not use_sp and timings is None):
+                and not mp and not use_sp and timings is None
+                and opts.beam <= 1):
             return self._transcribe_fused(st, language, context, opts, seed,
                                           priority, t_start)
         with gate_slot(self.dispatch_gate, enc_prio):

@@ -41,6 +41,14 @@ class SamplingOptions:
     #: (device while_loop exit + gated host-loop chunk skip) real weights
     #: produce. Output semantics match a model that emitted EOS there.
     force_eos_after: int = 0
+    #: beam width for on-device beam search (0/1 = greedy/sampled decode).
+    #: Deterministic: requires greedy scoring (no temperature/top_k/
+    #: penalties). models/qwen3_asr/beam.py; closes the BASELINE.json
+    #: north-star "greedy/beam" clause (the reference has no beam).
+    beam: int = 0
+    #: GNMT length penalty α for beam's final hypothesis selection:
+    #: score / len**α. 1.0 = plain per-token mean.
+    length_penalty: float = 1.0
 
     @property
     def is_greedy(self) -> bool:

@@ -31,11 +31,23 @@ _LIB_PATH = _RUNTIME_DIR / "build" / "libspeechcore.so"
 
 
 def ensure_library(rebuild: bool = False) -> Path:
-    """Build libspeechcore.so if missing or stale (requires g++)."""
-    src_mtime = max(
-        (_RUNTIME_DIR / name).stat().st_mtime
-        for name in ("speech_core.cpp", "speech_core.h"))  # header changes the ABI
-    if _LIB_PATH.exists() and not rebuild and _LIB_PATH.stat().st_mtime >= src_mtime:
+    """Build the native .so targets if missing or stale (requires g++).
+
+    Checks EVERY make target against its own sources: libwirecodec.so is
+    built by the same Makefile, so an up-to-date libspeechcore.so must not
+    skip the build while the wire codec is missing or its .cpp is newer
+    (ADVICE r4: a pre-built tree silently fell back to numpy, and edits to
+    wire_codec.cpp kept loading a stale .so)."""
+    targets = {
+        _LIB_PATH: ("speech_core.cpp", "speech_core.h"),  # header changes the ABI
+        _RUNTIME_DIR / "build" / "libwirecodec.so": ("wire_codec.cpp",),
+    }
+    fresh = all(
+        lib.exists()
+        and lib.stat().st_mtime >= max(
+            (_RUNTIME_DIR / name).stat().st_mtime for name in srcs)
+        for lib, srcs in targets.items())
+    if fresh and not rebuild:
         return _LIB_PATH
     log.info("building native voice engine: %s", _LIB_PATH)
     subprocess.run(["make", "-C", str(_RUNTIME_DIR)], check=True, capture_output=True)

@@ -87,6 +87,7 @@ class SpeechServer:
                  keep_alive_timeout_s: float = 75.0,
                  request_read_timeout_s: float = 120.0,
                  scheduler: str = "group",
+                 slotpool_max_s: float = 64.0,
                  bulk_nice: Optional[int] = None):
         # scheduler: "group" = ContinuousBatcher (FIFO same-bucket groups,
         # one batched transcribe_batch per group); "slotpool" = token-level
@@ -104,6 +105,11 @@ class SpeechServer:
         # or body bytes cannot hold a handler task open indefinitely
         self.request_read_timeout_s = request_read_timeout_s
         self.scheduler = scheduler
+        # slotpool arena budget in seconds of audio: clips needing a longer
+        # prompt divert to the pool's serial fallback path instead of
+        # erroring (ADVICE r4: the old default silently capped at ~16 s).
+        # HBM cost scales with it: arena rows = tokens(max_s) + 96 + 448.
+        self.slotpool_max_s = slotpool_max_s
         # bulk_nice: OS nice for batch-worker threads (dispatch.BULK_NICE
         # recommended). On a core-starved host this keeps latency-sensitive
         # handler work (WS realtime frames, request parsing, first-chunk
@@ -123,7 +129,10 @@ class SpeechServer:
             if self.scheduler == "slotpool" and hasattr(model, "_encode_audio_batch"):
                 from .slotpool import SlotPoolASR
 
-                self._batchers[key] = SlotPoolASR(model, slots=self._max_batch)
+                self._batchers[key] = SlotPoolASR(
+                    model, slots=self._max_batch,
+                    max_len=SlotPoolASR.max_len_for(model, self.slotpool_max_s),
+                    oversize="fallback")
             else:
                 self._batchers[key] = ContinuousBatcher(
                     model, max_batch=self._max_batch, bulk_nice=self.bulk_nice)

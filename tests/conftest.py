@@ -29,6 +29,24 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+#: files whose ENTIRE contents belong to the smoke tier (the serving/
+#: scheduling suites — cheap, and the highest-churn subsystems)
+_SMOKE_FULL = {"test_dispatch.py", "test_slotpool.py", "test_foundation.py"}
+
+
+def pytest_collection_modifyitems(config, items):
+    """Auto-mark the smoke tier: the first collected test of every file
+    (exercises that family's fixture build + one forward) plus the full
+    serving suites. `pytest -m smoke` is the <5 min iteration loop; the
+    full suite remains the merge gate. (VERDICT r4 Weak #7.)"""
+    seen = set()
+    for item in items:
+        fname = item.path.name
+        if fname in _SMOKE_FULL or fname not in seen:
+            item.add_marker(pytest.mark.smoke)
+        seen.add(fname)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)

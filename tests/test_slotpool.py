@@ -215,6 +215,85 @@ class TestSlotPool:
             loop.call_soon_threadsafe(holder["task"].cancel)
             t.join(timeout=10)
 
+    def test_batched_admission_matches_solo(self, model):
+        """Four same-bucket requests admitted as ONE group (one batched
+        encode + one batched prefill + one 4-row insert) must reproduce the
+        solo transcripts exactly — the r5 admission worker batches bursts."""
+        from concurrent.futures import Future
+
+        from qwen3_asr_swift_tpu.serving.slotpool import _Req
+
+        cs = clips(4, seed=11, seconds=(3,))
+        want = [solo(model, c).text for c in cs]
+        pool = SlotPoolASR(model, slots=4, max_new=MAX_NEW, tick_tokens=4,
+                           max_len=512, admit_batch=4)
+        try:
+            reqs = [_Req(c, 16000, None, None, MAX_NEW, Future()) for c in cs]
+            for _ in reqs:
+                pool._acquire_credit()
+            pool._admit_group(reqs)   # deterministic 4-wide group
+            got = [r.fut.result(timeout=120).text for r in reqs]
+            assert pool.stats["mean_admit_group"] == 4.0
+        finally:
+            pool.close()
+        assert got == want
+
+    def test_burst_submission_correct_and_grouped(self, model):
+        """A burst of submissions is served correctly; grouping is
+        opportunistic (timing-dependent) so only correctness is asserted,
+        plus that admission actually went through the group path."""
+        cs = clips(6, seed=12, seconds=(3,))
+        want = [solo(model, c).text for c in cs]
+        pool = SlotPoolASR(model, slots=4, max_new=MAX_NEW, tick_tokens=4,
+                           max_len=512, admit_batch=4)
+        try:
+            futs = [pool.submit(c) for c in cs]
+            got = [f.result(timeout=180).text for f in futs]
+            st = pool.stats
+            assert st["requests_served"] == 6
+            assert 1 <= st["admit_groups"] <= 6
+        finally:
+            pool.close()
+        assert got == want
+
+    def test_oversize_fallback_serves_long_clip(self, model):
+        """oversize='fallback' (the serving mode) diverts a too-long clip
+        to the model's ordinary transcribe path instead of erroring
+        (ADVICE r4: the server 500'd clips past the arena)."""
+        long_c = clips(1, seed=13, seconds=(9,))[0]   # 16 s bucket
+        short_c = clips(1, seed=14, seconds=(2,))[0]
+        pool = SlotPoolASR(model, slots=1, max_new=MAX_NEW, tick_tokens=4,
+                           max_len=64, oversize="fallback",
+                           options=SamplingOptions(max_tokens=MAX_NEW))
+        try:
+            f_long = pool.submit(long_c)
+            f_short = pool.submit(short_c)
+            got_long = f_long.result(timeout=180).text
+            got_short = f_short.result(timeout=180).text
+            assert pool.stats["requests_served"] == 2
+        finally:
+            pool.close()
+        assert got_long == solo(model, long_c).text
+        assert got_short == solo(model, short_c).text
+
+    def test_close_never_strands_a_future(self, model):
+        """A submit racing close() either gets served or fails with
+        'pool is closed' — never blocks forever (ADVICE r4 low)."""
+        cs = clips(4, seed=15, seconds=(2,))
+        pool = SlotPoolASR(model, slots=2, max_new=3, tick_tokens=2,
+                           max_len=512)
+        futs = [pool.submit(c) for c in cs]
+        closer = threading.Thread(target=pool.close)
+        closer.start()
+        outcomes = []
+        for f in futs:
+            try:
+                outcomes.append(bool(f.result(timeout=120).text))
+            except RuntimeError as e:
+                outcomes.append("closed" in str(e))
+        closer.join(timeout=120)
+        assert all(outcomes)
+
     def test_concurrent_submitters(self, model):
         cs = clips(6, seed=8)
         want = [solo(model, c).text for c in cs]
