@@ -43,8 +43,13 @@ def cmd_transcribe(args):
     model = (Qwen3ASR.init_random(config_tiny(), audio_buckets_s=(8,))
              if args.random_weights else Qwen3ASR.from_pretrained(args.model))
     audio, _ = _load_audio(args.audio)
+    opts = None
+    if args.beam > 1:
+        from .ops.sampling import SamplingOptions
+
+        opts = SamplingOptions(max_tokens=args.max_tokens, beam=args.beam)
     res = model.transcribe(audio, language=args.language, context=args.context,
-                           max_tokens=args.max_tokens)
+                           max_tokens=args.max_tokens, options=opts)
     _print({"text": res.text, "confidence": res.confidence, "duration": res.duration,
             "rtf": res.rtf})
 
@@ -381,7 +386,10 @@ def build_parser() -> argparse.ArgumentParser:
     add("transcribe", cmd_transcribe, audio={}, **{
         "--model": dict(default="aufklarer/Qwen3-ASR-0.6B-MLX-4bit"),
         "--language": dict(default=None), "--context": dict(default=None),
-        "--max-tokens": dict(type=int, default=448)})
+        "--max-tokens": dict(type=int, default=448),
+        "--beam": dict(type=int, default=0,
+                       help="beam width for on-device beam search "
+                            "(0 = greedy)")})
     sp = sub.add_parser("transcribe-batch")
     sp.set_defaults(fn=cmd_transcribe_batch)
     sp.add_argument("audio", nargs="+")

@@ -76,6 +76,10 @@ def main():
     ap.add_argument("--model", default="aufklarer/Qwen3-ASR-0.6B-MLX-4bit")
     ap.add_argument("--limit", type=int, default=200)
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--beam", type=int, default=0,
+                    help="beam width (0 = greedy). Beam-vs-greedy WER A/B: "
+                         "run once with --beam 0 and once with --beam 4")
+    ap.add_argument("--length-penalty", type=float, default=1.0)
     args = ap.parse_args()
 
     data_dir = os.environ.get("LIBRISPEECH_DIR")
@@ -104,9 +108,15 @@ def main():
             if a.ndim > 1:
                 a = a.mean(axis=-1)
             audios.append((a, r))
+        from qwen3_asr_swift_tpu.ops.sampling import SamplingOptions
+
+        opts = SamplingOptions(beam=args.beam,
+                               length_penalty=args.length_penalty) \
+            if args.beam > 1 else None
         t0 = time.perf_counter()
         results = model.transcribe_batch([a for a, _ in audios],
-                                         sample_rate=audios[0][1])
+                                         sample_rate=audios[0][1],
+                                         options=opts)
         wall += time.perf_counter() - t0
         for (a, r), (_, ref), res in zip(audios, group, results):
             audio_s += len(a) / r
