@@ -71,7 +71,8 @@ def wait_for_backend(deadline_s: float = 1500.0, probe_timeout_s: float = 150.0)
 
 
 def main():
-    wait_for_backend(deadline_s=float(os.environ.get("BENCH_INIT_DEADLINE_S", "1500")))
+    if os.environ.get("BENCH_TINY") != "1":  # tiny mode is CPU: never probe
+        wait_for_backend(deadline_s=float(os.environ.get("BENCH_INIT_DEADLINE_S", "1500")))
 
     import jax
     import jax.numpy as jnp
@@ -90,7 +91,11 @@ def main():
     if os.environ.get("BENCH_TINY") == "1":
         # smoke mode: tiny config on CPU validates the bench's own control
         # flow (continuous-flow windows, prestage pipeline, probes) in CI
-        # without a chip; numbers are meaningless
+        # without a chip; numbers are meaningless. Force the CPU backend
+        # HERE: the session sitecustomize re-pins jax_platforms to the TPU
+        # tunnel in every process, so the env var alone does not stick —
+        # and a stray tiny bench sharing the tunnel wedges the real one.
+        jax.config.update("jax_platforms", "cpu")
         from qwen3_asr_swift_tpu.models.qwen3_asr.config import config_tiny
 
         globals()["CONFIG_SMALL"] = None  # unused below
@@ -399,6 +404,22 @@ def main():
     if getattr(model, "dispatch_gate", None) is not None:
         print(f"dispatch gate: {model.dispatch_gate.stats}", file=sys.stderr)
 
+    if getattr(model, "dispatch_gate", None) is not None:
+        model.dispatch_gate = None
+
+    # robust aggregate: mean of the best half of the trials. Tunnel
+    # bandwidth drifts 4x on a scale of minutes (r02: 76x–141x across a
+    # 4-minute window, same program); the chip's sustainable throughput is
+    # what the healthy trials show, while congested troughs measure the
+    # shared tunnel, not this framework — best-k rides out the troughs
+    # without cherry-picking a single lucky run.
+    k = max(1, len(ss_trials) // 2)
+    best_k = sorted(ss_trials, reverse=True)[:k]
+    xrt_ss = sum(best_k) / len(best_k)
+    print(f"steady-state xRT: best-{k}-of-{len(ss_trials)} mean {xrt_ss:.0f}x, "
+          f"p50 {p50(ss_trials):.0f}x (pipelined, {n_workers} submitters)",
+          file=sys.stderr)
+
     # --- slot-pool stanza (VERDICT r4 #1: prove the pool or demote it) ---
     # Token-level continuous batching under MIXED traffic: submitters keep
     # single variable-length clips in flight (no client-side batching —
@@ -493,21 +514,6 @@ def main():
         print(f"slotpool stats: {pool.stats}", file=sys.stderr)
         pool.close()
 
-    if getattr(model, "dispatch_gate", None) is not None:
-        model.dispatch_gate = None
-
-    # robust aggregate: mean of the best half of the trials. Tunnel
-    # bandwidth drifts 4x on a scale of minutes (r02: 76x–141x across a
-    # 4-minute window, same program); the chip's sustainable throughput is
-    # what the healthy trials show, while congested troughs measure the
-    # shared tunnel, not this framework — best-k rides out the troughs
-    # without cherry-picking a single lucky run.
-    k = max(1, len(ss_trials) // 2)
-    best_k = sorted(ss_trials, reverse=True)[:k]
-    xrt_ss = sum(best_k) / len(best_k)
-    print(f"steady-state xRT: best-{k}-of-{len(ss_trials)} mean {xrt_ss:.0f}x, "
-          f"p50 {p50(ss_trials):.0f}x (pipelined, {n_workers} submitters)",
-          file=sys.stderr)
 
     # headline metric: steady-state best-k mean (the serving throughput
     # number); single-call p50 and the device-program p50 above are in

@@ -1336,6 +1336,19 @@ class RealtimeSession:
         """One 80 ms user frame per session in → one agent frame per
         session out, all sessions in ONE device program + ONE value fetch.
         ``samples``: [batch, samples_per_frame]."""
+        return np.asarray(self.push_frames_async(samples), np.float32)
+
+    def push_frames_async(self, samples: np.ndarray):
+        """Like :meth:`push_frames` but returns the agent audio as a
+        DEVICE array — no host fetch. The dispatch returns immediately;
+        the caller fetches (``np.asarray``) when it needs the PCM.
+
+        Serving use: a colocated pipeline keeps frames device-resident
+        (e.g. feeding enhancement or a codec re-encode) and only the final
+        consumer fetches. Benchmarking use: dispatching K frames
+        back-to-back with one trailing fetch isolates the device+dispatch
+        cost per frame from the tunnel's per-fetch round-trip — the
+        device/tunnel split of docs/benchmarks.md §multi-session."""
         spf = self.cfg.mimi.samples_per_frame
         samples = np.asarray(samples, np.float32)
         if samples.shape != (self.batch, spf):
@@ -1345,8 +1358,8 @@ class RealtimeSession:
             self.model.params, self.model.mimi_params, self._state,
             jnp.asarray(samples), sampling=self.sampling)
         #: the frame's full 16-codebook agent codes (device array; fetch
-        #: with np.asarray only if needed — the audio fetch below already
+        #: with np.asarray only if needed — the audio fetch already
         #: synchronizes the frame)
         self.last_codes = codes
         self.frames_done += 1
-        return np.asarray(wav, np.float32)
+        return wav

@@ -370,6 +370,27 @@ class TestRealtimeSession:
         sess = np.clip(np.stack(got, axis=2), 0, cfg.mimi.codebook_size - 1)
         np.testing.assert_array_equal(sess, np.asarray(agent)[:, :, :M])
 
+    def test_push_frames_async_matches_sync(self):
+        """push_frames_async returns the same audio as push_frames, as
+        device arrays — a burst of async dispatches with one trailing
+        fetch is the device/tunnel-split measurement mode."""
+        from qwen3_asr_swift_tpu.models.personaplex import PersonaPlex, PersonaSampling, config_tiny
+
+        m = PersonaPlex.init_random(config_tiny())
+        spf = m.cfg.mimi.samples_per_frame
+        samp = PersonaSampling(audio_temperature=0.0, text_temperature=0.0,
+                               max_steps=6)
+        rng = np.random.default_rng(7)
+        frames = [(0.1 * rng.standard_normal((1, spf))).astype(np.float32)
+                  for _ in range(3)]
+        s_sync = m.realtime_session(samp)
+        want = [s_sync.push_frames(f) for f in frames]
+        s_async = m.realtime_session(samp)
+        devs = [s_async.push_frames_async(f) for f in frames]  # no fetches
+        got = [np.asarray(d) for d in devs]
+        for w, g in zip(want, got):
+            np.testing.assert_allclose(w, g, atol=1e-6)
+
     def test_push_frame_rejects_wrong_size(self):
         from qwen3_asr_swift_tpu.models.personaplex import PersonaPlex, config_tiny
 
