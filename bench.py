@@ -103,11 +103,12 @@ def main():
     else:
         cfg = CONFIG_SMALL
 
-    # batch 16 default: batch 32 has the higher device ceiling (925x vs
-    # 741x device-program p50) and hits 638x steady-state when the tunnel
-    # is healthy, but stages 2x the PCM bytes so congested-tunnel floors
-    # are worse (289x vs 321x) — 16 is the better one-shot default here
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    # batch 32 default (r5 sweep, scripts/benchmark_decode_sweep.py):
+    # device-program p50 987x vs 811x at b16 (chunked; 1071x vs b64's
+    # 1180x monolithic), and bytes per AUDIO-SECOND are identical across
+    # batch sizes — the congested-floor cost of bigger batches is only
+    # completion granularity per window, not transfer volume.
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     clip_s = int(os.environ.get("BENCH_CLIP_S", "30"))
     max_tokens = int(os.environ.get("BENCH_TOKENS", "100"))
     # 4-bit is the reference's own 0.6B baseline config (asr-wer.md:16);
@@ -122,12 +123,13 @@ def main():
     # wire format: the tunnel transfer is the steady-state bottleneck
     # (measured ~51 MB/s healthy, ~2 MB/s congested; concurrency does NOT
     # aggregate — scripts/benchmark_transfer.py), so wire bytes convert
-    # ~1:1 into floor throughput. "pcm4" = block-scaled 4-bit PCM
-    # (0.52 B/sample, G.726-telephony bitrate class, ~21 dB wave /
-    # ~0.05-log10 mel rms distortion — audio/companding.py); "mulaw" =
-    # G.711 8-bit (1 B/sample, ~38 dB, serving default when the link
-    # is local PCIe and bytes are free).
-    wire = os.environ.get("BENCH_WIRE", "pcm4")
+    # ~1:1 into floor throughput. "dpcm4" = closed-loop 4-bit DPCM
+    # (0.55 B/sample, ~25 dB — audio/companding.py; replaces r4's uniform
+    # "pcm4" at ~20 dB for +3% bytes, and the transcript guard asserts it
+    # is never worse at the token level); "mulaw" = G.711 8-bit
+    # (1 B/sample, ~38 dB, serving default when the link is local PCIe
+    # and bytes are free).
+    wire = os.environ.get("BENCH_WIRE", "dpcm4")
     # resumable chunked decode: bound each dispatched decode program to N
     # tokens so a newly arriving request interleaves at chunk boundaries
     # instead of waiting out a full batch generate (loaded first-token).
@@ -145,7 +147,7 @@ def main():
           f"decode_chunk={chunk or 'off'}",
           file=sys.stderr)
     model = Qwen3ASR.init_random(cfg, dtype=jnp.bfloat16, audio_buckets_s=(8, 16, 32, 64),
-                                 wire_dtype=wire if wire in ("mulaw", "pcm4") else np.dtype(wire),
+                                 wire_dtype=wire if wire in ("mulaw", "pcm4", "dpcm4") else np.dtype(wire),
                                  quant_bits=quant or None,
                                  kv_dtype=jnp.int8 if kv == "int8" else None,
                                  decode_chunk_tokens=chunk or None,
@@ -209,7 +211,7 @@ def main():
     # 100%, mulaw ~96%, pcm4 ~86% clip identity; tests/test_companding.py
     # asserts the bounded gap) — so the per-TOKEN match rate is printed
     # rather than thresholded here. Serving's default wire stays mulaw.
-    if wire in ("mulaw", "pcm4") and os.environ.get("BENCH_WIRE_GUARD", "1") == "1":
+    if wire in ("mulaw", "pcm4", "dpcm4") and os.environ.get("BENCH_WIRE_GUARD", "1") == "1":
         m_ref = Qwen3ASR.init_random(
             cfg, dtype=jnp.bfloat16, audio_buckets_s=(8, 16, 32, 64),
             wire_dtype=np.dtype(np.float32), quant_bits=quant or None,

@@ -127,10 +127,13 @@ class Qwen3ASR(SpeechRecognitionModel):
         self.mel_cfg = mel_cfg
         self.tokenizer = tokenizer
         # "mulaw" = µ-law int8 (1 B/sample); "pcm4" = block-scaled 4-bit
-        # PCM (0.52 B/sample — audio/companding.py), the congested-wire
-        # mode: the steady-state floor is transfer-bound, so bytes/sample
-        # convert 1:1 into floor throughput.
-        self._wire4 = wire_dtype == "pcm4"
+        # PCM (0.53 B/sample); "dpcm4" = closed-loop 4-bit DPCM
+        # (0.55 B/sample, ~5 dB better than pcm4 at the same nibble rate —
+        # audio/companding.py). The 4-bit modes are the congested-wire
+        # choice: the steady-state floor is transfer-bound, so
+        # bytes/sample convert 1:1 into floor throughput.
+        self._wire_name = wire_dtype if isinstance(wire_dtype, str) else None
+        self._wire4 = wire_dtype in ("pcm4", "dpcm4")
         self.wire_dtype = np.dtype(
             np.uint8 if self._wire4 else (np.int8 if wire_dtype == "mulaw" else wire_dtype))
         self._mesh = None  # set by shard()
@@ -181,7 +184,10 @@ class Qwen3ASR(SpeechRecognitionModel):
             the mel kernel — ONE implementation so the batch and sp paths
             cannot numerically diverge."""
             if scales is not None:
-                padded_audio = pcm4_decode(padded_audio, scales)
+                from ...audio.companding import dpcm4_decode
+
+                dec4 = dpcm4_decode if self._wire_name == "dpcm4" else pcm4_decode
+                padded_audio = dec4(padded_audio, scales)
             elif padded_audio.dtype == jnp.int8:
                 padded_audio = mulaw_decode(padded_audio)
             elif padded_audio.dtype == jnp.int16:
@@ -626,7 +632,12 @@ class Qwen3ASR(SpeechRecognitionModel):
         for i, (clip, _, _) in enumerate(prepared):
             stage[i, : len(clip)] = clip[:need]
         if self._wire4:
-            stage, scales = pcm4_encode_np(stage)
+            if self._wire_name == "dpcm4":
+                from ...audio.companding import dpcm4_encode_np
+
+                stage, scales = dpcm4_encode_np(stage)
+            else:
+                stage, scales = pcm4_encode_np(stage)
         elif self.wire_dtype == np.int8:
             stage = mulaw_encode_np(stage)
         elif self.wire_dtype == np.int16:

@@ -149,4 +149,51 @@ void qs_pcm4_encode(const float* x, int64_t rows, int64_t n, int64_t block,
     }
 }
 
+// Closed-loop first-order DPCM at 4 bit/sample ("dpcm4"). x: [rows, n]
+// float32 (n a multiple of 2*block). packed: [rows, n/2] uint8 (each
+// block's nibble 0 unused). scales2: [rows, 2*n/block] IEEE half bits,
+// interleaved (delta_scale, first_sample) per block. Matches
+// companding.dpcm4_encode_np exactly: scale = max(max|diff|/7, 1e-6)
+// rounded to f16; each delta quantized against the RECONSTRUCTED
+// previous sample so error does not accumulate through the cumsum.
+void qs_dpcm4_encode(const float* x, int64_t rows, int64_t n, int64_t block,
+                     uint8_t* packed, uint16_t* scales2) {
+    const int64_t nblocks = n / block;
+    for (int64_t row = 0; row < rows; ++row) {
+        const float* xr = x + row * n;
+        uint8_t* pr = packed + row * (n / 2);
+        uint16_t* sr = scales2 + row * 2 * nblocks;
+        for (int64_t b = 0; b < nblocks; ++b) {
+            const float* xb = xr + b * block;
+            float m = 0.0f;
+            for (int64_t i = 1; i < block; ++i) {
+                const float d = std::fabs(xb[i] - xb[i - 1]);
+                if (d > m) m = d;
+            }
+            float s = m / 7.0f;
+            if (s < 1e-6f) s = 1e-6f;
+            const uint16_t sh = f32_to_f16_bits(s);
+            const uint16_t x0h = f32_to_f16_bits(xb[0]);
+            sr[2 * b] = sh;
+            sr[2 * b + 1] = x0h;
+            s = f16_bits_to_f32(sh);          // quantize against what the
+            float r = f16_bits_to_f32(x0h);   // decoder will reconstruct
+            uint8_t* pb = pr + b * block / 2;
+            int q_even = 0;  // nibble 0 of the block is unused (= 0)
+            for (int64_t i = 1; i < block; ++i) {
+                int q = static_cast<int>(std::lrintf((xb[i] - r) / s));
+                if (q > 7) q = 7;
+                if (q < -7) q = -7;
+                r += static_cast<float>(q) * s;
+                if (i % 2 == 0) {
+                    q_even = q;
+                } else {
+                    pb[i / 2] = static_cast<uint8_t>((q_even & 0xF) | ((q & 0xF) << 4));
+                    q_even = 0;
+                }
+            }
+        }
+    }
+}
+
 }  // extern "C"

@@ -141,7 +141,17 @@ class SpeechServer:
     def _tts_batcher_for(self, model) -> TTSBatcher:
         key = id(model)
         if key not in self._tts_batchers:
-            self._tts_batchers[key] = TTSBatcher(model, max_batch=self._max_batch)
+            if (self.scheduler == "slotpool" and hasattr(model, "talker_params")
+                    and hasattr(model, "cp_params")):
+                # frame-level continuous batching: syntheses join the
+                # running talker batch at frame boundaries; oversize and
+                # clone prompts divert to the serial fallback
+                from .ttspool import SlotPoolTTS
+
+                self._tts_batchers[key] = SlotPoolTTS(
+                    model, slots=min(self._max_batch, 8), oversize="fallback")
+            else:
+                self._tts_batchers[key] = TTSBatcher(model, max_batch=self._max_batch)
         return self._tts_batchers[key]
 
     # ------------------------------------------------------------------ #

@@ -119,6 +119,64 @@ class TestSlotPoolTTS:
         for w, g in zip(want, got):
             assert np.allclose(w, g, atol=1e-5)
 
+    def test_server_integration(self, model):
+        """SpeechServer(scheduler='slotpool') routes /speak through the
+        TTS pool (frame-level continuous batching as the serving path)."""
+        import asyncio
+        import http.client
+        import json
+        import threading as th
+
+        from qwen3_asr_swift_tpu.serving.server import (ModelRegistry,
+                                                        SpeechServer)
+
+        registry = ModelRegistry()
+        registry.register_instance("tts", model)
+        srv = SpeechServer(registry, host="127.0.0.1", port=0,
+                           scheduler="slotpool", max_batch=2)
+        loop = asyncio.new_event_loop()
+        started = th.Event()
+        holder = {}
+
+        def run():
+            asyncio.set_event_loop(loop)
+
+            async def go():
+                holder["task"] = asyncio.current_task()
+                s = await srv.start()
+                holder["port"] = s.sockets[0].getsockname()[1]
+                started.set()
+                await s.serve_forever()
+
+            try:
+                loop.run_until_complete(go())
+            except asyncio.CancelledError:
+                pass
+
+        t = th.Thread(target=run, daemon=True)
+        t.start()
+        assert started.wait(10)
+        # pre-seed a greedy small-budget pool so the test stays fast
+        srv._tts_batchers[id(model)] = SlotPoolTTS(
+            model, slots=2, sampling=GREEDY, oversize="fallback")
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", holder["port"],
+                                              timeout=300)
+            conn.request("POST", "/speak",
+                         json.dumps({"text": "ab"}),
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            body = resp.read()
+            assert resp.status == 200
+            assert resp.getheader("Content-Type", "").startswith("audio/wav")
+            assert len(body) > 44  # WAV header + samples
+            b = srv._tts_batcher_for(model)
+            assert isinstance(b, SlotPoolTTS)
+            assert b.stats["requests_served"] >= 1
+        finally:
+            loop.call_soon_threadsafe(holder["task"].cancel)
+            t.join(timeout=10)
+
     def test_close_never_strands_a_future(self, model):
         pool = SlotPoolTTS(model, slots=1, tick_frames=2, sampling=GREEDY)
         futs = [pool.submit("ab") for _ in range(3)]
