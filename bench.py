@@ -204,6 +204,29 @@ def main():
     print(f"first-token: best {min(ft)*1000:.0f} ms, p50 {sorted(ft)[len(ft)//2]*1000:.0f} ms "
           f"(p50 includes tunnel-latency spikes)", file=sys.stderr)
 
+    # short-request floor, itemized (VERDICT r4 Weak #6): what a dictation
+    # workload pays per utterance — an 8 s clip with a realistic ~30-token
+    # transcript, staged breakdown with device sync at boundaries. The
+    # fixed terms (host staging + encode + prefill) dominate short
+    # decodes; this stanza is the floor EOS early-exit converges to.
+    sc_opts = SamplingOptions(max_tokens=30)
+    model.transcribe(short, options=sc_opts)  # compile
+    sc_wall = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        model.transcribe(short, options=sc_opts)
+        sc_wall.append(time.perf_counter() - t0)
+    sc_t = {}
+    model.transcribe(short, options=sc_opts, timings=sc_t)
+    print(f"short-clip floor (8 s, 30 tokens): total p50 "
+          f"{sorted(sc_wall)[2]*1000:.0f} ms, best {min(sc_wall)*1000:.0f} ms | "
+          f"staged: host_prep {sc_t.get('host_prep', 0)*1000:.0f} "
+          f"encode {sc_t.get('encode', 0)*1000:.0f} "
+          f"generate {sc_t.get('generate', 0)*1000:.0f} "
+          f"post {sc_t.get('postprocess', 0)*1000:.0f} ms "
+          f"(staged run adds per-stage sync RPCs; the unstaged p50 is the "
+          f"serving number)", file=sys.stderr)
+
     # transcript-level wire guard (VERDICT r4: "honesty isn't a guard"):
     # same weights, float32 wire vs the bench wire, greedy tokens compared
     # on short clips. Random weights are the worst-case proxy — near-

@@ -100,6 +100,17 @@ def host_beam(model, audio, k, max_new, alpha=1.0):
 
 
 class TestBeamDecode:
+    # first test in the file = the smoke-tier pick (conftest auto-marks
+    # it): keep the cheap greedy-equivalence check here, the expensive
+    # exhaustive host-reference comparison below
+    def test_budget_of_one_smoke(self, model):
+        # max_new=1: the while_loop never runs; beam-1-of-K == greedy tok0
+        c = clip(seed=9)
+        greedy = model.transcribe(c, options=SamplingOptions(max_tokens=1)).text
+        beamed = model.transcribe(
+            c, options=SamplingOptions(max_tokens=1, beam=4)).text
+        assert beamed == greedy
+
     @pytest.mark.parametrize("k", [2, 4])
     def test_matches_host_reference(self, model, k):
         c = clip(seed=k)
@@ -115,14 +126,6 @@ class TestBeamDecode:
             got = model.transcribe(c, options=SamplingOptions(
                 max_tokens=4, beam=3, length_penalty=alpha)).text
             assert got == want
-
-    def test_budget_of_one(self, model):
-        # max_new=1: the while_loop never runs; beam-1-of-K == greedy tok0
-        c = clip(seed=9)
-        greedy = model.transcribe(c, options=SamplingOptions(max_tokens=1)).text
-        beamed = model.transcribe(
-            c, options=SamplingOptions(max_tokens=1, beam=4)).text
-        assert beamed == greedy
 
     def test_batched_beam(self, model):
         cs = [clip(seed=11), clip(seed=12)]
