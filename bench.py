@@ -514,10 +514,21 @@ def main():
             w = int((t - p_t0) // window_s)
             if w < n_wins:
                 cnt[w] += 1
+        # per-window tick attribution: an outage window shows tick count
+        # collapse / tick walls blow up (tunnel weather); a design problem
+        # would show fast ticks but slow completions.
+        tcnt = [0] * n_wins
+        tms = [[] for _ in range(n_wins)]
+        for t_end, gated_s, _ in pool._tick_trace:
+            w = int((t_end - p_t0) // window_s)
+            if 0 <= w < n_wins:
+                tcnt[w] += 1
+                tms[w].append(gated_s * 1e3)
         p_trials = [c * clip_s / window_s for c in cnt]
         for i, x in enumerate(p_trials):
-            print(f"slotpool window {i}: {x:.0f}x ({cnt[i]} clips/{window_s:.0f}s)",
-                  file=sys.stderr)
+            med = sorted(tms[i])[len(tms[i]) // 2] if tms[i] else float("nan")
+            print(f"slotpool window {i}: {x:.0f}x ({cnt[i]} clips, {tcnt[i]} "
+                  f"ticks @ {med:.0f} ms/{window_s:.0f}s)", file=sys.stderr)
         kkk = max(1, len(p_trials) // 2)
         best_kk = sorted(p_trials, reverse=True)[:kkk]
         p_xrt = sum(best_kk) / len(best_kk)

@@ -57,6 +57,7 @@ from __future__ import annotations
 import functools
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import List, NamedTuple, Optional, Sequence
 
@@ -348,6 +349,7 @@ class SlotPoolASR:
         # host-side bookkeeping
         self._served = 0
         self._ticks = 0
+        self._tick_trace: List[tuple] = []  # (end_ts, gated_s, total_s)
         self._admit_groups = 0
         self._admit_reqs = 0
         self._free: List[int] = list(range(slots))
@@ -470,6 +472,20 @@ class SlotPoolASR:
             "admit_groups": self._admit_groups,
             "mean_admit_group": round(self._admit_reqs / self._admit_groups, 2)
             if self._admit_groups else 0.0,
+            **self._tick_stats(),
+        }
+
+    def _tick_stats(self) -> dict:
+        trace = list(self._tick_trace)
+        if not trace:
+            return {}
+        g = sorted(w for _, w, _ in trace)
+        t = sorted(w for _, _, w in trace)
+        q = lambda xs, f: xs[min(len(xs) - 1, int(f * len(xs)))]  # noqa: E731
+        return {
+            "tick_ms_p50": round(q(g, 0.5) * 1e3, 1),
+            "tick_ms_p90": round(q(g, 0.9) * 1e3, 1),
+            "tick_incl_gate_ms_p50": round(q(t, 0.5) * 1e3, 1),
         }
 
     # ------------------------------------------------------------------ #
@@ -712,11 +728,21 @@ class SlotPoolASR:
                 self._wake.clear()
                 continue
             self._key, kt = jax.random.split(self._key)
+            t_q = time.perf_counter()
             with gate_slot(model.dispatch_gate, BULK):
+                t_g = time.perf_counter()
                 self._state, _, toks, lps, done = self._tick(
                     model.decoder_params, self._state, kt,
                     n=self.tick_tokens, opts=self.opts)
                 toks = np.asarray(toks)       # value fetch = sync
+            t_e = time.perf_counter()
+            # per-tick trace (end timestamp, gated device+fetch s, incl.
+            # gate-wait s): lets the bench attribute a bad window to
+            # tunnel weather (tick walls blow up) vs pool design (ticks
+            # fast, completions slow). Bounded ring.
+            self._tick_trace.append((t_e, t_e - t_g, t_e - t_q))
+            if len(self._tick_trace) > 8192:
+                del self._tick_trace[:4096]
             self._ticks += 1
             lps = np.asarray(lps)
             done = np.asarray(done)
