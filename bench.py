@@ -475,7 +475,8 @@ def main():
             set_thread_nice(LATENCY_NICE)
             while not pp_stop.wait(1.5):
                 t0 = time.perf_counter()
-                pool.transcribe(short, max_new=1, timeout=600)
+                pool.transcribe(short, max_new=1, timeout=600,
+                                priority="latency")
                 pp_lat.append(time.perf_counter() - t0)
 
         def _pool_submit(i):
@@ -545,8 +546,9 @@ def main():
             print(f"slotpool loaded first-token: p50 {qp(0.5):.0f} ms, "
                   f"p90 {qp(0.9):.0f} ms, p95 {qp(0.95):.0f} ms, "
                   f"best {ppl[0]*1000:.0f} ms, worst {ppl[-1]*1000:.0f} ms "
-                  f"({len(ppl)} probes; admission = gated encode+prefill on "
-                  f"the latency lane, decode never pauses)", file=sys.stderr)
+                  f"({len(ppl)} probes; latency-class admission jumps the "
+                  f"bulk arrival queue, encode+prefill on the latency lane, "
+                  f"decode never pauses)", file=sys.stderr)
         print(f"slotpool stats: {pool.stats}", file=sys.stderr)
         pool.close()
 

@@ -141,6 +141,7 @@ class _Req(NamedTuple):
     context: Optional[str]
     max_new: int
     fut: Future
+    priority: str = "bulk"
 
 
 class _ReadyGroup(NamedTuple):
@@ -355,6 +356,10 @@ class SlotPoolASR:
         self._free: List[int] = list(range(slots))
         self._live: dict = {}       # slot -> _Live
         self._arrivals: "queue.Queue[_Req]" = queue.Queue()
+        # latency-class arrivals jump the bulk admission queue (measured
+        # r5: under 20 bulk submitters a FIFO-queued probe waited p50
+        # ~940 ms for admission while decode TTFT itself is ~1 tick)
+        self._arrivals_hi: "queue.Queue[_Req]" = queue.Queue()
         self._ready: "queue.Queue[_ReadyGroup]" = queue.Queue()
         # credits bound (live slots + prepared segments) ≤ slots, so the
         # admit worker never prefills a prompt the arena can't hold yet
@@ -405,13 +410,20 @@ class SlotPoolASR:
     def submit(self, audio: np.ndarray, sample_rate: int = 16000,
                language: Optional[str] = None, context: Optional[str] = None,
                max_new: Optional[int] = None,
-               max_tokens: Optional[int] = None) -> "Future":
+               max_tokens: Optional[int] = None,
+               priority: str = "bulk") -> "Future":
         """Queue one utterance; resolves to a TranscriptionResult.
         ``max_tokens`` is accepted as an alias so the pool is a drop-in
-        for ContinuousBatcher.submit."""
+        for ContinuousBatcher.submit. ``priority="latency"`` jumps the
+        bulk admission queue (the pool-level analog of the dispatch
+        gate's latency lane): admission itself is already off the tick
+        thread, but a FIFO arrival queue makes an interactive request
+        wait behind every queued bulk arrival."""
+        if priority not in ("bulk", "latency"):
+            raise ValueError(f"priority must be 'bulk' or 'latency', got {priority!r}")
         fut: Future = Future()
         req = _Req(audio, sample_rate, language, context,
-                   max_new or max_tokens or self.max_new, fut)
+                   max_new or max_tokens or self.max_new, fut, priority)
         with self._submit_lock:
             # the lock pairs with close(): once close() has flipped
             # _closed under the lock, no new request can slip into the
@@ -419,7 +431,8 @@ class SlotPoolASR:
             # stranded its Future forever)
             if self._closed:
                 raise RuntimeError("pool is closed")
-            self._arrivals.put(req)
+            (self._arrivals_hi if priority == "latency"
+             else self._arrivals).put(req)
         self._wake.set()
         return fut
 
@@ -442,7 +455,7 @@ class SlotPoolASR:
             self._fb_queue.put(None)
             self._fb_thread.join(timeout=120)
         # belt-and-braces: fail anything a dying thread left behind
-        for q in (self._arrivals, self._ready):
+        for q in (self._arrivals, self._arrivals_hi, self._ready):
             while True:
                 try:
                     item = q.get_nowait()
@@ -458,7 +471,8 @@ class SlotPoolASR:
 
     @property
     def in_flight(self) -> int:
-        return len(self._live) + self._arrivals.qsize() + self._ready.qsize()
+        return (len(self._live) + self._arrivals.qsize()
+                + self._arrivals_hi.qsize() + self._ready.qsize())
 
     @property
     def stats(self) -> dict:
@@ -528,11 +542,19 @@ class SlotPoolASR:
         self._fb_queue.put(req)
 
     def _collect(self) -> Optional[List[_Req]]:
-        """Block for the next arrival; opportunistically drain more (they
-        batch if they share a group key). Returns None when closed+drained."""
+        """Block for the next arrival — latency-class first; opportunistically
+        drain more of the SAME class (they batch if they share a group key).
+        Returns None when closed+drained (both queues)."""
         while True:
             try:
+                first = self._arrivals_hi.get_nowait()
+                src = self._arrivals_hi
+                break
+            except queue.Empty:
+                pass
+            try:
                 first = self._arrivals.get(timeout=0.05)
+                src = self._arrivals
                 break
             except queue.Empty:
                 if self._closed:
@@ -540,7 +562,7 @@ class SlotPoolASR:
         reqs = [first]
         while len(reqs) < self.admit_batch:
             try:
-                reqs.append(self._arrivals.get_nowait())
+                reqs.append(src.get_nowait())
             except queue.Empty:
                 break
         return reqs

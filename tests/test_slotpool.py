@@ -65,6 +65,37 @@ class TestSlotPool:
             pool.close()
         assert got == want
 
+    def test_latency_priority_jumps_bulk_queue(self, model):
+        # 6 bulk clips through a 2-slot pool = 3 admission waves; a
+        # latency-class probe submitted AFTER all 6 must not wait for the
+        # whole bulk queue (FIFO would admit it last). Assert it completes
+        # while bulk work is still pending, and with the right transcript.
+        cs = clips(6, seed=7, seconds=(3,))
+        pool = SlotPoolASR(model, slots=2, max_new=MAX_NEW, tick_tokens=2,
+                           max_len=512)
+        probe = clips(1, seed=8, seconds=(2,))[0]
+        want = solo(model, probe, max_new=1).text
+        try:
+            bulk = [pool.submit(c) for c in cs]
+            fut = pool.submit(probe, max_new=1, priority="latency")
+            got = fut.result(timeout=120)
+            pending = sum(not f.done() for f in bulk)
+            for f in bulk:
+                f.result(timeout=120)
+        finally:
+            pool.close()
+        assert got.text == want
+        assert pending > 0, "probe should finish before the bulk queue drains"
+
+    def test_submit_rejects_bad_priority(self, model):
+        pool = SlotPoolASR(model, slots=1, max_new=2, tick_tokens=2,
+                           max_len=512)
+        try:
+            with pytest.raises(ValueError, match="priority"):
+                pool.submit(clips(1)[0], priority="urgent")
+        finally:
+            pool.close()
+
     def test_staggered_admission_and_slot_reuse(self, model):
         cs = clips(5, seed=3)
         want = [solo(model, c).text for c in cs]
