@@ -143,12 +143,81 @@ def bench_voxcpm2(runs, frames):
                   lambda: model.synthesize(TEXT, seed=1, max_tokens=frames), runs)
 
 
+def bench_ttspool(runs, frames, quant=4, quant_compute="groupdot"):
+    """Frame-level continuous batching (SlotPoolTTS) at 1/2/4 concurrent
+    syntheses: the pool shares ONE talker-step + CP-chain program per
+    12.5 Hz frame across all live slots, so the talker/CP weight read is
+    paid once per frame regardless of concurrency.  Reports pool-wide
+    frames/s and per-synthesis RTF (wall until ALL N complete, including
+    the finisher-thread codec decode).  Reference being beaten: strictly
+    one-at-a-time synthesize (Sources/Qwen3TTS/Qwen3TTS.swift:107-180)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from qwen3_asr_swift_tpu.models.qwen3_tts import Qwen3TTS
+    from qwen3_asr_swift_tpu.models.qwen3_tts.model import TTSSamplingConfig
+    from qwen3_asr_swift_tpu.serving.ttspool import SlotPoolTTS
+
+    if os.environ.get("BENCH_TINY") == "1":  # control-flow smoke on CPU
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from qwen3_asr_swift_tpu.models.qwen3_tts.config import config_tiny
+
+        tcfg = config_tiny()
+
+        class _TinyTok(_StubTokenizer):
+            def encode(self, s, _v=tcfg.talker.text_vocab_size):
+                return [i % (_v // 2) for i in super().encode(s)]
+
+        model = Qwen3TTS.init_random(tcfg, dtype=jnp.float32,
+                                     tokenizer=_TinyTok())
+    else:
+        model = Qwen3TTS.init_random(dtype=jnp.bfloat16,
+                                     tokenizer=_StubTokenizer(),
+                                     quant_bits=quant or None,
+                                     quant_compute=quant_compute)
+    sampling = TTSSamplingConfig(max_frames=frames)
+    pool = SlotPoolTTS(model, slots=4, tick_frames=5, sampling=sampling,
+                       max_frames=frames, oversize="fallback")
+    t0 = time.perf_counter()
+    pool.synthesize(TEXT, timeout=1200)  # compile admit/insert/tick/codec
+    print(f"ttspool warmup (incl. compile): {time.perf_counter()-t0:.0f}s",
+          file=sys.stderr)
+
+    out = []
+    for n in (1, 2, 4):
+        walls = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            futs = [pool.submit(TEXT, max_frames=frames) for _ in range(n)]
+            chunks = [f.result(timeout=1200) for f in futs]
+            for c in chunks:
+                np.asarray(c.samples)  # value fetch closes the timing
+            walls.append(time.perf_counter() - t0)
+        wall = sorted(walls)[len(walls) // 2]
+        audio = frames / 12.5
+        fps = n * frames / wall
+        rtf = wall / audio
+        print(f"ttspool n={n}: {fps:.0f} frames/s pool-wide, per-synthesis "
+              f"RTF {rtf:.3f}, pool xRT {n * audio / wall:.1f}x "
+              f"(wall p50 {wall:.2f}s for {n}×{audio:.0f}s, {runs} runs)",
+              file=sys.stderr)
+        out.append({"engine": f"ttspool_n{n}", "frames_per_s": round(fps, 1),
+                    "rtf_p50": round(rtf, 4), "runs": runs})
+    print(f"ttspool stats: {pool.stats}", file=sys.stderr)
+    pool.close()
+    return out
+
+
 ENGINES = {
     "kokoro": lambda a: bench_kokoro(a.runs),
     "qwen3_tts": lambda a: bench_qwen3_tts(a.runs, a.frames, a.quant, a.quant_compute),
     "cosyvoice": lambda a: bench_cosyvoice(a.runs),
     "vibevoice": lambda a: bench_vibevoice(a.runs, a.frames),
     "voxcpm2": lambda a: bench_voxcpm2(a.runs, a.frames),
+    "ttspool": lambda a: bench_ttspool(a.runs, a.frames, a.quant, a.quant_compute),
 }
 
 
@@ -178,7 +247,7 @@ def main():
             print(f"{name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
             r = None
         if r:
-            results.append(r)
+            results.extend(r) if isinstance(r, list) else results.append(r)
     print(json.dumps(results))
 
 
